@@ -1,0 +1,280 @@
+"""Snapshot-versioned parquet lake — the from-scratch Iceberg-capability layer.
+
+No Iceberg/Delta/Hudi jars exist in this environment (SURVEY §1.3), so the
+capabilities the north star needs are built directly:
+
+- hash-bucketed layout ``data/pk_bucket=<pmod(xxhash64(conv_id), B)>/`` —
+  Python-side manifest pruning plays the role of partition pruning, and the
+  bucket is the MERGE unit (copy-on-write per changed bucket);
+- snapshot isolation + time travel: every commit writes
+  ``_snapshots/s-<id>.json`` (file list per bucket, schema, parent, epoch key);
+  readers pin a snapshot;
+- atomic exclusive commit: snapshot JSON is published with a hard-link
+  compare-and-swap (``os.link`` fails with EEXIST on a concurrent/duplicate
+  commit); data files are invisible until a snapshot references them, so a
+  crash between data write and publish loses nothing and duplicates nothing;
+- idempotent epoch-stamped commits: each snapshot records the
+  ``(query_id, epoch_id)`` that produced it; re-delivery is detected by
+  scanning the snapshot chain (authoritative) — the exactly-once half that
+  Spark's checkpoint WAL cannot give a custom sink;
+- schema evolution: the committed schema is the add-only/widen-only merge of
+  table schema and batch schema (maestro_spark.schema.merge_schemas).
+
+Layout on disk::
+
+    <root>/_snapshots/s-<13-digit id>.json   # manifest per commit
+    <root>/_snapshots/CURRENT                # latest id (rename-published hint)
+    <root>/_ledger/<query_id>/epoch-<n>.json # offset/watermark ledger (A7)
+    <root>/_lineage/*.parquet                # per-epoch x bucket lineage (A6/K8)
+    <root>/data/pk_bucket=<b>/<commit-uuid>-*.parquet
+
+Internal row columns ``_lsn`` (max LSN applied to the key) and ``_deleted``
+(tombstone) implement cross-epoch LSN dominance: a delete is remembered, so a
+lower-LSN insert arriving in a later epoch can never resurrect the row
+(FIXTURES.md A4 cases 1-2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maestro_spark import schema as S
+
+SNAP_DIR = "_snapshots"
+LEDGER_DIR = "_ledger"
+LINEAGE_DIR = "_lineage"
+DATA_DIR = "data"
+
+
+def bucket_expr(conv_col: str = "conv_id", n_buckets: int = 64) -> F.Column:
+    """Deterministic key→bucket mapping. xxhash64 runs JVM-side in codegen."""
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
+
+
+def _atomic_write_json(path: str, obj: dict, exclusive: bool) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    if exclusive:
+        try:
+            os.link(tmp, path)  # CAS: fails with FileExistsError if already published
+        finally:
+            os.unlink(tmp)
+    else:
+        os.rename(tmp, path)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    epoch_key: str | None          # "query_id:epoch_id" that produced it
+    schema_json: str               # committed table schema (payload + internal)
+    files: dict[str, list[str]]    # bucket (as str) -> relative data file paths
+    n_buckets: int
+    committed_at: float = 0.0
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def payload_schema(self) -> T.StructType:
+        internal = {S.LSN_COL, S.DELETED_COL}
+        return T.StructType([f for f in self.schema.fields if f.name not in internal])
+
+
+class LakeTable:
+    """A snapshot-versioned, hash-bucketed transcript table (SURVEY §2.A3/A5)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        payload_schema: T.StructType = S.TRANSCRIPT_SCHEMA,
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, SNAP_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, LEDGER_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, LINEAGE_DIR), exist_ok=True)
+        full = T.StructType([*payload_schema.fields, *S.INTERNAL_FIELDS])
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            epoch_key=None,
+            schema_json=json.dumps(full.jsonValue()),
+            files={},
+            n_buckets=n_buckets,
+            committed_at=time.time(),
+        )
+        t = cls(spark, root)
+        t._publish(snap)
+        return t
+
+    # ------------------------------------------------------------- snapshots
+    def _snap_path(self, sid: int) -> str:
+        return os.path.join(self.root, SNAP_DIR, f"s-{sid:013d}.json")
+
+    def _publish(self, snap: Snapshot) -> None:
+        snap.committed_at = time.time()
+        _atomic_write_json(self._snap_path(snap.snapshot_id), snap.__dict__, exclusive=True)
+        # CURRENT is a recoverable hint, not the commit point
+        cur = os.path.join(self.root, SNAP_DIR, "CURRENT")
+        _atomic_write_json(cur, {"snapshot_id": snap.snapshot_id}, exclusive=False)
+
+    def snapshot_ids(self) -> list[int]:
+        d = os.path.join(self.root, SNAP_DIR)
+        return sorted(
+            int(f[2:-5]) for f in os.listdir(d) if f.startswith("s-") and f.endswith(".json")
+        )
+
+    def snapshot(self, sid: int | None = None) -> Snapshot:
+        if sid is None:
+            # roll forward past a stale CURRENT (crash between publish steps)
+            sid = self.snapshot_ids()[-1]
+        with open(self._snap_path(sid)) as fh:
+            return Snapshot(**json.load(fh))
+
+    def committed_epoch_keys(self) -> set[str]:
+        """Authoritative idempotence index: epoch keys in the snapshot chain."""
+        keys = set()
+        for sid in self.snapshot_ids():
+            ek = self.snapshot(sid).epoch_key
+            if ek:
+                keys.add(ek)
+        return keys
+
+    # ----------------------------------------------------------------- reads
+    def read_raw(
+        self, buckets: list[int] | None = None, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows incl. internal ``_lsn``/``_deleted`` for the given buckets.
+
+        Manifest file pruning happens here in Python — the read plan only ever
+        sees the pruned file list, so at 100 TB a single-bucket lookup scans
+        one bucket's files, not the table.
+        """
+        snap = self.snapshot(snapshot_id)
+        want = {str(b) for b in buckets} if buckets is not None else None
+        files = [
+            os.path.join(self.root, p)
+            for b, ps in snap.files.items()
+            if want is None or b in want
+            for p in ps
+        ]
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        return self.spark.read.schema(snap.schema).parquet(*files)
+
+    def read(self, snapshot_id: int | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Live rows (tombstones filtered), payload columns only."""
+        snap = self.snapshot(snapshot_id)
+        raw = self.read_raw(buckets, snapshot_id)
+        return raw.filter(~F.col(S.DELETED_COL)).select(
+            *[f.name for f in snap.payload_schema().fields]
+        )
+
+    # ---------------------------------------------------------------- writes
+    def write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
+        """Write ``df`` (must carry ``pk_bucket``) as the new full content of
+        its buckets; returns bucket -> relative paths. Files land under their
+        final names but are invisible until a snapshot references them.
+        """
+        commit_uid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.root, f"_staging-{commit_uid}")
+        (
+            df.sortWithinPartitions("pk_bucket", "conv_id", "turn_idx")
+            .write.partitionBy("pk_bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("pk_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            dst_dir = os.path.join(self.root, DATA_DIR, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            rels = []
+            for i, fn in enumerate(sorted(os.listdir(os.path.join(staging, entry)))):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = f"{DATA_DIR}/{entry}/{commit_uid}-{i:05d}.parquet"
+                os.rename(os.path.join(staging, entry, fn), os.path.join(self.root, rel))
+                rels.append(rel)
+            if rels:
+                out[b] = rels
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def commit(
+        self,
+        new_files: dict[str, list[str]],
+        epoch_key: str | None,
+        schema: T.StructType | None = None,
+        stats: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: buckets in ``new_files`` are replaced, all
+        other buckets carried forward by reference. Raises FileExistsError on
+        a snapshot-id race (single-writer protocol surfaces, never corrupts).
+        """
+        parent = self.snapshot()
+        files = dict(parent.files)
+        files.update(new_files)
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            epoch_key=epoch_key,
+            schema_json=json.dumps((schema or parent.schema).jsonValue()),
+            files=files,
+            n_buckets=parent.n_buckets,
+            stats=stats or {},
+        )
+        self._publish(snap)
+        return snap
+
+    # --------------------------------------------------------------- hygiene
+    def orphan_files(self) -> list[str]:
+        """Data files referenced by no snapshot (crash leftovers) — GC input."""
+        referenced = set()
+        for sid in self.snapshot_ids():
+            for ps in self.snapshot(sid).files.values():
+                referenced.update(ps)
+        orphans = []
+        droot = os.path.join(self.root, DATA_DIR)
+        for dirpath, _, files in os.walk(droot):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
+                if rel not in referenced:
+                    orphans.append(rel)
+        return orphans
+
+    def vacuum(self) -> int:
+        """Delete orphan data files + stale staging dirs. Safe at any time:
+        orphans are unreachable by definition (commit = snapshot publish)."""
+        n = 0
+        for rel in self.orphan_files():
+            os.unlink(os.path.join(self.root, rel))
+            n += 1
+        for entry in os.listdir(self.root):
+            if entry.startswith("_staging-"):
+                shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+        return n

@@ -1,0 +1,165 @@
+"""Key-partitioned MERGE — dedup + upsert in ONE shuffle (SURVEY §2.K2-K7).
+
+The merge is *not* a join. Current bucket contents are re-expressed as
+pseudo-events (``op_lsn = _lsn``, ``op = delete if tombstone else insert``)
+and unioned with the batch; max-LSN dedup over the union IS the merge:
+
+    winners(union(current_as_events, batch)) == new bucket content
+
+This collapses SURVEY's K2 (dedup), K5 (apply) and cross-epoch LSN dominance
+into a single ``groupBy(...).agg(max_by(...))`` with map-side partial
+aggregation — correct by induction on epochs, and exactly one hash exchange
+per epoch.
+
+Shuffle/partitioning strategy (explicit, per north_rule):
+- the union is repartitioned on ``(pk_bucket, turn_idx)`` — bucket-aligned so
+  the subsequent ``write.partitionBy(pk_bucket)`` needs no second shuffle,
+  turn-spread so a hot conversation's events fan out across tasks instead of
+  pinning one task (skew salting that never touches the dedup key, SURVEY M5);
+- ``groupBy(pk_bucket, conv_id, turn_idx)`` — adding the functionally-
+  dependent bucket to the keys lets Catalyst prove the existing partitioning
+  satisfies the aggregation's ClusteredDistribution: no second exchange.
+
+Exactly-once: the epoch key is checked against the snapshot chain before any
+work; the snapshot publish (hard-link CAS) is the commit point; the ledger is
+written after. Re-delivery at any crash point either finds the epoch key and
+skips, or redoes work whose output is invisible (unreferenced data files).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maestro_spark import schema as S
+from maestro_spark.lake import LakeTable, Snapshot, bucket_expr
+from maestro_spark.ledger import Ledger
+from maestro_spark.lineage import append_lineage
+
+
+def plan_changed_buckets(batch: DataFrame, n_buckets: int) -> list[int]:
+    """K4: the copy-on-write unit set — distinct buckets touched by the batch.
+
+    Collects at most ``n_buckets`` ints (bounded by bucket count, not data),
+    so this stays driver-cheap at any scale.
+    """
+    rows = batch.select(bucket_expr("conv_id", n_buckets).alias("b")).distinct().collect()
+    return sorted(r["b"] for r in rows)
+
+
+def _as_pseudo_events(current: DataFrame) -> DataFrame:
+    """Current table rows -> change events that 'recreate' them (K5 core)."""
+    return (
+        current.withColumn(
+            "op", F.when(F.col(S.DELETED_COL), F.lit("delete")).otherwise(F.lit("insert"))
+        )
+        .withColumn("op_lsn", F.col(S.LSN_COL))
+        .drop(S.LSN_COL, S.DELETED_COL)
+    )
+
+
+def merge_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    query_id: str = "replay",
+    epoch_id: int = 0,
+    offsets: dict | None = None,
+) -> Snapshot | None:
+    """Apply one epoch's change events to the table (K2+K4+K5+K6+K7+K8).
+
+    Returns the committed Snapshot, or None when the epoch was already
+    committed (idempotent re-delivery).
+    """
+    epoch_key = f"{query_id}:{epoch_id}"
+    ledger = Ledger(table.root, query_id)
+    if ledger.committed(epoch_id) or epoch_key in table.committed_epoch_keys():
+        return None
+    t0 = time.time()
+    parent = table.snapshot()
+    n_buckets = parent.n_buckets
+
+    # K6 schema evolution: merged payload schema, validated widenings only
+    batch_payload = T.StructType(
+        [f for f in batch.schema.fields if f.name not in ("op", "op_lsn")]
+    )
+    merged_payload = S.merge_schemas(parent.payload_schema(), batch_payload)
+    full_schema = T.StructType([*merged_payload.fields, *S.INTERNAL_FIELDS])
+    event_schema = T.StructType(
+        [
+            T.StructField("op_lsn", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            *merged_payload.fields,
+        ]
+    )
+
+    changed = plan_changed_buckets(batch, n_buckets)
+    current = table.read_raw(changed) if changed else None
+
+    bat_ev = S.conform(batch, event_schema).withColumn("_prio", F.lit(0))
+    if current is not None and changed:
+        cur_ev = S.conform(_as_pseudo_events(current), event_schema).withColumn(
+            "_prio", F.lit(1)  # current state wins an LSN tie vs re-delivered event
+        )
+        unioned = cur_ev.unionByName(bat_ev)
+    else:
+        unioned = bat_ev
+
+    shuffle_n = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = (
+        unioned.withColumn("pk_bucket", bucket_expr("conv_id", n_buckets))
+        .repartition(shuffle_n, "pk_bucket", "turn_idx")
+    )
+    rest = [c for c in ev.columns if c not in ("pk_bucket", "conv_id", "turn_idx")]
+    winners = (
+        ev.groupBy("pk_bucket", "conv_id", "turn_idx")
+        .agg(F.max_by(F.struct(*rest), F.struct(F.col("op_lsn"), F.col("_prio"))).alias("_w"))
+        .select("pk_bucket", "conv_id", "turn_idx", "_w.*")
+    )
+    result = (
+        winners.withColumn(S.LSN_COL, F.col("op_lsn"))
+        .withColumn(S.DELETED_COL, F.col("op") == F.lit("delete"))
+        .drop("op", "op_lsn", "_prio")
+    )
+    obs = Observation(f"epoch-{epoch_id}")
+    result = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.sum(F.col(S.DELETED_COL).cast("long")).alias("tombstones_out"),
+        F.max(S.LSN_COL).alias("max_lsn"),
+    )
+
+    cols = ["pk_bucket"] + [f.name for f in full_schema.fields]
+    new_files = table.write_bucket_files(result.select(*cols)) if changed else {}
+    metrics = dict(obs.get) if changed else {"rows_out": 0, "tombstones_out": 0, "max_lsn": None}
+    wall = time.time() - t0
+    stats = {**metrics, "changed_buckets": len(changed), "wall_s": round(wall, 3)}
+
+    snap = table.commit(new_files, epoch_key, schema=full_schema, stats=stats)  # commit point
+    ledger.record(epoch_id, snap.snapshot_id, offsets=offsets, stats=stats)
+    append_lineage(table, snap, epoch_id, query_id, new_files, wall)
+    return snap
+
+
+def file_stats(table: LakeTable, rel_path: str) -> dict:
+    """Parquet-footer stats for lineage — zero extra compute (no data read)."""
+    import os
+
+    md = pq.ParquetFile(os.path.join(table.root, rel_path)).metadata
+    rows = md.num_rows
+    lsn_min = lsn_max = None
+    schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+    if S.LSN_COL in schema_names:
+        ci = schema_names.index(S.LSN_COL)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            lsn_min, lsn_max = min(mins), max(maxs)
+    return {"rows": rows, "lsn_min": lsn_min, "lsn_max": lsn_max}
