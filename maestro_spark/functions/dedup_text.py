@@ -1,0 +1,213 @@
+"""Document deduplication at training-data scale (task brief, first-class):
+
+- exact dedup: md5-fingerprint groupBy (one shuffle, map-side combine);
+- n-gram Jaccard near-dup: shingle → explode → self-join on shingle →
+  integer intersection/union arithmetic (exact, oracle-able);
+- MinHash + LSH near-dup: k hash permutations via xxhash64(seed_i, shingle),
+  banded into LSH buckets, candidate pairs from bucket join — the scale
+  path: candidate generation is linear in bands, never all-pairs;
+- SimHash: 64-bit sign-aggregated token hashes, near-dup = small Hamming
+  distance within LSH-prefix buckets.
+
+Everything below is built-in expression code (xxhash64/aggregate/transform
+run in codegen). No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from maestro_spark.functions.text import fingerprint, shingles
+
+
+# ------------------------------------------------------------------ exact
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (after whitespace/case normalization):
+    fingerprint → groupBy → keep groups of size > 1."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per fingerprint. Agg form → map-side
+    partial aggregation, same shape as the CDC dedup."""
+    rest = [c for c in df.columns]
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct(*rest), F.col(id_col)).alias("_w"))
+        .select("_w.*")
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard pairs
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, max_chars: int = 200) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded form both Jaccard and
+    MinHash start from."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n, max_chars)).alias("sh"),
+    ).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_chars: int = 200,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold (exact integer arithmetic:
+    inter*den >= union*num, no floats — hence oracle-able).
+
+    Scale note: the shingle self-join is quadratic in per-shingle document
+    frequency; at 100 TB use :func:`minhash_lsh_pairs` for candidate
+    generation and this only to verify candidates.
+    """
+    sh = shingle_table(df, text_col, id_col, n, max_chars)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * threshold_den >= F.col("uni") * threshold_num)
+        .select("id_a", "id_b", "inter", "uni")
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_chars: int = 200,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation i = xxhash64(i, shingle); the signature element is the min
+    over shingles. Computed as one aggregation over the exploded shingle
+    table (k mins per group) — linear, one shuffle, codegen-friendly.
+    """
+    sh = shingle_table(df, text_col, id_col, n, max_chars)
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_chars: int = 200,
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of k/bands
+    rows; documents sharing any full band land in the same bucket. Candidate
+    generation = groupBy(band_hash) — linear in corpus size; only bucket
+    contents are paired. Returns (id_a, id_b, est_jaccard)."""
+    r = k // bands
+    sig = minhash_signatures(df, k, text_col, id_col, n, max_chars)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return cand.withColumn("est_jaccard", matches / F.lit(k)).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum of ±1 weighted by
+    the token-hash bit; sign → bit. Pure array expressions (no UDF)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def vote(i: int):
+        # closure factory: pyspark requires a 2-arg merge lambda (a default
+        # arg would make it look 3-arg)
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(i)) for i in range(64)]
+    sim = None
+    for i, v in enumerate(bit_votes):
+        # shiftleft keeps bit 63 in int64 range (1 << 63 would overflow a lit)
+        bit = F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return df.select(F.col(id_col).alias("id"), sim.cast("long").alias("simhash"))
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit simhashes: bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits
+    (LSH-style blocking), compare within buckets only."""
+    s = simhash(df, text_col, id_col)
+    s = s.withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("hamming", hamming64(F.col("a.simhash"), F.col("b.simhash")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
