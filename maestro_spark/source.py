@@ -1,0 +1,99 @@
+"""Custom Structured Streaming source tailing the CDC log (SURVEY §2.A1).
+
+A Python DataSource (PySpark 4.x `pyspark.sql.datasource`) that tails the
+ordered segment directory written by ``gen.write_log`` (the binlog/WAL
+analogue). Offsets are replayable segment indexes:
+
+- ``initialOffset`` = {"segment": 0}
+- ``latestOffset``  = number of segments currently on disk
+- ``partitions(start, end)`` = one InputPartition per segment in range — so a
+  microbatch over k new segments reads with k-way parallelism;
+- ``read(partition)`` yields **Arrow record batches** (vectorized end-to-end:
+  parquet → Arrow → JVM, never per-row Python);
+- ``commit(offset)`` is a no-op: the engine's exactly-once lives in the lake
+  snapshot chain + ledger, not in source-side state.
+
+Replay from any checkpoint works because offsets are pure positions in an
+immutable log (same property Kafka offsets have).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import StructType
+
+from maestro_spark.schema import CHANGE_EVENT_SCHEMA
+
+FORMAT_NAME = "cdc_binlog"
+
+
+@dataclass
+class SegmentPartition(InputPartition):
+    path: str
+
+
+def _segments(log_dir: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(log_dir) if f.startswith("segment-") and f.endswith(".parquet")
+    )
+
+
+class CdcLogStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.log_dir = options.get("path") or options.get("log_dir")
+        if not self.log_dir:
+            raise ValueError("cdc_binlog requires option 'path' (the log directory)")
+        self.max_segments_per_batch = int(options.get("maxsegmentsperbatch", 0)) or None
+
+    def initialOffset(self) -> dict:
+        return {"segment": 0}
+
+    def latestOffset(self) -> dict:
+        n = len(_segments(self.log_dir))
+        return {"segment": n}
+
+    def partitions(self, start: dict, end: dict):
+        segs = _segments(self.log_dir)
+        lo, hi = start["segment"], end["segment"]
+        if self.max_segments_per_batch:
+            hi = min(hi, lo + self.max_segments_per_batch)
+        return [
+            SegmentPartition(os.path.join(self.log_dir, s)) for s in segs[lo:hi]
+        ] or [SegmentPartition("")]
+
+    def read(self, partition: SegmentPartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        return iter(table.to_batches(max_chunksize=65536))
+
+    def commit(self, end: dict) -> None:
+        pass  # exactly-once is owned by the lake snapshot chain / ledger
+
+
+class CdcLogDataSource(DataSource):
+    """spark.readStream.format("cdc_binlog").option("path", log_dir).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        sj = self.options.get("schema_json")
+        if sj:
+            import json
+
+            return StructType.fromJson(json.loads(sj))
+        return CHANGE_EVENT_SCHEMA
+
+    def streamReader(self, schema: StructType) -> CdcLogStreamReader:
+        return CdcLogStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(CdcLogDataSource)

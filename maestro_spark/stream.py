@@ -1,0 +1,122 @@
+"""Streaming ingest driver (SURVEY §2.I1-I7, §3.1) — the flagship path.
+
+``stream_ingest`` wires: cdc_binlog source → optional watermark + streaming
+dedup-within-watermark → ``foreachBatch(apply_epoch)`` where each microbatch
+runs the same K2..K8 pipeline as batch replay (merge_batch). Exactly-once is
+the two-layer contract:
+
+- Spark's checkpoint WAL makes offset ranges per epoch deterministic on
+  restart (same epoch id → same data);
+- the lake's epoch-keyed snapshot chain makes re-delivery of an epoch a
+  no-op (merge_batch returns None) — covering crashes after commit but
+  before the checkpoint advances, and even a wholesale loss of the Spark
+  checkpoint directory.
+
+Watermark note: the ledger records per-epoch max event time; late events
+beyond the watermark are never silently dropped by the engine itself — the
+merge applies LSN dominance regardless of event time (BASELINE.json:6
+out-of-order-delete rule). The optional ``dropDuplicatesWithinWatermark``
+only ever removes *exact* (conv_id, turn_idx, op_lsn) re-deliveries, which
+are idempotent in the merge anyway — it is a shuffle-saving prefilter, not a
+correctness requirement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from maestro_spark import source as cdc_source
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch
+
+
+def stream_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    table_root: str,
+    query_id: str = "stream",
+    checkpoint_dir: str | None = None,
+    watermark: str | None = "10 minutes",
+    dedup_within_watermark: bool = False,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    max_segments_per_batch: int | None = None,
+):
+    """Run the streaming pipeline; with ``available_now`` (default) processes
+    the whole log and terminates — the replayable-batch trigger. Returns the
+    finished StreamingQuery."""
+    cdc_source.register(spark)
+    reader = (
+        spark.readStream.format(cdc_source.FORMAT_NAME).option("path", log_dir)
+    )
+    if max_segments_per_batch:
+        reader = reader.option("maxSegmentsPerBatch", str(max_segments_per_batch))
+    events = reader.load()
+    if watermark:
+        # event times are NTZ (naive); watermarks require TIMESTAMP, so derive
+        # a UTC-interpreted event-time column (session tz is UTC) and drop it
+        # again before the merge sees the batch
+        events = events.withColumn("_event_time", F.col("ts").cast("timestamp"))
+        events = events.withWatermark("_event_time", watermark)
+        if dedup_within_watermark:
+            events = events.dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "op_lsn"])
+
+    table = LakeTable(spark, table_root)
+
+    def apply_epoch(batch_df, epoch_id: int):
+        if "_event_time" in batch_df.columns:
+            batch_df = batch_df.drop("_event_time")
+        merge_batch(table, batch_df, query_id=query_id, epoch_id=epoch_id)
+
+    ckpt = checkpoint_dir or os.path.join(table_root, "_checkpoints", query_id)
+    writer = (
+        events.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"maestro-{query_id}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def throughput_metrics(q) -> list[dict]:
+    """Per-microbatch throughput from Spark's own progress stream (I7/K8)."""
+    out = []
+    for p in q.recentProgress:
+        out.append(
+            {
+                "batchId": p["batchId"],
+                "numInputRows": p["numInputRows"],
+                "inputRowsPerSecond": p.get("inputRowsPerSecond"),
+                "durationMs": p.get("durationMs", {}),
+            }
+        )
+    return out
+
+
+def session_windows(events, gap: str = "30 minutes"):
+    """I3: streaming conversation sessionization (gap-based session_window);
+    batch twin is ops.sessionize."""
+    return (
+        events.groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("op_lsn").alias("max_lsn"))
+        .select("conv_id", F.col("sw.start").alias("start"), F.col("sw.end").alias("end"),
+                "n_events", "max_lsn")
+    )
+
+
+def tumbling_throughput(events, width: str = "1 minute"):
+    """I2: per-interval event counts (throughput metric stream)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )

@@ -1,0 +1,100 @@
+"""Streaming path tests (SURVEY §5.5): custom source, exactly-once under
+restart, resumable tailing, checkpoint-loss survival."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from maestro_spark.gen import GenConfig, expected_final_state, generate, write_log
+from maestro_spark.lake import LakeTable
+from maestro_spark.stream import stream_ingest
+from maestro_spark.verify import canonical
+
+
+def _final(table):
+    return canonical(table.read()).toPandas().reset_index(drop=True)
+
+
+def test_stream_matches_oracle_and_is_restart_safe(spark, tmp_path):
+    cfg = GenConfig(seed=21, n_convs=50, segment_rows=400)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=400)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+
+    q = stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s1")
+    got = _final(table)
+    exp = expected_final_state(log)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
+    )
+    snap_after = table.snapshot().snapshot_id
+
+    # restart with same checkpoint: no new data -> no new snapshots
+    stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s1")
+    assert table.snapshot().snapshot_id == snap_after
+
+
+def test_stream_tails_new_segments(spark, tmp_path):
+    cfg = GenConfig(seed=22, n_convs=60, segment_rows=300)
+    log = generate(cfg)
+    paths = write_log(log, str(tmp_path / "log"), segment_rows=300)
+    assert len(paths) >= 3
+    # hide the tail of the log, stream, then reveal it and stream again
+    hidden = paths[2:]
+    import os
+
+    for p in hidden:
+        os.rename(p, p + ".hidden")
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s2")
+    partial_rows = table.read().count()
+    assert partial_rows > 0
+
+    for p in hidden:
+        os.rename(p + ".hidden", p)
+    stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s2")
+    got = _final(table)
+    exp = expected_final_state(log)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
+    )
+
+
+def test_checkpoint_loss_does_not_duplicate(spark, tmp_path):
+    """Even deleting Spark's checkpoint dir cannot double-apply epochs: the
+    lake's epoch-keyed snapshot chain skips re-delivered epoch ids."""
+    import shutil
+
+    cfg = GenConfig(seed=23, n_convs=25, segment_rows=500)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=500)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+
+    stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s3",
+                  checkpoint_dir=ckpt)
+    before = _final(table)
+    snap_before = table.snapshot().snapshot_id
+
+    shutil.rmtree(ckpt)  # lose ALL streaming state
+    stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s3",
+                  checkpoint_dir=ckpt)
+    after = _final(table)
+    assert table.snapshot().snapshot_id == snap_before  # all epochs skipped
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_stream_with_dedup_within_watermark(spark, tmp_path):
+    cfg = GenConfig(seed=24, n_convs=20, segment_rows=400, duplicate_frac=0.2)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=400)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    stream_ingest(
+        spark, str(tmp_path / "log"), table.root, query_id="s4",
+        dedup_within_watermark=True, watermark="60 minutes",
+    )
+    got = _final(table)
+    exp = expected_final_state(log)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
+    )
