@@ -1,0 +1,126 @@
+"""Per-round benchmark (driver contract).
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the engine's own
+end-to-end CDC replay (generate seeded log -> replay -> verify row count),
+and prints ONE JSON line:
+
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "cdc": {...}}
+
+Environment knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default: all cores)
+  MAESTRO_BENCH_EVENTS approx CDC event count (default 1_000_000)
+  MAESTRO_BENCH_EPOCHS replay epoch count (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_basic",      # TPC-H Q1 shape: scan + hash agg
+    "q_join_smj",       # 4-way join
+    "q_join_bcast",     # broadcast join
+    "q_dedup_maxlsn",   # the engine's hottest operator shape
+    "q_win_frame",      # window running aggregate
+    "q_topk",           # TakeOrderedAndProject
+    "q_collect_ordered",# ordered transcript reassembly
+    "q_session",        # sessionization (lag + cumsum windows)
+    "q_minhash_lsh",    # document near-dup (shingle + LSH)
+    "q_ann_bruteforce", # embedding similarity top-k
+]
+
+
+def _noop_run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from maestro_spark.queries import QUERIES
+
+    # warmup: JIT/codegen + file-index caches, untimed
+    _noop_run(QUERIES["q_topk"](spark, sf_dir))
+    _noop_run(QUERIES["q_agg_basic"](spark, sf_dir))
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _noop_run(fn(spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
+    from maestro_spark.gen import GenConfig, generate, write_log
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.replay import replay
+
+    n_convs = max(20, n_events // 21)  # avg ~16 turns/conv * 1.3 ops/row
+    d = tempfile.mkdtemp(prefix="maestro_bench_")
+    try:
+        t0 = time.time()
+        log = generate(GenConfig(seed=42, n_convs=n_convs))
+        seg_rows = max(1, (len(log) + n_epochs - 1) // n_epochs)
+        write_log(log, f"{d}/log", segment_rows=seg_rows)
+        gen_s = time.time() - t0
+
+        table = LakeTable.create(spark, f"{d}/lake", n_buckets=64)
+        t0 = time.time()
+        n_done = replay(spark, f"{d}/log", table, query_id="bench",
+                        segments_per_epoch=1)
+        replay_s = time.time() - t0
+        final_rows = table.read().count()
+        return {
+            "events": len(log),
+            "epochs": n_done,
+            "gen_sec": round(gen_s, 3),
+            "replay_sec": round(replay_s, 3),
+            "events_per_sec": round(len(log) / replay_s, 1),
+            "final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    n_events = int(os.environ.get("MAESTRO_BENCH_EVENTS", "1000000"))
+    n_epochs = int(os.environ.get("MAESTRO_BENCH_EPOCHS", "4"))
+
+    from maestro_spark.session import get_spark
+
+    spark = get_spark("maestro-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = bench_queries(spark, sf_dir)
+    cdc = bench_cdc(spark, n_events, n_epochs)
+    total = round(sum(queries.values()) + cdc["replay_sec"], 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    line = {
+        "metric": "headline_suite_plus_cdc_replay_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "cdc_replay": cdc["replay_sec"]},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

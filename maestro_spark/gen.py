@@ -202,7 +202,11 @@ def write_log(log: EventLog, out_dir: str, segment_rows: int | None = None) -> l
     paths = []
     for i, lo in enumerate(range(0, len(log), seg)):
         p = os.path.join(out_dir, f"segment-{i:05d}.parquet")
-        pq.write_table(to_arrow(log, lo, min(lo + seg, len(log))), p)
+        # bounded row groups keep big segments splittable: scan parallelism
+        # = row groups, not files (a 2M-row single-group file reads serially)
+        pq.write_table(
+            to_arrow(log, lo, min(lo + seg, len(log))), p, row_group_size=131_072
+        )
         paths.append(p)
     return paths
 

@@ -251,6 +251,52 @@ class LakeTable:
         self._publish(snap)
         return snap
 
+    # ----------------------------------------------------------- maintenance
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        tombstone_horizon_lsn: int | None = None,
+    ) -> Snapshot:
+        """Rewrite buckets into minimal files; optionally GC tombstones whose
+        ``_lsn`` is below ``tombstone_horizon_lsn``.
+
+        Dropping a tombstone is safe once no event with a lower LSN can still
+        arrive (the caller decides the horizon from the source watermark /
+        ledger); after GC a stale insert below the horizon could no longer be
+        rejected, which is exactly what the horizon asserts cannot happen.
+        Content (live rows) is unchanged — verified by tests.
+        """
+        from pyspark.sql import functions as F  # local import to avoid cycle
+
+        snap = self.snapshot()
+        todo = buckets if buckets is not None else [int(b) for b in snap.files]
+        df = self.read_raw(todo)
+        if tombstone_horizon_lsn is not None:
+            from maestro_spark import schema as S
+
+            df = df.filter(
+                ~F.col(S.DELETED_COL) | (F.col(S.LSN_COL) >= tombstone_horizon_lsn)
+            )
+        df = df.withColumn("pk_bucket", bucket_expr("conv_id", snap.n_buckets))
+        new_files = self.write_bucket_files(df.repartition("pk_bucket"))
+        # a compacted bucket that became empty must drop its file entry
+        for b in todo:
+            new_files.setdefault(str(b), [])
+        return self.commit(
+            new_files, epoch_key=None, stats={"maintenance": "compact", "buckets": todo}
+        )
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop old snapshot manifests (time-travel horizon); their data
+        files become orphans for :meth:`vacuum` unless still referenced by a
+        retained snapshot. The epoch-idempotence keys of expired snapshots
+        are preserved in the ledger, so exactly-once survives expiry."""
+        ids = self.snapshot_ids()
+        drop = ids[:-keep_last] if keep_last else ids[:-1]
+        for sid in drop:
+            os.unlink(self._snap_path(sid))
+        return len(drop)
+
     # --------------------------------------------------------------- hygiene
     def orphan_files(self) -> list[str]:
         """Data files referenced by no snapshot (crash leftovers) — GC input."""

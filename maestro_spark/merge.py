@@ -96,7 +96,9 @@ def merge_batch(
         ]
     )
 
+    t_plan0 = time.time()
     changed = plan_changed_buckets(batch, n_buckets)
+    t_plan = time.time() - t_plan0
     current = table.read_raw(changed) if changed else None
 
     bat_ev = S.conform(batch, event_schema).withColumn("_prio", F.lit(0))
@@ -108,14 +110,25 @@ def merge_batch(
     else:
         unioned = bat_ev
 
-    shuffle_n = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
+    # Partition the ONE exchange by (pk_bucket, turn_idx % spread):
+    # - bucket-aligned, so write.partitionBy(pk_bucket) needs no 2nd shuffle;
+    # - a hot conversation spreads over `spread` tasks (skew, north_rule) —
+    #   the salt is derived from turn_idx, i.e. *inside* the dedup key, so
+    #   grouping correctness is untouched;
+    # - bounded spread bounds files-per-bucket-per-epoch to `spread` (an
+    #   unbounded turn spread caused a small-files/task blow-up: each epoch's
+    #   copy-on-write read fanned out to one task per tiny file).
+    # REPARTITION_BY_COL (no explicit N) keeps AQE free to coalesce.
+    spread = int(table.spark.conf.get("maestro.merge.spread", "4"))
     ev = (
         unioned.withColumn("pk_bucket", bucket_expr("conv_id", n_buckets))
-        .repartition(shuffle_n, "pk_bucket", "turn_idx")
+        .withColumn("_spread", F.pmod(F.col("turn_idx"), F.lit(spread)))
+        .repartition("pk_bucket", "_spread")
     )
-    rest = [c for c in ev.columns if c not in ("pk_bucket", "conv_id", "turn_idx")]
+    keys = ["pk_bucket", "_spread", "conv_id", "turn_idx"]
+    rest = [c for c in ev.columns if c not in keys]
     winners = (
-        ev.groupBy("pk_bucket", "conv_id", "turn_idx")
+        ev.groupBy(*keys)
         .agg(F.max_by(F.struct(*rest), F.struct(F.col("op_lsn"), F.col("_prio"))).alias("_w"))
         .select("pk_bucket", "conv_id", "turn_idx", "_w.*")
     )
@@ -133,14 +146,24 @@ def merge_batch(
     )
 
     cols = ["pk_bucket"] + [f.name for f in full_schema.fields]
+    t_write0 = time.time()
     new_files = table.write_bucket_files(result.select(*cols)) if changed else {}
+    t_write = time.time() - t_write0
     metrics = dict(obs.get) if changed else {"rows_out": 0, "tombstones_out": 0, "max_lsn": None}
     wall = time.time() - t0
-    stats = {**metrics, "changed_buckets": len(changed), "wall_s": round(wall, 3)}
+    stats = {
+        **metrics,
+        "changed_buckets": len(changed),
+        "wall_s": round(wall, 3),
+        "plan_s": round(t_plan, 3),
+        "write_s": round(t_write, 3),
+    }
 
     snap = table.commit(new_files, epoch_key, schema=full_schema, stats=stats)  # commit point
     ledger.record(epoch_id, snap.snapshot_id, offsets=offsets, stats=stats)
+    t_lin0 = time.time()
     append_lineage(table, snap, epoch_id, query_id, new_files, wall)
+    stats["lineage_s"] = round(time.time() - t_lin0, 3)
     return snap
 
 

@@ -46,10 +46,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # finer scan splits: CDC log segments are modest files whose row
+        # groups must fan out across all cores, not 128MB driver-side chunks
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
+        .config("spark.sql.files.openCostInBytes", "1048576")
         # transcripts tables carry naive event times; keep parquet round-trips NTZ
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("MAESTRO_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap — size it for the
+        # task count or 32 concurrent sort-agg tasks spill at ~150MB each
+        .config("spark.driver.memory", os.environ.get("MAESTRO_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -102,6 +102,38 @@ def throughput_metrics(q) -> list[dict]:
     return out
 
 
+def stateful_conv_progress(events):
+    """I5: arbitrary stateful operator — per-conversation running state
+    (max applied LSN, cumulative event count) maintained across microbatches
+    via ``applyInPandasWithState`` (Arrow-batched; state is a tiny tuple).
+
+    Emits one row per conversation per microbatch it appears in:
+    (conv_id, max_lsn, total_events). The pattern scales: state size is
+    O(active conversations), partitioned by conv_id across executors.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, max_lsn long, total_events long"
+    state_schema = "max_lsn long, total_events long"
+
+    def update(key, pdfs, state: GroupState):
+        max_lsn, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                max_lsn = max(max_lsn, int(pdf["op_lsn"].max()))
+                total += len(pdf)
+        state.update((max_lsn, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "max_lsn": [max_lsn], "total_events": [total]}
+        )
+
+    return events.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def session_windows(events, gap: str = "30 minutes"):
     """I3: streaming conversation sessionization (gap-based session_window);
     batch twin is ops.sessionize."""

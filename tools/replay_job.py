@@ -1,0 +1,77 @@
+"""One CDC replay run at a given parallelism — the unit job of the scaling
+benchmark (fresh JVM per run so parallelism levels don't share state).
+
+Usage: python tools/replay_job.py <log_dir> <lake_dir> <cpus> [n_buckets]
+Prints one JSON line with events/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    log_dir, lake_dir, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.replay import log_segments, replay
+    from maestro_spark.session import get_spark
+
+    # Size scan splits and AQE's coalescing target to the actual input so
+    # BOTH parallelism levels have parallel work — the sandbox stand-in for a
+    # 10^10-event run where thousands of natural splits exist. At production
+    # split sizes (128MB) this 4M-event input collapses to ~8 tasks and the
+    # comparison measures scheduler overhead, not scaling.
+    log_bytes = sum(
+        os.path.getsize(p) for p in log_segments(log_dir)
+    )
+    split = max(4 * 1024 * 1024, log_bytes // (cpus * 4))
+    spark = get_spark(
+        f"scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=4 * cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(split),
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import pyarrow.parquet as pq
+
+    n_events = sum(pq.ParquetFile(p).metadata.num_rows for p in log_segments(log_dir))
+
+    # steady-state measurement: a full warmup replay (JIT, codegen, page
+    # cache) into a scratch lake, then the timed run into a fresh lake
+    warm = LakeTable.create(spark, lake_dir + ".warmup", n_buckets=n_buckets)
+    replay(spark, log_dir, warm, query_id=f"warm{cpus}")
+
+    table = LakeTable.create(spark, lake_dir, n_buckets=n_buckets)
+    t0 = time.time()
+    epochs = replay(spark, log_dir, table, query_id=f"scale{cpus}")
+    wall = time.time() - t0
+    final_rows = table.read().count()
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "events": n_events,
+                "epochs": epochs,
+                "wall_sec": round(wall, 2),
+                "events_per_sec": round(n_events / wall, 1),
+                "final_rows": final_rows,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
