@@ -1,0 +1,126 @@
+"""CLI — the spark-submit entry surface (north_rule: run via
+``spark-submit --py-files maestro_spark.zip -m`` or plain ``python -m``).
+
+Subcommands:
+  gen     --out DIR [--events N] [--seed S] [--epochs K] [--evolve FRAC]
+  replay  --log DIR --table DIR [--buckets B] [--query-id ID]
+  stream  --log DIR --table DIR [--continuous INTERVAL]
+  show    --table DIR [--limit N] [--snapshot ID]
+  compact --table DIR [--tombstone-horizon LSN]
+  bench   (same contract as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="maestro_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a seeded CDC event log")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--epochs", type=int, default=4)
+    g.add_argument("--evolve", type=float, default=None)
+
+    r = sub.add_parser("replay", help="batch-replay a log into a lake table")
+    r.add_argument("--log", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--query-id", default="replay")
+
+    s = sub.add_parser("stream", help="stream-ingest a log into a lake table")
+    s.add_argument("--log", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--query-id", default="stream")
+    s.add_argument("--continuous", default=None, metavar="INTERVAL",
+                   help="processing-time trigger (e.g. '5 seconds'); default availableNow")
+
+    w = sub.add_parser("show", help="read the table's current (or pinned) snapshot")
+    w.add_argument("--table", required=True)
+    w.add_argument("--limit", type=int, default=20)
+    w.add_argument("--snapshot", type=int, default=None)
+
+    c = sub.add_parser("compact", help="compact data files / GC tombstones")
+    c.add_argument("--table", required=True)
+    c.add_argument("--tombstone-horizon", type=int, default=None)
+
+    sub.add_parser("bench", help="run the benchmark contract (bench.py)")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        sys.path.insert(0, "/root/repo")
+        import bench
+
+        bench.main()
+        return 0
+
+    from maestro_spark.session import get_spark
+
+    if args.cmd == "gen":
+        from maestro_spark.gen import GenConfig, generate, write_log
+
+        cfg = GenConfig(seed=args.seed, n_convs=max(5, args.events // 21),
+                        evolution_at=args.evolve)
+        log = generate(cfg)
+        seg = max(1, (len(log) + args.epochs - 1) // args.epochs)
+        paths = write_log(log, args.out, segment_rows=seg)
+        print(json.dumps({"events": len(log), "segments": len(paths), "dir": args.out}))
+        return 0
+
+    spark = get_spark(f"maestro-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    from maestro_spark.lake import LakeTable
+
+    if args.cmd == "replay":
+        import os
+
+        from maestro_spark.replay import replay
+
+        table = (
+            LakeTable(spark, args.table)
+            if os.path.exists(f"{args.table}/_snapshots")
+            else LakeTable.create(spark, args.table, n_buckets=args.buckets)
+        )
+        n = replay(spark, args.log, table, query_id=args.query_id)
+        snap = table.snapshot()
+        print(json.dumps({"epochs_committed": n, "snapshot": snap.snapshot_id,
+                          "stats": snap.stats}))
+    elif args.cmd == "stream":
+        import os
+
+        from maestro_spark.stream import stream_ingest, throughput_metrics
+
+        if not os.path.exists(f"{args.table}/_snapshots"):
+            LakeTable.create(spark, args.table, n_buckets=args.buckets)
+        q = stream_ingest(
+            spark, args.log, args.table, query_id=args.query_id,
+            available_now=args.continuous is None,
+            processing_time=args.continuous,
+        )
+        if args.continuous is None:
+            print(json.dumps({"microbatches": throughput_metrics(q)}))
+        else:
+            q.awaitTermination()
+    elif args.cmd == "show":
+        table = LakeTable(spark, args.table)
+        df = table.read(snapshot_id=args.snapshot).orderBy("conv_id", "turn_idx")
+        df.show(args.limit, truncate=40)
+        print(json.dumps({"rows": df.count(), "snapshot": table.snapshot().snapshot_id}))
+    elif args.cmd == "compact":
+        table = LakeTable(spark, args.table)
+        snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)
+        print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

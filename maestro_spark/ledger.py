@@ -59,3 +59,13 @@ class Ledger:
     def last_offsets(self) -> dict | None:
         es = self.entries()
         return es[-1]["offsets"] if es else None
+
+    def last_watermark(self) -> str | None:
+        """Monotone high-water mark over committed epochs ('YYYY-MM-DD
+        HH:MM:SS[.ffffff]' strings compare lexicographically)."""
+        best = None
+        for e in self.entries():
+            w = e.get("watermark")
+            if w and (best is None or w > best):
+                best = w
+        return best

@@ -96,8 +96,32 @@ def merge_batch(
         ]
     )
 
+    # ONE planning pass over the batch computes the changed-bucket set (K4)
+    # AND the I6 input metrics: rows_in, late-event count (events older than
+    # the ledger watermark are never dropped — LSN dominance applies
+    # regardless of event time — but they ARE counted so lineage exposes
+    # lateness), and the new watermark (max event ts) for the ledger.
+    prev_wm = ledger.last_watermark()
+    late_expr = (
+        (F.col("ts") < F.lit(prev_wm).cast("timestamp_ntz")).cast("long")
+        if prev_wm is not None
+        else F.lit(0).cast("long")
+    )
     t_plan0 = time.time()
-    changed = plan_changed_buckets(batch, n_buckets)
+    plan_row = batch.agg(
+        F.collect_set(bucket_expr("conv_id", n_buckets)).alias("buckets"),
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(late_expr).alias("late_events"),
+        F.max("ts").alias("max_ts"),
+    ).head()
+    changed = sorted(plan_row["buckets"])
+    in_metrics = {
+        "rows_in": plan_row["rows_in"],
+        "late_events": plan_row["late_events"] or 0,
+    }
+    watermark = plan_row["max_ts"]
+    if prev_wm is not None and (watermark is None or str(watermark) < prev_wm):
+        watermark = prev_wm  # ledger watermark is monotone
     t_plan = time.time() - t_plan0
     current = table.read_raw(changed) if changed else None
 
@@ -153,6 +177,7 @@ def merge_batch(
     wall = time.time() - t0
     stats = {
         **metrics,
+        **in_metrics,
         "changed_buckets": len(changed),
         "wall_s": round(wall, 3),
         "plan_s": round(t_plan, 3),
@@ -160,7 +185,13 @@ def merge_batch(
     }
 
     snap = table.commit(new_files, epoch_key, schema=full_schema, stats=stats)  # commit point
-    ledger.record(epoch_id, snap.snapshot_id, offsets=offsets, stats=stats)
+    ledger.record(
+        epoch_id,
+        snap.snapshot_id,
+        offsets=offsets,
+        watermark=str(watermark) if watermark is not None else None,
+        stats=stats,
+    )
     t_lin0 = time.time()
     append_lineage(table, snap, epoch_id, query_id, new_files, wall)
     stats["lineage_s"] = round(time.time() - t_lin0, 3)
