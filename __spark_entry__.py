@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from maestro_spark.queries import ORACLES, QUERIES, flagship  # noqa: E402
+import maestro_spark.queries2  # noqa: E402,F401  (registers part-2 corpus)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,336 @@
+"""Driver-contract query corpus, part 2 (SURVEY §2 long tail).
+
+Registered into the same QUERIES/ORACLES dicts as queries.py. Includes the
+flagship: an ORACLE-CHECKED end-to-end CDC replay — the engine's lake final
+state must equal DuckDB's arg_max replay over the very same event-log files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from maestro_spark.queries import _DEC, ORACLES, QUERIES, _t, q
+
+# ------------------------------------------------------------- grouping sets
+@q(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q_grouping_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ------------------------------------------------------------------- joins 2
+@q(
+    "q_join_full",
+    """WITH p AS (SELECT user_id, COUNT(*) AS n_purchase FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id),
+            c AS (SELECT user_id, COUNT(*) AS n_click FROM events
+                  WHERE event_type = 'click' AND value > 15 GROUP BY user_id)
+       SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+              COALESCE(p.n_purchase, 0) AS n_purchase,
+              COALESCE(c.n_click, 0) AS n_click
+       FROM p FULL OUTER JOIN c ON p.user_id = c.user_id""",
+)
+def q_join_full(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    c = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 15))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    j = p.withColumnRenamed("user_id", "pu").join(
+        c.withColumnRenamed("user_id", "cu"), F.col("pu") == F.col("cu"), "full_outer"
+    )
+    return j.select(
+        F.coalesce("pu", "cu").alias("user_id"),
+        F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+        F.coalesce("n_click", F.lit(0)).alias("n_click"),
+    )
+
+
+# -------------------------------------------------------------- stats aggs
+@q(
+    "q_agg_stats",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v,
+              CAST(SUM(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)))
+                   AS DOUBLE) AS sum_v2,
+              MIN(value) AS min_v, MAX(value) AS max_v,
+              bool_or(value > 19) AS any_high, bool_and(value >= 0) AS all_nonneg
+       FROM events GROUP BY event_type""",
+)
+def q_agg_stats(spark, sf_dir):
+    v_dec = F.col("value").cast("decimal(14,2)")
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v_dec).cast("double").alias("sum_v"),
+        F.sum(v_dec * v_dec).cast("double").alias("sum_v2"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.bool_or(F.col("value") > 19).alias("any_high"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
+
+
+@q(
+    "q_argmin",
+    """SELECT user_id, arg_min(event_type, event_id) AS first_type,
+              arg_min(ts, event_id) AS first_ts
+       FROM events GROUP BY user_id""",
+)
+def q_argmin(spark, sf_dir):
+    return _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.min_by("ts", "event_id").alias("first_ts"),
+    )
+
+
+# --------------------------------------------------------- scalar families 2
+@q(
+    "q_fn_string2",
+    """SELECT doc_id,
+              levenshtein(lang, source) AS lev,
+              reverse(lang) AS rlang,
+              lpad(lang, 5, '_') AS pad,
+              repeat(lang, 2) AS twice,
+              strpos(text, 'the') AS pos_the
+       FROM documents""",
+)
+def q_fn_string2(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.levenshtein("lang", "source").alias("lev"),
+        F.reverse("lang").alias("rlang"),
+        F.lpad("lang", 5, "_").alias("pad"),
+        F.repeat("lang", 2).alias("twice"),
+        F.instr("text", "the").alias("pos_the"),
+    )
+
+
+@q(
+    "q_fn_cond",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 300000 THEN 'big'
+                   WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS size,
+              COALESCE(NULLIF(o_orderstatus, 'O'), 'open?') AS status2,
+              GREATEST(o_totalprice, 150000.0) AS hi,
+              LEAST(CAST(o_custkey AS BIGINT), 100) AS lo
+       FROM orders""",
+)
+def q_fn_cond(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open?")).alias(
+            "status2"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("hi"),
+        F.least(F.col("o_custkey"), F.lit(100).cast("long")).alias("lo"),
+    )
+
+
+@q(
+    "q_fn_date2",
+    """SELECT o_orderkey,
+              EXTRACT(year FROM o_orderdate) AS y,
+              EXTRACT(month FROM o_orderdate) AS m,
+              EXTRACT(day FROM o_orderdate) AS d,
+              strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+              datediff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+       FROM orders""",
+)
+def q_fn_date2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due"
+        ),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
+
+
+@q(
+    "q_fn_explode",
+    """SELECT doc_id,
+              CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+              unnest(arr) AS word
+       FROM (SELECT doc_id, string_split(substr(text, 1, 60), ' ') AS arr
+             FROM documents)""",
+)
+def q_fn_explode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.substring("text", 1, 60), " ")).alias("pos", "word"),
+    )
+
+
+@q(
+    "q_fn_regex",
+    """SELECT event_id,
+              regexp_extract(props, '"k": (\\d+)', 1) AS k_str,
+              regexp_matches(event_type, '^(click|view)$') AS is_cv
+       FROM events""",
+)
+def q_fn_regex(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str"),
+        F.col("event_type").rlike(r"^(click|view)$").alias("is_cv"),
+    )
+
+
+@q("q_fn_map")  # rows-only: map columns don't hash portably across engines
+def q_fn_map(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("k"),
+                     F.get_json_object("props", "$.k"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.map_keys(m).alias("keys"),
+        F.to_json(m).alias("as_json"),
+    )
+
+
+# ------------------------------------------------------------ sliding window
+@q(
+    "q_win_sliding",
+    """SELECT w_start, COUNT(*) AS n FROM (
+         SELECT time_bucket(INTERVAL '2 hours', ts) AS w_start FROM events
+         UNION ALL
+         SELECT time_bucket(INTERVAL '2 hours', ts, INTERVAL '1 hour') AS w_start
+         FROM events)
+       GROUP BY w_start""",
+)
+def q_win_sliding(spark, sf_dir):
+    # sliding window (width 2h, slide 1h) == union of two offset tumbling
+    # grids; Spark's window() enumerates the overlapping windows directly
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+# ------------------------------------------------- flagship: CDC replay oracle
+_CDC_DEMO_DIR = "/tmp/maestro_cdc_demo"
+
+
+def _ensure_cdc_demo_log() -> str:
+    """Deterministic CDC log on disk (seed-fixed, pure pyarrow, no Spark);
+    both the Spark query and the DuckDB oracle read these same files."""
+    import os
+
+    from maestro_spark.gen import GenConfig, generate, write_log
+
+    log_dir = f"{_CDC_DEMO_DIR}/log"
+    if not os.path.exists(f"{log_dir}/segment-00003.parquet"):
+        log = generate(GenConfig(seed=1234, n_convs=400))
+        write_log(log, log_dir, segment_rows=(len(log) + 3) // 4)
+    return log_dir
+
+
+@q(
+    "q_cdc_replay",
+    f"""SELECT conv_id, turn_idx, text, role, tool FROM (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(tool, op_lsn) AS tool,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx)
+        WHERE op <> 'delete'""",
+)
+def q_cdc_replay(spark, sf_dir):
+    """THE flagship check: full engine replay (epochs, snapshots, tombstones,
+    exactly-once commits) must equal DuckDB's one-shot arg_max over the same
+    log — the CDC correctness contract as a driver-checked oracle query."""
+    import shutil
+
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.replay import replay
+
+    log_dir = _ensure_cdc_demo_log()
+    lake_dir = f"{_CDC_DEMO_DIR}/lake"
+    try:
+        table = LakeTable(spark, lake_dir)
+        table.snapshot()
+    except Exception:  # noqa: BLE001 — first run (or stale tmp): build it
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        table = LakeTable.create(spark, lake_dir, n_buckets=8)
+    replay(spark, log_dir, table, query_id="demo")  # idempotent re-runs skip
+    return table.read().select("conv_id", "turn_idx", "text", "role", "tool")
+
+
+@q("q_cdc_evolution")  # rows-only: evolved map/array columns don't hash portably
+def q_cdc_evolution(spark, sf_dir):
+    """Schema-evolution replay demo: log with tool_calls/metadata appearing
+    mid-stream; returns the final table with evolved columns materialized."""
+    import os
+    import shutil
+
+    from maestro_spark.gen import GenConfig, generate, write_log
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.replay import replay
+
+    root = "/tmp/maestro_cdc_evo"
+    if not os.path.exists(f"{root}/log"):
+        log = generate(GenConfig(seed=77, n_convs=60, evolution_at=0.5))
+        write_log(log, f"{root}/log", segment_rows=(len(log) + 1) // 2)
+    try:
+        table = LakeTable(spark, f"{root}/lake")
+        table.snapshot()
+    except Exception:  # noqa: BLE001
+        shutil.rmtree(f"{root}/lake", ignore_errors=True)
+        table = LakeTable.create(spark, f"{root}/lake", n_buckets=4)
+    replay(spark, f"{root}/log", table, query_id="evo")
+    out = table.read()
+    return out.select(
+        "conv_id", "turn_idx", "text",
+        F.size(F.coalesce(F.col("tool_calls"), F.array())).alias("n_tool_calls"),
+        F.map_keys(F.coalesce(F.col("metadata"), F.create_map())).alias("meta_keys"),
+    )
+
+
+# keep linters honest: the decorator registers into QUERIES/ORACLES
+_ = (QUERIES, ORACLES, _DEC, Window)
