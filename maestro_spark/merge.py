@@ -102,17 +102,19 @@ def merge_batch(
     # regardless of event time — but they ARE counted so lineage exposes
     # lateness), and the new watermark (max event ts) for the ledger.
     prev_wm = ledger.last_watermark()
+    has_ts = "ts" in batch.columns
     late_expr = (
         (F.col("ts") < F.lit(prev_wm).cast("timestamp_ntz")).cast("long")
-        if prev_wm is not None
+        if (prev_wm is not None and has_ts)
         else F.lit(0).cast("long")
     )
+    ts_expr = F.col("ts") if has_ts else F.lit(None).cast("timestamp_ntz")
     t_plan0 = time.time()
     plan_row = batch.agg(
         F.collect_set(bucket_expr("conv_id", n_buckets)).alias("buckets"),
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(late_expr).alias("late_events"),
-        F.max("ts").alias("max_ts"),
+        F.max(ts_expr).alias("max_ts"),
     ).head()
     changed = sorted(plan_row["buckets"])
     in_metrics = {
