@@ -184,11 +184,59 @@ class LakeTable:
             return self.spark.createDataFrame([], snap.schema)
         return self.spark.read.schema(snap.schema).parquet(*files)
 
+    def read_resolved(
+        self, buckets: list[int] | None = None, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Merge-on-read resolution: one winning row per ``(conv_id, turn_idx)``
+        (max ``_lsn``), tombstones still present, internal columns included.
+
+        Every file the engine writes is key-unique *within itself* (merge
+        writes per-epoch batch winners, compaction writes fully-resolved
+        buckets), so a bucket with a single file needs no resolution at all —
+        that scan unions in with zero shuffle. Only multi-file (delta-bearing)
+        buckets pay the ``max_by`` exchange; compaction keeps their number
+        bounded, so at scale the resolve shuffle covers the hot tail of the
+        table, not the table.
+        """
+        snap = self.snapshot(snapshot_id)
+        want = {str(b) for b in buckets} if buckets is not None else None
+        single: list[str] = []
+        multi: list[str] = []
+        for b, ps in snap.files.items():
+            if want is not None and b not in want:
+                continue
+            (multi if len(ps) > 1 else single).extend(ps)
+        cols = [f.name for f in snap.schema.fields]
+        parts: list[DataFrame] = []
+        if single:
+            parts.append(
+                self.spark.read.schema(snap.schema).parquet(
+                    *[os.path.join(self.root, p) for p in single]
+                )
+            )
+        if multi:
+            raw = self.spark.read.schema(snap.schema).parquet(
+                *[os.path.join(self.root, p) for p in multi]
+            )
+            keys = ["conv_id", "turn_idx"]
+            rest = [c for c in cols if c not in keys]
+            parts.append(
+                raw.groupBy(*keys)
+                .agg(F.max_by(F.struct(*rest), F.col(S.LSN_COL)).alias("_w"))
+                .select(*keys, "_w.*")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], snap.schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*cols)
+
     def read(self, snapshot_id: int | None = None, buckets: list[int] | None = None) -> DataFrame:
         """Live rows (tombstones filtered), payload columns only."""
         snap = self.snapshot(snapshot_id)
-        raw = self.read_raw(buckets, snapshot_id)
-        return raw.filter(~F.col(S.DELETED_COL)).select(
+        resolved = self.read_resolved(buckets, snapshot_id)
+        return resolved.filter(~F.col(S.DELETED_COL)).select(
             *[f.name for f in snap.payload_schema().fields]
         )
 
@@ -231,14 +279,22 @@ class LakeTable:
         epoch_key: str | None,
         schema: T.StructType | None = None,
         stats: dict | None = None,
+        append: bool = False,
     ) -> Snapshot:
-        """Copy-on-write commit: buckets in ``new_files`` are replaced, all
-        other buckets carried forward by reference. Raises FileExistsError on
-        a snapshot-id race (single-writer protocol surfaces, never corrupts).
+        """Commit new bucket files; untouched buckets carried forward by
+        reference. ``append=False`` (copy-on-write / compaction) replaces each
+        listed bucket's file set; ``append=True`` (merge-on-read delta commit)
+        appends the new files after the bucket's existing ones. Raises
+        FileExistsError on a snapshot-id race (single-writer protocol
+        surfaces, never corrupts).
         """
         parent = self.snapshot()
         files = dict(parent.files)
-        files.update(new_files)
+        if append:
+            for b, ps in new_files.items():
+                files[b] = [*files.get(b, []), *ps]
+        else:
+            files.update(new_files)
         snap = Snapshot(
             snapshot_id=parent.snapshot_id + 1,
             parent_id=parent.snapshot_id,
@@ -270,7 +326,7 @@ class LakeTable:
 
         snap = self.snapshot()
         todo = buckets if buckets is not None else [int(b) for b in snap.files]
-        df = self.read_raw(todo)
+        df = self.read_resolved(todo)
         if tombstone_horizon_lsn is not None:
             from maestro_spark import schema as S
 
@@ -285,6 +341,12 @@ class LakeTable:
         return self.commit(
             new_files, epoch_key=None, stats={"maintenance": "compact", "buckets": todo}
         )
+
+    def delta_buckets(self, max_deltas: int) -> list[int]:
+        """Buckets whose delta-file count has reached the compaction
+        threshold — the LSM levelling trigger. Pure manifest arithmetic."""
+        snap = self.snapshot()
+        return sorted(int(b) for b, ps in snap.files.items() if len(ps) >= max_deltas)
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop old snapshot manifests (time-travel horizon); their data

@@ -1,29 +1,51 @@
 """Key-partitioned MERGE — dedup + upsert in ONE shuffle (SURVEY §2.K2-K7).
 
-The merge is *not* a join. Current bucket contents are re-expressed as
-pseudo-events (``op_lsn = _lsn``, ``op = delete if tombstone else insert``)
-and unioned with the batch; max-LSN dedup over the union IS the merge:
+The merge is *not* a join; both write modes reduce to max-LSN dedup:
+
+**merge-on-read (default, ``maestro.merge.mode=mor``)** — the scale path.
+Each epoch writes ONLY the batch's per-key winners as new *delta* files
+appended to their buckets; the current table is never read or rewritten.
+Resolution happens at read time (``LakeTable.read_resolved``: ``max_by``
+over ``_lsn`` across a bucket's base+delta files), and compaction
+(LSM-style, triggered at ``maestro.compact.maxDeltas`` files per bucket)
+folds deltas back into one resolved file per bucket. Per-epoch write volume
+is O(batch), not O(table) — at 10^10 events a copy-on-write epoch would
+rewrite the whole table every microbatch, which is the difference between a
+viable 1000-executor ingest and an I/O-bound one. This is the same
+base+delta design as Hudi MOR / Iceberg v2 row-level deletes, built from
+scratch per the north rule.
+
+**copy-on-write (``maestro.merge.mode=cow``)** — read-optimized mode.
+Current bucket contents are re-expressed as pseudo-events (``op_lsn =
+_lsn``, ``op = delete if tombstone else insert``) and unioned with the
+batch; max-LSN dedup over the union IS the merge:
 
     winners(union(current_as_events, batch)) == new bucket content
 
-This collapses SURVEY's K2 (dedup), K5 (apply) and cross-epoch LSN dominance
+Both collapse SURVEY's K2 (dedup), K5 (apply) and cross-epoch LSN dominance
 into a single ``groupBy(...).agg(max_by(...))`` with map-side partial
 aggregation — correct by induction on epochs, and exactly one hash exchange
 per epoch.
 
 Shuffle/partitioning strategy (explicit, per north_rule):
-- the union is repartitioned on ``(pk_bucket, turn_idx)`` — bucket-aligned so
-  the subsequent ``write.partitionBy(pk_bucket)`` needs no second shuffle,
-  turn-spread so a hot conversation's events fan out across tasks instead of
-  pinning one task (skew salting that never touches the dedup key, SURVEY M5);
-- ``groupBy(pk_bucket, conv_id, turn_idx)`` — adding the functionally-
-  dependent bucket to the keys lets Catalyst prove the existing partitioning
-  satisfies the aggregation's ClusteredDistribution: no second exchange.
+- the event set is repartitioned on ``(pk_bucket, turn_idx % spread)`` —
+  bucket-aligned so the subsequent ``write.partitionBy(pk_bucket)`` needs no
+  second shuffle; `spread` fans a hot conversation out across tasks (skew
+  salting that never touches the dedup key, SURVEY M5) and is sized from the
+  planning pass (rows per changed bucket) so cold epochs write exactly one
+  file per bucket;
+- ``groupBy(pk_bucket, _spread, conv_id, turn_idx)`` — adding the
+  functionally-dependent columns to the keys lets Catalyst prove the existing
+  partitioning satisfies the aggregation's ClusteredDistribution: no second
+  exchange.
 
 Exactly-once: the epoch key is checked against the snapshot chain before any
 work; the snapshot publish (hard-link CAS) is the commit point; the ledger is
 written after. Re-delivery at any crash point either finds the epoch key and
 skips, or redoes work whose output is invisible (unreferenced data files).
+Compaction commits are content-preserving maintenance snapshots (no epoch
+key), so a crash between a merge commit and its triggered compaction loses
+nothing — the next epoch re-triggers it.
 """
 
 from __future__ import annotations
@@ -96,12 +118,18 @@ def merge_batch(
         ]
     )
 
-    # ONE planning pass over the batch computes the changed-bucket set (K4)
-    # AND the I6 input metrics: rows_in, late-event count (events older than
-    # the ledger watermark are never dropped — LSN dominance applies
-    # regardless of event time — but they ARE counted so lineage exposes
-    # lateness), and the new watermark (max event ts) for the ledger.
+    # Planning (K4) + I6 input metrics: rows_in, late-event count (events
+    # older than the ledger watermark are never dropped — LSN dominance
+    # applies regardless of event time — but they ARE counted so lineage
+    # exposes lateness), and the new watermark (max event ts) for the ledger.
+    #
+    # COW must know the changed-bucket set BEFORE the job (it decides which
+    # current files to fold in), so it pays a separate planning scan of the
+    # batch. MOR needs nothing before the job — all planning metrics ride the
+    # single write job as Observations, so each epoch scans the batch exactly
+    # once regardless of scale.
     prev_wm = ledger.last_watermark()
+    mode = table.spark.conf.get("maestro.merge.mode", "mor")
     has_ts = "ts" in batch.columns
     late_expr = (
         (F.col("ts") < F.lit(prev_wm).cast("timestamp_ntz")).cast("long")
@@ -109,31 +137,39 @@ def merge_batch(
         else F.lit(0).cast("long")
     )
     ts_expr = F.col("ts") if has_ts else F.lit(None).cast("timestamp_ntz")
-    t_plan0 = time.time()
-    plan_row = batch.agg(
-        F.collect_set(bucket_expr("conv_id", n_buckets)).alias("buckets"),
+    in_aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(late_expr).alias("late_events"),
         F.max(ts_expr).alias("max_ts"),
-    ).head()
-    changed = sorted(plan_row["buckets"])
-    in_metrics = {
-        "rows_in": plan_row["rows_in"],
-        "late_events": plan_row["late_events"] or 0,
-    }
-    watermark = plan_row["max_ts"]
-    if prev_wm is not None and (watermark is None or str(watermark) < prev_wm):
-        watermark = prev_wm  # ledger watermark is monotone
+    ]
+
+    t_plan0 = time.time()
+    changed: list[int] | None  # None = unknown until the job runs (MOR)
+    obs_in: Observation | None = None
+    if mode == "cow":
+        plan_row = batch.agg(
+            F.collect_set(bucket_expr("conv_id", n_buckets)).alias("buckets"), *in_aggs
+        ).head()
+        changed = sorted(plan_row["buckets"])
+        rows_in, late_events, max_ts = (
+            plan_row["rows_in"], plan_row["late_events"], plan_row["max_ts"],
+        )
+    else:
+        changed = None
+        obs_in = Observation(f"epoch-{epoch_id}-in")
+        batch = batch.observe(obs_in, *in_aggs)
     t_plan = time.time() - t_plan0
-    current = table.read_raw(changed) if changed else None
 
     bat_ev = S.conform(batch, event_schema).withColumn("_prio", F.lit(0))
-    if current is not None and changed:
+    if mode == "cow" and changed:
+        # read-optimized mode: fold current state in and rewrite the buckets
+        current = table.read_raw(changed)
         cur_ev = S.conform(_as_pseudo_events(current), event_schema).withColumn(
             "_prio", F.lit(1)  # current state wins an LSN tie vs re-delivered event
         )
         unioned = cur_ev.unionByName(bat_ev)
     else:
+        # merge-on-read: deltas only — the current table is never touched
         unioned = bat_ev
 
     # Partition the ONE exchange by (pk_bucket, turn_idx % spread):
@@ -141,11 +177,22 @@ def merge_batch(
     # - a hot conversation spreads over `spread` tasks (skew, north_rule) —
     #   the salt is derived from turn_idx, i.e. *inside* the dedup key, so
     #   grouping correctness is untouched;
-    # - bounded spread bounds files-per-bucket-per-epoch to `spread` (an
-    #   unbounded turn spread caused a small-files/task blow-up: each epoch's
-    #   copy-on-write read fanned out to one task per tiny file).
+    # - spread is sized from the planning pass: rows per changed bucket over
+    #   the per-task row target. Cold epochs get spread=1 → exactly one file
+    #   per bucket per epoch (small-file pressure is what kills MOR reads);
+    #   a skewed epoch fans hot buckets out instead of pinning one task.
     # REPARTITION_BY_COL (no explicit N) keeps AQE free to coalesce.
-    spread = int(table.spark.conf.get("maestro.merge.spread", "4"))
+    rows_per_task = int(table.spark.conf.get("maestro.merge.rowsPerTask", "1000000"))
+    max_spread = int(table.spark.conf.get("maestro.merge.spread", "4"))
+    if mode == "cow":
+        est_rows, est_buckets = rows_in, max(1, len(changed or []))
+    else:
+        # MOR sizes the fan-out from the previous epoch's observed input —
+        # steady streams are stable epoch-to-epoch, and a wrong guess only
+        # changes file fan-out, never correctness.
+        est_rows = parent.stats.get("rows_in") or 0
+        est_buckets = max(1, parent.stats.get("changed_buckets") or n_buckets)
+    spread = max(1, min(max_spread, int(est_rows / est_buckets // rows_per_task) + 1))
     ev = (
         unioned.withColumn("pk_bucket", bucket_expr("conv_id", n_buckets))
         .withColumn("_spread", F.pmod(F.col("turn_idx"), F.lit(spread)))
@@ -169,24 +216,40 @@ def merge_batch(
         F.count(F.lit(1)).alias("rows_out"),
         F.sum(F.col(S.DELETED_COL).cast("long")).alias("tombstones_out"),
         F.max(S.LSN_COL).alias("max_lsn"),
+        F.collect_set("pk_bucket").alias("buckets"),
     )
 
     cols = ["pk_bucket"] + [f.name for f in full_schema.fields]
+    run_job = changed is None or bool(changed)  # COW skips the job on an empty batch
     t_write0 = time.time()
-    new_files = table.write_bucket_files(result.select(*cols)) if changed else {}
+    new_files = table.write_bucket_files(result.select(*cols)) if run_job else {}
     t_write = time.time() - t_write0
-    metrics = dict(obs.get) if changed else {"rows_out": 0, "tombstones_out": 0, "max_lsn": None}
+    if run_job:
+        metrics = dict(obs.get)
+        changed = sorted(metrics.pop("buckets"))
+    else:
+        metrics = {"rows_out": 0, "tombstones_out": 0, "max_lsn": None}
+    if obs_in is not None:  # MOR: planning metrics observed on the same job
+        row = dict(obs_in.get)
+        rows_in, late_events, max_ts = row["rows_in"], row["late_events"], row["max_ts"]
+    watermark = max_ts
+    if prev_wm is not None and (watermark is None or str(watermark) < prev_wm):
+        watermark = prev_wm  # ledger watermark is monotone
     wall = time.time() - t0
     stats = {
         **metrics,
-        **in_metrics,
+        "rows_in": rows_in,
+        "late_events": late_events or 0,
+        "mode": mode,
         "changed_buckets": len(changed),
         "wall_s": round(wall, 3),
         "plan_s": round(t_plan, 3),
         "write_s": round(t_write, 3),
     }
 
-    snap = table.commit(new_files, epoch_key, schema=full_schema, stats=stats)  # commit point
+    snap = table.commit(  # commit point
+        new_files, epoch_key, schema=full_schema, stats=stats, append=(mode != "cow")
+    )
     ledger.record(
         epoch_id,
         snap.snapshot_id,
@@ -197,6 +260,18 @@ def merge_batch(
     t_lin0 = time.time()
     append_lineage(table, snap, epoch_id, query_id, new_files, wall)
     stats["lineage_s"] = round(time.time() - t_lin0, 3)
+
+    # LSM levelling: fold delta-heavy buckets back to one resolved file each.
+    # Amortized cost ~= table/(maxDeltas·batch) extra writes per epoch; the
+    # resolve shuffle at read time stays bounded by maxDeltas files/bucket.
+    max_deltas = int(table.spark.conf.get("maestro.compact.maxDeltas", "8"))
+    if mode != "cow" and max_deltas > 0:
+        due = table.delta_buckets(max_deltas)
+        if due:
+            t_c0 = time.time()
+            table.compact(due)
+            stats["compact_s"] = round(time.time() - t_c0, 3)
+            stats["compacted_buckets"] = len(due)
     return snap
 
 
