@@ -106,6 +106,13 @@ def minhash_signatures(
     Permutation i = xxhash64(i, shingle); the signature element is the min
     over shingles. Computed as one aggregation over the exploded shingle
     table (k mins per group) — linear, one shuffle, codegen-friendly.
+
+    Why not row-local ``array_min(transform(...))`` with zero shuffles?
+    Measured 30-50× SLOWER at sf0.1: higher-order array functions evaluate
+    their lambda interpreted (outside whole-stage codegen) and allocate an
+    intermediate array per permutation, while explode+groupBy keeps
+    ``xxhash64`` and the k-way min inside codegen with map-side partial
+    aggregation — the exchange it pays moves only (id, shingle) pairs.
     """
     sh = shingle_table(df, text_col, id_col, n, max_chars)
     mins = [F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)]

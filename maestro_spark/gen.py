@@ -228,3 +228,111 @@ def expected_final_state(log: EventLog) -> "pandas.DataFrame":  # noqa: F821
     )
     df = df[df["op"] != "delete"].drop(columns=["op", "op_lsn"])
     return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------- distributed
+def write_log_distributed(
+    spark,
+    cfg: GenConfig,
+    out_dir: str,
+    n_shards: int = 32,
+) -> int:
+    """Generate + write the event log in parallel on the executors (A8 at
+    scale): the driver-side :func:`generate` tops out around ~50k events/s,
+    which cannot feed a cluster-sized benchmark. Sharding keys makes the
+    parallel form exact, not approximate:
+
+    - conversations are range-partitioned across shards (disjoint conv ids),
+      so every CDC key lives entirely inside one shard and max-LSN dominance
+      never crosses shards;
+    - shard LSNs are interleaved (``lsn*n_shards + shard``) — globally
+      unique, order-preserving within a shard;
+    - each shard runs :func:`generate` with ``seed + shard`` → the output is
+      a pure function of (cfg, n_shards), independent of scheduling.
+
+    Segments are written directly by the executors as
+    ``segment-{slice:05d}-{shard:03d}.parquet``; lexicographic order
+    interleaves all shards within each slice, so ``replay(...,
+    segments_per_epoch=n_shards)`` forms epochs that span every shard —
+    the same arrival mix a real multi-partition binlog tail would deliver.
+    Returns the total event count.
+    """
+    import pandas as pd
+
+    convs_per_shard = [cfg.n_convs // n_shards] * n_shards
+    for i in range(cfg.n_convs % n_shards):
+        convs_per_shard[i] += 1
+    base_of_shard = np.cumsum([0] + convs_per_shard[:-1]).tolist()
+    os.makedirs(out_dir, exist_ok=True)
+
+    plan = pd.DataFrame(
+        {"shard": range(n_shards), "n_convs": convs_per_shard, "conv_base": base_of_shard}
+    )
+
+    def gen_shard(pdfs):
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                shard = int(row.shard)
+                sub = GenConfig(
+                    seed=cfg.seed + shard,
+                    n_convs=int(row.n_convs),
+                    min_turns=cfg.min_turns,
+                    max_turns=cfg.max_turns,
+                    zipf_s=cfg.zipf_s,
+                    update_frac=cfg.update_frac,
+                    delete_frac=cfg.delete_frac,
+                    out_of_order_frac=cfg.out_of_order_frac,
+                    out_of_order_window=cfg.out_of_order_window,
+                    duplicate_frac=cfg.duplicate_frac,
+                    evolution_at=cfg.evolution_at,
+                    segment_rows=cfg.segment_rows,
+                )
+                log = generate(sub)
+                # re-key into this shard's disjoint id/LSN ranges
+                base = int(row.conv_base)
+                parts = np.char.partition(log.cols["conv_id"].astype("U20"), "_")
+                conv_num = parts[:, 2].astype(np.int64) + base
+                log.cols["conv_id"] = np.char.add(
+                    "conv_", np.char.zfill(conv_num.astype("U9"), 9)
+                ).astype(object)
+                log.cols["op_lsn"] = log.cols["op_lsn"] * n_shards + shard
+                seg = cfg.segment_rows
+                rows = 0
+                for i, lo in enumerate(range(0, len(log), seg)):
+                    p = os.path.join(out_dir, f"segment-{i:05d}-{shard:03d}.parquet")
+                    tmp = p + f".tmp-{shard}"
+                    pq.write_table(
+                        to_arrow(log, lo, min(lo + seg, len(log))),
+                        tmp,
+                        row_group_size=131_072,
+                    )
+                    os.rename(tmp, p)  # atomic: a torn task retry never
+                    # leaves a half-written segment visible
+                    rows += min(lo + seg, len(log)) - lo
+                yield pd.DataFrame({"shard": [shard], "rows": [rows]})
+
+    out = (
+        spark.createDataFrame(plan)
+        .repartition(n_shards, "shard")
+        .mapInPandas(gen_shard, "shard int, rows long")
+        .toPandas()
+    )
+    return int(out["rows"].sum())
+
+
+def expected_final_state_from_dir(log_dir: str) -> "pandas.DataFrame":  # noqa: F821
+    """Pandas oracle over an on-disk segment directory (the distributed-gen
+    counterpart of :func:`expected_final_state`). Small-scale test use only."""
+    import pandas as pd
+
+    segs = sorted(
+        os.path.join(log_dir, f)
+        for f in os.listdir(log_dir)
+        if f.startswith("segment-") and f.endswith(".parquet")
+    )
+    df = pd.concat([pq.read_table(p).to_pandas() for p in segs], ignore_index=True)
+    df = df.sort_values("op_lsn", kind="stable").drop_duplicates(
+        ["conv_id", "turn_idx"], keep="last"
+    )
+    df = df[df["op"] != "delete"].drop(columns=["op", "op_lsn"])
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -106,3 +106,61 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     # time travel: snapshot sid1 still reads the old state
     assert table.read(snapshot_id=sid1).count() == count1
     assert table.vacuum() == 0  # nothing orphaned in a clean run
+
+
+def test_cow_and_mor_modes_converge(spark, tmp_path):
+    """Both write modes must produce the identical final table, and a
+    mid-replay compaction in MOR mode must not change visible content."""
+    cfg = GenConfig(seed=11, n_convs=40, segment_rows=300)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=300)
+
+    t_mor = LakeTable.create(spark, str(tmp_path / "lake_mor"), n_buckets=4)
+    # force compaction churn: every 2 deltas per bucket triggers a fold
+    spark.conf.set("maestro.compact.maxDeltas", "2")
+    try:
+        replay(spark, str(tmp_path / "log"), t_mor, query_id="m")
+    finally:
+        spark.conf.unset("maestro.compact.maxDeltas")
+    assert any(
+        "compacted_buckets" in s.stats
+        for s in (t_mor.snapshot(i) for i in t_mor.snapshot_ids())
+    ) or max(len(ps) for ps in t_mor.snapshot().files.values()) <= 2
+
+    t_cow = LakeTable.create(spark, str(tmp_path / "lake_cow"), n_buckets=4)
+    spark.conf.set("maestro.merge.mode", "cow")
+    try:
+        replay(spark, str(tmp_path / "log"), t_cow, query_id="c")
+    finally:
+        spark.conf.unset("maestro.merge.mode")
+    # COW keeps exactly one generation of files per bucket
+    assert all(len(ps) <= 4 for ps in t_cow.snapshot().files.values())
+
+    assert symmetric_diff_empty(t_mor.read(), t_cow.read())
+    exp = expected_final_state(log)
+    assert per_turn_text_equal(t_mor.read(), spark.createDataFrame(exp))
+
+
+def test_distributed_generator_replay(spark, tmp_path):
+    """write_log_distributed shards must be deterministic, disjoint by
+    conv_id, and replay to the same state as the pandas oracle."""
+    from maestro_spark.gen import expected_final_state_from_dir, write_log_distributed
+
+    cfg = GenConfig(seed=7, n_convs=30, segment_rows=300)
+    n1 = write_log_distributed(spark, cfg, str(tmp_path / "log1"), n_shards=3)
+    n2 = write_log_distributed(spark, cfg, str(tmp_path / "log2"), n_shards=3)
+    assert n1 == n2 > 0
+    import filecmp, os
+    same = all(
+        filecmp.cmp(tmp_path / "log1" / f, tmp_path / "log2" / f, shallow=False)
+        for f in os.listdir(tmp_path / "log1")
+    )
+    assert same  # byte-identical across runs: pure function of (cfg, shards)
+
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log1"), table, query_id="d", segments_per_epoch=3)
+    got = _final_pdf(table)
+    exp = expected_final_state_from_dir(str(tmp_path / "log1"))
+    assert len(got) == len(exp)
+    assert (got["text"].values == exp["text"].values).all()
+    assert (got["conv_id"].values == exp["conv_id"].values).all()
