@@ -3,7 +3,9 @@
 
 Subcommands:
   gen     --out DIR [--events N] [--seed S] [--epochs K] [--evolve FRAC]
+          [--shards P]   (P>1: executor-parallel generation, cluster-scale)
   replay  --log DIR --table DIR [--buckets B] [--query-id ID]
+          [--segments-per-epoch K]
   stream  --log DIR --table DIR [--continuous INTERVAL]
   show    --table DIR [--limit N] [--snapshot ID]
   compact --table DIR [--tombstone-horizon LSN]
@@ -27,12 +29,16 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--epochs", type=int, default=4)
     g.add_argument("--evolve", type=float, default=None)
+    g.add_argument("--shards", type=int, default=1,
+                   help=">1 generates in parallel on the executors")
 
     r = sub.add_parser("replay", help="batch-replay a log into a lake table")
     r.add_argument("--log", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--query-id", default="replay")
+    r.add_argument("--segments-per-epoch", type=int, default=1,
+                   help="log segments per epoch (use the shard count for sharded logs)")
 
     s = sub.add_parser("stream", help="stream-ingest a log into a lake table")
     s.add_argument("--log", required=True)
@@ -67,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "gen":
         from maestro_spark.gen import GenConfig, generate, write_log
 
+        if args.shards > 1:
+            from maestro_spark.gen import write_log_distributed
+
+            spark = get_spark("maestro-gen")
+            spark.sparkContext.setLogLevel("ERROR")
+            seg = max(1, args.events // (args.shards * args.epochs))
+            cfg = GenConfig(seed=args.seed, n_convs=max(5, args.events // 21),
+                            evolution_at=args.evolve, segment_rows=seg)
+            n = write_log_distributed(spark, cfg, args.out, n_shards=args.shards)
+            spark.stop()
+            print(json.dumps({"events": n, "shards": args.shards, "dir": args.out,
+                              "segments_per_epoch": args.shards}))
+            return 0
         cfg = GenConfig(seed=args.seed, n_convs=max(5, args.events // 21),
                         evolution_at=args.evolve)
         log = generate(cfg)
@@ -89,7 +108,8 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.exists(f"{args.table}/_snapshots")
             else LakeTable.create(spark, args.table, n_buckets=args.buckets)
         )
-        n = replay(spark, args.log, table, query_id=args.query_id)
+        n = replay(spark, args.log, table, query_id=args.query_id,
+                   segments_per_epoch=args.segments_per_epoch)
         snap = table.snapshot()
         print(json.dumps({"epochs_committed": n, "snapshot": snap.snapshot_id,
                           "stats": snap.stats}))

@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 def main() -> None:
     log_dir, lake_dir, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3])
     n_buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    seg_per_epoch = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from maestro_spark.lake import LakeTable
     from maestro_spark.replay import log_segments, replay
@@ -51,13 +52,22 @@ def main() -> None:
     # steady-state measurement: a full warmup replay (JIT, codegen, page
     # cache) into a scratch lake, then the timed run into a fresh lake
     warm = LakeTable.create(spark, lake_dir + ".warmup", n_buckets=n_buckets)
-    replay(spark, log_dir, warm, query_id=f"warm{cpus}")
+    replay(spark, log_dir, warm, query_id=f"warm{cpus}", segments_per_epoch=seg_per_epoch)
 
     table = LakeTable.create(spark, lake_dir, n_buckets=n_buckets)
     t0 = time.time()
-    epochs = replay(spark, log_dir, table, query_id=f"scale{cpus}")
+    epochs = replay(spark, log_dir, table, query_id=f"scale{cpus}", segments_per_epoch=seg_per_epoch)
     wall = time.time() - t0
     final_rows = table.read().count()
+    from maestro_spark.ledger import Ledger
+    per_epoch = [
+        {k: e["stats"].get(k) for k in
+         ("rows_in", "rows_out", "wall_s", "plan_s", "write_s", "lineage_s",
+          "compact_s", "compacted_buckets")}
+        for e in Ledger(table.root, f"scale{cpus}").entries()
+    ]
+    with open("/tmp/replay_diag.log", "a") as fh:
+        fh.write(json.dumps({"cpus": cpus, "per_epoch": per_epoch}) + "\n")
     print(
         json.dumps(
             {
