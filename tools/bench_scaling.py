@@ -161,11 +161,12 @@ same job runs on the same input at two parallelism levels, fresh JVM each).
 
 - host: {platform.platform()}, {cores} logical cores
 - job: end-to-end CDC replay (generate → epoch-chunked merge into a 64-bucket
-  lake table), seed 42, {summary["events"]:,} change events, {summary["epochs"]} epochs
+  lake table), seed 42, {summary["events"]:,} change events, {results[8]["epochs"]} epochs
 - shuffle partitions = core count per run; identical input files and seed
 - protocol: per level, one full warmup replay in-process (JIT/page cache),
   then the timed replay; levels interleaved, best of N trials each (this VM
-  shows phantom host load ≈7-8 that would otherwise bias single runs)
+  shows intermittent phantom D-state load spikes to ~20+ that would
+  otherwise bias single runs — see the all-trials table)
 
 | parallelism | wall (s) | events/sec |
 |---|---|---|
