@@ -149,11 +149,15 @@ def generate(cfg: GenConfig = GenConfig()) -> EventLog:
 
     # --- schema-evolution tail (FIXTURES.md A3) ------------------------------
     if cfg.evolution_at is not None:
-        cut = int(cfg.evolution_at * n_out)
+        # evolution is a property of the EVENT (its LSN), not its arrival
+        # slot — a duplicate re-delivery must carry a byte-identical payload
+        # (one LSN = one payload, the WAL invariant; resolution tie-breaks
+        # between same-LSN copies are only sound under it)
+        lsn_cut = float(np.quantile(op_lsn, cfg.evolution_at))
         tool_calls: list = [None] * n_out
         metadata: list = [None] * n_out
-        for i in range(cut, n_out):
-            if is_del[i]:
+        for i in range(n_out):
+            if is_del[i] or a_lsn[i] < lsn_cut:
                 continue
             metadata[i] = [("model", f"m{int(a_conv[i]) % 3}"), ("lsn", str(int(a_lsn[i])))]
             if log.cols["tool"][i] is not None:

@@ -193,19 +193,25 @@ class LakeTable:
         Every file the engine writes is key-unique *within itself* (merge
         writes per-epoch batch winners, compaction writes fully-resolved
         buckets), so a bucket with a single file needs no resolution at all —
-        that scan unions in with zero shuffle. Only multi-file (delta-bearing)
-        buckets pay the ``max_by`` exchange; compaction keeps their number
-        bounded, so at scale the resolve shuffle covers the hot tail of the
-        table, not the table.
+        that scan unions in untouched. Multi-file (delta-bearing) buckets are
+        resolved by the shuffle-free ``mor_scan`` source by default (one task
+        per bucket, bucket-local Arrow merge — see maestro_spark.mor_scan);
+        ``maestro.read.resolve=shuffle`` selects the ``max_by`` exchange
+        formulation instead (useful when buckets are few and huge).
+        Compaction keeps delta-bearing buckets bounded, so at scale the
+        resolve covers the hot tail of the table, not the table.
         """
         snap = self.snapshot(snapshot_id)
         want = {str(b) for b in buckets} if buckets is not None else None
         single: list[str] = []
-        multi: list[str] = []
+        multi_groups: list[list[str]] = []
         for b, ps in snap.files.items():
             if want is not None and b not in want:
                 continue
-            (multi if len(ps) > 1 else single).extend(ps)
+            if len(ps) > 1:
+                multi_groups.append([os.path.join(self.root, p) for p in ps])
+            else:
+                single.extend(ps)
         cols = [f.name for f in snap.schema.fields]
         parts: list[DataFrame] = []
         if single:
@@ -214,17 +220,30 @@ class LakeTable:
                     *[os.path.join(self.root, p) for p in single]
                 )
             )
-        if multi:
-            raw = self.spark.read.schema(snap.schema).parquet(
-                *[os.path.join(self.root, p) for p in multi]
-            )
-            keys = ["conv_id", "turn_idx"]
-            rest = [c for c in cols if c not in keys]
-            parts.append(
-                raw.groupBy(*keys)
-                .agg(F.max_by(F.struct(*rest), F.col(S.LSN_COL)).alias("_w"))
-                .select(*keys, "_w.*")
-            )
+        if multi_groups:
+            mode = self.spark.conf.get("maestro.read.resolve", "local")
+            if mode == "shuffle":
+                raw = self.spark.read.schema(snap.schema).parquet(
+                    *[p for g in multi_groups for p in g]
+                )
+                keys = ["conv_id", "turn_idx"]
+                rest = [c for c in cols if c not in keys]
+                parts.append(
+                    raw.groupBy(*keys)
+                    .agg(F.max_by(F.struct(*rest), F.col(S.LSN_COL)).alias("_w"))
+                    .select(*keys, "_w.*")
+                )
+            else:
+                from maestro_spark import mor_scan
+
+                mor_scan.register(self.spark)
+                parts.append(
+                    self.spark.read.format(mor_scan.FORMAT_NAME)
+                    .schema(snap.schema)
+                    .option("schema_json", snap.schema_json)
+                    .option("groups_json", json.dumps(multi_groups))
+                    .load()
+                )
         if not parts:
             return self.spark.createDataFrame([], snap.schema)
         out = parts[0]

@@ -1,0 +1,115 @@
+"""Shuffle-free merge-on-read scan (the MOR counterpart of SURVEY §2.A3).
+
+``LakeTable.read_resolved`` must produce one winning row per
+``(conv_id, turn_idx)`` across a bucket's base+delta files. The obvious
+formulation — ``groupBy(key).agg(max_by(...))`` over all files — shuffles
+the whole table on every read. But resolution is *bucket-local by
+construction*: a key lives in exactly one bucket (``pk_bucket =
+hash(conv_id) % B``), so no row ever needs to cross bucket boundaries.
+
+This module exploits that with a Python batch ``DataSource`` whose input
+partitions are bucket file-groups: each task reads its bucket's files with
+pyarrow, resolves winners vectorized (sort by ``(key, _lsn, commit-seq)``,
+keep the last row per key — numpy boundary scan, no Python row loop), and
+emits Arrow record batches straight to the JVM scan node. Zero shuffle,
+parallelism = number of delta-bearing buckets, and the per-task working set
+is one bucket — exactly the per-file-group merge a Hudi/Iceberg MOR reader
+performs, built from scratch per the north rule.
+
+Schema evolution: older files simply lack newer columns; each file is
+conformed to the snapshot schema (missing columns null-filled, compatible
+types cast) before concatenation, mirroring ``schema.conform``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "mor_scan"
+
+
+@dataclass
+class BucketGroup(InputPartition):
+    files: list[str] = field(default_factory=list)  # commit order == merge seq
+
+
+def resolve_group(files: list[str], schema: StructType):
+    """Read one bucket's base+delta files and yield resolved Arrow batches.
+
+    Winner per (conv_id, turn_idx) = max (_lsn, commit-seq); the seq
+    tie-break prefers the later commit, matching the shuffle formulation
+    (ties only arise from re-delivered events with identical payloads).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    tables = []
+    for seq, path in enumerate(files):
+        t = pq.read_table(path)
+        cols = []
+        for f in arrow_schema:
+            if f.name in t.column_names:
+                col = t[f.name]
+                if col.type != f.type:
+                    col = pc.cast(col, f.type)
+            else:
+                col = pa.nulls(len(t), type=f.type)
+            cols.append(col)
+        t = pa.table(cols, schema=arrow_schema)
+        tables.append(
+            t.append_column("_seq", pa.array(np.full(len(t), seq, np.int64)))
+        )
+    tbl = pa.concat_tables(tables)
+    if len(tables) > 1 and len(tbl) > 0:
+        tbl = tbl.sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending"),
+             ("_lsn", "ascending"), ("_seq", "ascending")]
+        )
+        conv = tbl["conv_id"].to_numpy(zero_copy_only=False)
+        turn = tbl["turn_idx"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(tbl), dtype=bool)
+        keep[:-1] = (conv[:-1] != conv[1:]) | (turn[:-1] != turn[1:])
+        tbl = tbl.take(np.nonzero(keep)[0])
+    tbl = tbl.drop_columns(["_seq"])
+    yield from tbl.to_batches(max_chunksize=65536)
+
+
+class MorScanReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self.groups: list[list[str]] = json.loads(options["groups_json"])
+
+    def partitions(self):
+        return [BucketGroup(g) for g in self.groups] or [BucketGroup([])]
+
+    def read(self, partition: BucketGroup):
+        if not partition.files:
+            return iter(())
+        return resolve_group(partition.files, self._schema)
+
+
+class MorScanDataSource(DataSource):
+    """spark.read.format("mor_scan").schema(s)
+    .option("groups_json", json.dumps([[f1, f2], ...])).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.options["schema_json"]))
+
+    def reader(self, schema: StructType) -> MorScanReader:
+        return MorScanReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(MorScanDataSource)

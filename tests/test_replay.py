@@ -164,3 +164,32 @@ def test_distributed_generator_replay(spark, tmp_path):
     assert len(got) == len(exp)
     assert (got["text"].values == exp["text"].values).all()
     assert (got["conv_id"].values == exp["conv_id"].values).all()
+
+
+def test_mor_scan_matches_shuffle_resolve(spark, tmp_path):
+    """The bucket-local mor_scan resolution must equal the max_by shuffle
+    formulation, and its read plan must contain no Exchange."""
+    cfg = GenConfig(seed=13, n_convs=30, segment_rows=250, evolution_at=0.5)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=250)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log"), table, query_id="m")
+    assert any(len(ps) > 1 for ps in table.snapshot().files.values())
+
+    from pyspark.sql import functions as F
+
+    def jsonable(df):  # EXCEPT cannot compare MAP columns; canonicalize to json
+        return df.select(
+            *[F.to_json(c).alias(c) if c in ("metadata", "tool_calls") else F.col(c)
+              for c in df.columns]
+        )
+
+    local = table.read_resolved()
+    spark.conf.set("maestro.read.resolve", "shuffle")
+    try:
+        shuffled = table.read_resolved()
+        assert symmetric_diff_empty(jsonable(local), jsonable(shuffled))
+    finally:
+        spark.conf.unset("maestro.read.resolve")
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
