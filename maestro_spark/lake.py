@@ -101,6 +101,12 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # incremental epoch-key index: (keys seen, highest snapshot id read).
+        # committed_epoch_keys() is consulted on EVERY new epoch; without the
+        # cache it re-reads the whole snapshot chain each time — O(epochs^2)
+        # driver-side JSON reads over a long-running stream.
+        self._epoch_keys: set[str] = set()
+        self._epoch_keys_upto: int = -1
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -154,13 +160,22 @@ class LakeTable:
             return Snapshot(**json.load(fh))
 
     def committed_epoch_keys(self) -> set[str]:
-        """Authoritative idempotence index: epoch keys in the snapshot chain."""
-        keys = set()
+        """Authoritative idempotence index: epoch keys in the snapshot chain.
+
+        Incremental: only snapshots committed since the last call are read
+        (snapshot files are immutable once published, and expiry never
+        removes a key this instance already absorbed — the ledger preserves
+        expired keys anyway). A fresh LakeTable instance pays one full chain
+        scan, then O(new snapshots) per call.
+        """
         for sid in self.snapshot_ids():
+            if sid <= self._epoch_keys_upto:
+                continue
             ek = self.snapshot(sid).epoch_key
             if ek:
-                keys.add(ek)
-        return keys
+                self._epoch_keys.add(ek)
+            self._epoch_keys_upto = max(self._epoch_keys_upto, sid)
+        return self._epoch_keys
 
     # ----------------------------------------------------------------- reads
     def read_raw(
