@@ -47,19 +47,29 @@ class CdcLogStreamReader(DataSourceStreamReader):
         if not self.log_dir:
             raise ValueError("cdc_binlog requires option 'path' (the log directory)")
         self.max_segments_per_batch = int(options.get("maxsegmentsperbatch", 0)) or None
+        self._cursor: int | None = None  # last batch end seen this run
 
     def initialOffset(self) -> dict:
         return {"segment": 0}
 
     def latestOffset(self) -> dict:
+        """Admission control lives HERE, never in partitions(): Spark commits
+        whatever range latestOffset announces, so truncating the partition
+        list instead would silently skip the tail of the range (data loss).
+        The clamp is relative to the last end seen via partitions(); the
+        first trigger of a (re)started query is unclamped because the
+        checkpointed start isn't known yet — one large catch-up batch, then
+        bounded batches.
+        """
         n = len(_segments(self.log_dir))
+        if self.max_segments_per_batch and self._cursor is not None:
+            n = min(n, self._cursor + self.max_segments_per_batch)
         return {"segment": n}
 
     def partitions(self, start: dict, end: dict):
         segs = _segments(self.log_dir)
         lo, hi = start["segment"], end["segment"]
-        if self.max_segments_per_batch:
-            hi = min(hi, lo + self.max_segments_per_batch)
+        self._cursor = max(self._cursor or 0, hi)
         return [
             SegmentPartition(os.path.join(self.log_dir, s)) for s in segs[lo:hi]
         ] or [SegmentPartition("")]

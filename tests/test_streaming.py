@@ -98,3 +98,23 @@ def test_stream_with_dedup_within_watermark(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
     )
+
+
+def test_bounded_batches_lose_no_data(spark, tmp_path):
+    """maxSegmentsPerBatch is admission control, not truncation: every
+    segment must be applied. (Regression: clamping in partitions() committed
+    the full offset range while reading only a prefix — silent data loss.)"""
+    cfg = GenConfig(seed=23, n_convs=60, segment_rows=200)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=200)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+
+    # run twice: the first availableNow catch-up batch is unclamped by
+    # design; the second run starts from a known cursor and is bounded
+    stream_ingest(spark, str(tmp_path / "log"), table.root, query_id="s3",
+                  max_segments_per_batch=1)
+    got = _final(table)
+    exp = expected_final_state(log)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
+    )
