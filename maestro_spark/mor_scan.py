@@ -46,24 +46,15 @@ def resolve_group(files: list[str], schema: StructType):
     """
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    from maestro_spark.schema import conform_arrow_table
 
     arrow_schema = to_arrow_schema(schema)
     tables = []
     for seq, path in enumerate(files):
-        t = pq.read_table(path)
-        cols = []
-        for f in arrow_schema:
-            if f.name in t.column_names:
-                col = t[f.name]
-                if col.type != f.type:
-                    col = pc.cast(col, f.type)
-            else:
-                col = pa.nulls(len(t), type=f.type)
-            cols.append(col)
-        t = pa.table(cols, schema=arrow_schema)
+        t = conform_arrow_table(pq.read_table(path), arrow_schema)
         tables.append(
             t.append_column("_seq", pa.array(np.full(len(t), seq, np.int64)))
         )

@@ -122,3 +122,24 @@ def conform(df: DataFrame, schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def conform_arrow_table(t, arrow_schema):
+    """Arrow-level twin of :func:`conform`: project a pyarrow Table onto a
+    target Arrow schema — missing columns null-filled, compatible types
+    cast, column order fixed. Used by executor-side readers (the streaming
+    source and the MOR scan) where rows exist as Arrow batches, not Spark
+    rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = []
+    for f in arrow_schema:
+        if f.name in t.column_names:
+            col = t[f.name]
+            if col.type != f.type:
+                col = pc.cast(col, f.type)
+        else:
+            col = pa.nulls(len(t), type=f.type)
+        cols.append(col)
+    return pa.table(cols, schema=arrow_schema)

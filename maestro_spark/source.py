@@ -43,6 +43,7 @@ def _segments(log_dir: str) -> list[str]:
 
 class CdcLogStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
         self.log_dir = options.get("path") or options.get("log_dir")
         if not self.log_dir:
             raise ValueError("cdc_binlog requires option 'path' (the log directory)")
@@ -78,8 +79,16 @@ class CdcLogStreamReader(DataSourceStreamReader):
         if not partition.path:
             return iter(())
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        table = pq.read_table(partition.path)
+        from maestro_spark.schema import conform_arrow_table
+
+        # conform each segment to the declared stream schema: pre-evolution
+        # segments lack the newer columns (null-filled here), and the JVM
+        # scan node requires batches that match the declared schema exactly
+        table = conform_arrow_table(
+            pq.read_table(partition.path), to_arrow_schema(self._schema)
+        )
         return iter(table.to_batches(max_chunksize=65536))
 
     def commit(self, end: dict) -> None:

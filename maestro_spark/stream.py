@@ -44,17 +44,45 @@ def stream_ingest(
     available_now: bool = True,
     processing_time: str | None = None,
     max_segments_per_batch: int | None = None,
+    source: str = "python",
 ):
     """Run the streaming pipeline; with ``available_now`` (default) processes
     the whole log and terminates — the replayable-batch trigger. Returns the
-    finished StreamingQuery."""
-    cdc_source.register(spark)
-    reader = (
-        spark.readStream.format(cdc_source.FORMAT_NAME).option("path", log_dir)
-    )
-    if max_segments_per_batch:
-        reader = reader.option("maxSegmentsPerBatch", str(max_segments_per_batch))
-    events = reader.load()
+    finished StreamingQuery.
+
+    ``source`` picks the tail reader:
+    - ``"python"`` (default): the custom ``cdc_binlog`` Python DataSource
+      (SURVEY §2.A1) — replayable segment-index offsets, Arrow-batch reads.
+    - ``"native"``: Spark's built-in parquet FileStreamSource over the same
+      directory — every byte stays JVM-side (no Python worker on the scan),
+      which is the throughput choice at cluster scale; admission control via
+      ``maxFilesPerTrigger``. Both feed the identical foreachBatch pipeline
+      and converge to the same table state (LSN dominance is
+      arrival-order-invariant).
+
+    Both readers use the log's discovered schema (merged from segment
+    footers), so evolved columns present on disk flow through; columns that
+    first appear while a continuous query is running are picked up on
+    restart — the same contract Spark's own file source has.
+    """
+    log_schema = _discover_log_schema(log_dir)
+    if source == "native":
+        reader = spark.readStream.schema(log_schema)
+        if max_segments_per_batch:
+            reader = reader.option("maxFilesPerTrigger", str(max_segments_per_batch))
+        events = reader.parquet(log_dir)
+    else:
+        import json as _json
+
+        cdc_source.register(spark)
+        reader = (
+            spark.readStream.format(cdc_source.FORMAT_NAME)
+            .option("path", log_dir)
+            .option("schema_json", _json.dumps(log_schema.jsonValue()))
+        )
+        if max_segments_per_batch:
+            reader = reader.option("maxSegmentsPerBatch", str(max_segments_per_batch))
+        events = reader.load()
     if watermark:
         # event times are NTZ (naive); watermarks require TIMESTAMP, so derive
         # a UTC-interpreted event-time column (session tz is UTC) and drop it
@@ -152,3 +180,29 @@ def tumbling_throughput(events, width: str = "1 minute"):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), "n")
     )
+
+
+def _discover_log_schema(log_dir: str):
+    """Merged schema of the on-disk log (driver-side, footer reads only).
+
+    Evolution is additive over time, so merging the FIRST and LAST segment
+    footers covers the range without reading every footer — O(1) regardless
+    of log length.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from maestro_spark import schema as S
+    from maestro_spark.source import _segments
+
+    segs = _segments(log_dir)
+    if not segs:
+        return S.CHANGE_EVENT_SCHEMA
+    picks = {segs[0], segs[-1]}
+    merged = None
+    for name in sorted(picks):
+        st = from_arrow_schema(
+            pq.read_schema(os.path.join(log_dir, name)), prefer_timestamp_ntz=True
+        )
+        merged = st if merged is None else S.merge_schemas(merged, st)
+    return merged

@@ -118,3 +118,31 @@ def test_bounded_batches_lose_no_data(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
     )
+
+
+def test_stream_native_source_matches_python_source(spark, tmp_path):
+    """Native FileStreamSource mode and the custom Python source must
+    converge to the identical final state, including evolved columns
+    (the stream schema is discovered from segment footers)."""
+    cfg = GenConfig(seed=24, n_convs=50, segment_rows=300, evolution_at=0.5)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "log"), segment_rows=300)
+
+    t_py = LakeTable.create(spark, str(tmp_path / "lake_py"), n_buckets=4)
+    stream_ingest(spark, str(tmp_path / "log"), t_py.root, query_id="py")
+    t_nat = LakeTable.create(spark, str(tmp_path / "lake_nat"), n_buckets=4)
+    stream_ingest(spark, str(tmp_path / "log"), t_nat.root, query_id="nat",
+                  source="native")
+
+    got_py = _final(t_py)
+    got_nat = _final(t_nat)
+    exp = expected_final_state(log)
+    assert "metadata" in got_py.columns and "metadata" in got_nat.columns
+    for got in (got_py, got_nat):
+        pd.testing.assert_frame_equal(
+            got[["conv_id", "turn_idx", "text"]], exp[["conv_id", "turn_idx", "text"]]
+        )
+    n_meta = sum(m is not None for m in exp["metadata"])
+    assert n_meta > 0
+    assert sum(m is not None for m in got_py["metadata"]) == n_meta
+    assert sum(m is not None for m in got_nat["metadata"]) == n_meta
