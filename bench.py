@@ -61,31 +61,46 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
-    from maestro_spark.gen import GenConfig, generate, write_log
+    from maestro_spark.gen import GenConfig, write_log_distributed
     from maestro_spark.lake import LakeTable
     from maestro_spark.replay import replay
+    from maestro_spark.stream import stream_ingest
 
     n_convs = max(20, n_events // 21)  # avg ~16 turns/conv * 1.3 ops/row
+    n_shards = 8
     d = tempfile.mkdtemp(prefix="maestro_bench_")
     try:
         t0 = time.time()
-        log = generate(GenConfig(seed=42, n_convs=n_convs))
-        seg_rows = max(1, (len(log) + n_epochs - 1) // n_epochs)
-        write_log(log, f"{d}/log", segment_rows=seg_rows)
+        seg_rows = max(1, n_events // (n_shards * n_epochs))
+        n_gen = write_log_distributed(
+            spark, GenConfig(seed=42, n_convs=n_convs, segment_rows=seg_rows),
+            f"{d}/log", n_shards=n_shards,
+        )
         gen_s = time.time() - t0
 
         table = LakeTable.create(spark, f"{d}/lake", n_buckets=64)
         t0 = time.time()
         n_done = replay(spark, f"{d}/log", table, query_id="bench",
-                        segments_per_epoch=1)
+                        segments_per_epoch=n_shards)
         replay_s = time.time() - t0
         final_rows = table.read().count()
+
+        # flagship streaming path (native file source), same log
+        LakeTable.create(spark, f"{d}/lake_s", n_buckets=64)
+        t0 = time.time()
+        stream_ingest(spark, f"{d}/log", f"{d}/lake_s", query_id="bench-s",
+                      source="native")
+        stream_s = time.time() - t0
+        stream_rows = LakeTable(spark, f"{d}/lake_s").read().count()
+        assert stream_rows == final_rows, (stream_rows, final_rows)
         return {
-            "events": len(log),
+            "events": n_gen,
             "epochs": n_done,
             "gen_sec": round(gen_s, 3),
             "replay_sec": round(replay_s, 3),
-            "events_per_sec": round(len(log) / replay_s, 1),
+            "events_per_sec": round(n_gen / replay_s, 1),
+            "stream_sec": round(stream_s, 3),
+            "stream_events_per_sec": round(n_gen / stream_s, 1),
             "final_rows": final_rows,
         }
     finally:
