@@ -10,7 +10,18 @@ driver's order-insensitive value-hash matches bit-for-bit):
 - float comparisons/rankings use quantized integers (floor(x*1000)) or
   arithmetic both engines perform identically on the same IEEE doubles;
 - every computed column is aliased identically on both sides;
-- ties in top-k / rankings are broken by a unique key.
+- ties in top-k / rankings are broken by a unique key;
+- RESULT TYPES must match, not just values: the driver's value-hash is
+  dtype-sensitive. DuckDB quietly widens — ``floor(DOUBLE)``/``ceil(DOUBLE)``
+  stay DOUBLE (Spark: BIGINT) and ``SUM(INTEGER)`` (incl. windowed) becomes
+  HUGEINT (→ float64 in pandas) — so every oracle aggregate/rounding output
+  is wrapped in an explicit ``CAST(... AS BIGINT/DOUBLE)`` matching the Spark
+  column type. Float columns in results are either quantized to integers or
+  produced by arithmetic both engines execute identically on the same IEEE
+  doubles; never return array/map/struct columns from a driver query (the
+  driver's canonicalizer sorts rows pandas-side and dies on unhashable
+  cells) — quantize/serialize them to scalars and keep the rich-typed
+  variant for pytest.
 """
 
 from __future__ import annotations
@@ -624,7 +635,8 @@ def q_fn_date(spark, sf_dir):
 
 @q(
     "q_fn_math",
-    """SELECT event_id, abs(value - 10) AS dist, floor(value) AS f, ceil(value) AS c,
+    """SELECT event_id, abs(value - 10) AS dist,
+              CAST(floor(value) AS BIGINT) AS f, CAST(ceil(value) AS BIGINT) AS c,
               ((CAST(event_id AS BIGINT) % 7) + 7) % 7 AS m
        FROM events""",
 )
@@ -703,9 +715,9 @@ def q_win_tumble(spark, sf_dir):
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        s AS (
          SELECT user_id, event_id,
-                SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_id
+                CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_id
          FROM g)
        SELECT user_id, session_id, COUNT(*) AS n_events
        FROM s GROUP BY user_id, session_id""",
@@ -818,7 +830,7 @@ def q_simhash(spark, sf_dir):
                 * CAST(floor(CAST(unnest(qv.qe) AS DOUBLE) * 1000) AS BIGINT) AS p
          FROM embeddings e, qv
          WHERE e.vec_id <> 0)
-       SELECT vec_id, SUM(p) AS qdot
+       SELECT vec_id, CAST(SUM(p) AS BIGINT) AS qdot
        FROM prods GROUP BY vec_id
        ORDER BY qdot DESC, vec_id LIMIT 10""",
 )
@@ -849,10 +861,19 @@ def q_ann_lsh(spark, sf_dir):
 
 @q("q_media_features")  # rows-only: multimodal plumbing over synthetic media
 def q_media_features(spark, sf_dir):
+    """Scalar projection only (see module docstring: the driver canonicalizer
+    cannot hash array cells) — the feature vector is folded to a quantized
+    BIGINT checksum; pytest keeps the array-typed variant."""
     from maestro_spark.functions import multimodal as mm
 
     media = mm.synthetic_media(spark, n=48)
-    return mm.extract_image_features(media, strict=False)
+    feats = mm.extract_image_features(media, strict=False)
+    checksum = F.aggregate(
+        F.transform("feature", lambda x: F.floor(x * 1000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 31 + v,
+    )
+    return feats.select("media_id", "n_bytes", checksum.alias("feature_checksum"))
 
 
 @q("q_ingest_csv")  # rows-only: A4 typed CSV ingest with corrupt-record channel
