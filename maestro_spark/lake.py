@@ -266,6 +266,81 @@ class LakeTable:
             out = out.unionByName(p)
         return out.select(*cols)
 
+    def changes(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed between two committed snapshots
+        (exclusive ``from_snapshot``, inclusive ``to_snapshot``; default =
+        current). One row per key changed in the range::
+
+            conv_id, turn_idx, <payload...>, op ('upsert'|'delete'), lsn
+
+        This is manifest arithmetic, not a table diff: each epoch snapshot in
+        the range contributes exactly the data files it ADDED (per-bucket set
+        difference vs its parent), and the net change per key is the max-LSN
+        winner across those files — under merge-on-read an epoch's added
+        files are precisely its batch winners, so the feed is exact. Under a
+        copy-on-write epoch the added files are full bucket rewrites, so the
+        feed may also carry unchanged rows of touched buckets re-stated at
+        their current LSN — still correct to apply (idempotent upserts), just
+        wider. Maintenance (compaction) snapshots are content-preserving and
+        contribute nothing.
+
+        Applying the feed for ``(k, n]`` on top of snapshot ``k`` reproduces
+        snapshot ``n`` exactly (tombstones ride along as ``op='delete'``) —
+        the consumer contract a downstream CDC subscriber needs.
+
+        Requires every snapshot in the range to still be retained
+        (``expire_snapshots`` + ``vacuum`` bound the feed horizon, same as
+        any lake-format change feed).
+        """
+        to_snapshot = to_snapshot if to_snapshot is not None else self.snapshot().snapshot_id
+        if to_snapshot < from_snapshot:
+            raise ValueError(f"to_snapshot {to_snapshot} < from_snapshot {from_snapshot}")
+        to_snap = self.snapshot(to_snapshot)
+        payload = [f.name for f in to_snap.payload_schema().fields]
+        out_cols = [
+            *payload,
+            F.when(F.col(S.DELETED_COL), F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+            F.col(S.LSN_COL).alias("lsn"),
+        ]
+        parts: list[DataFrame] = []
+        for seq, sid in enumerate(range(from_snapshot + 1, to_snapshot + 1)):
+            snap = self.snapshot(sid)
+            if snap.stats.get("maintenance"):
+                continue
+            parent = self.snapshot(snap.parent_id) if snap.parent_id is not None else None
+            added = []
+            for b, ps in snap.files.items():
+                prev = set(parent.files.get(b, [])) if parent else set()
+                added.extend(os.path.join(self.root, p) for p in ps if p not in prev)
+            if added:
+                parts.append(
+                    self.spark.read.schema(to_snap.schema)
+                    .parquet(*added)
+                    .withColumn("_seq", F.lit(seq))
+                )
+        if not parts:
+            empty = self.spark.createDataFrame([], to_snap.schema).withColumn(
+                "_seq", F.lit(0)
+            )
+            return empty.select(*out_cols)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        keys = S.KEY_COLS
+        rest = [c for c in union.columns if c not in keys]
+        # winner per key = max (_lsn, commit seq); the seq tie-break makes
+        # re-delivered equal-LSN rows resolve to the later commit
+        # deterministically (payloads are identical by the one-LSN-one-payload
+        # invariant, so this is belt-and-braces, not semantics)
+        winners = (
+            union.groupBy(*keys)
+            .agg(F.max_by(F.struct(*rest), F.struct(F.col(S.LSN_COL), F.col("_seq"))).alias("_w"))
+            .select(*keys, "_w.*")
+        )
+        return winners.select(*out_cols)
+
     def read(self, snapshot_id: int | None = None, buckets: list[int] | None = None) -> DataFrame:
         """Live rows (tombstones filtered), payload columns only."""
         snap = self.snapshot(snapshot_id)

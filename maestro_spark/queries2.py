@@ -269,6 +269,26 @@ def _ensure_cdc_demo_log() -> str:
     return log_dir
 
 
+def _ensure_cdc_demo_lake(spark):
+    """Build (idempotently) the demo lake by replaying the demo log; both the
+    flagship replay query and the change-feed query probe this table."""
+    import shutil
+
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.replay import replay
+
+    log_dir = _ensure_cdc_demo_log()
+    lake_dir = f"{_CDC_DEMO_DIR}/lake"
+    try:
+        table = LakeTable(spark, lake_dir)
+        table.snapshot()
+    except Exception:  # noqa: BLE001 — first run (or stale tmp): build it
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        table = LakeTable.create(spark, lake_dir, n_buckets=8)
+    replay(spark, log_dir, table, query_id="demo")  # idempotent re-runs skip
+    return table
+
+
 @q(
     "q_cdc_replay",
     f"""SELECT conv_id, turn_idx, text, role, tool FROM (
@@ -285,21 +305,35 @@ def q_cdc_replay(spark, sf_dir):
     """THE flagship check: full engine replay (epochs, snapshots, tombstones,
     exactly-once commits) must equal DuckDB's one-shot arg_max over the same
     log — the CDC correctness contract as a driver-checked oracle query."""
-    import shutil
-
-    from maestro_spark.lake import LakeTable
-    from maestro_spark.replay import replay
-
-    log_dir = _ensure_cdc_demo_log()
-    lake_dir = f"{_CDC_DEMO_DIR}/lake"
-    try:
-        table = LakeTable(spark, lake_dir)
-        table.snapshot()
-    except Exception:  # noqa: BLE001 — first run (or stale tmp): build it
-        shutil.rmtree(lake_dir, ignore_errors=True)
-        table = LakeTable.create(spark, lake_dir, n_buckets=8)
-    replay(spark, log_dir, table, query_id="demo")  # idempotent re-runs skip
+    table = _ensure_cdc_demo_lake(spark)
     return table.read().select("conv_id", "turn_idx", "text", "role", "tool")
+
+
+@q(
+    "q_cdc_changes",
+    f"""SELECT conv_id, turn_idx,
+              struct_extract(w, 'text') AS text,
+              struct_extract(w, 'role') AS role,
+              struct_extract(w, 'tool') AS tool,
+              CASE WHEN struct_extract(w, 'op') = 'delete'
+                   THEN 'delete' ELSE 'upsert' END AS op,
+              lsn
+       FROM (SELECT conv_id, turn_idx,
+                    arg_max(struct_pack(text := text, role := role,
+                                        tool := tool, op := op), op_lsn) AS w,
+                    MAX(op_lsn) AS lsn
+             FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+             GROUP BY conv_id, turn_idx)""",
+)
+def q_cdc_changes(spark, sf_dir):
+    """Incremental change feed (LakeTable.changes): the feed over the full
+    snapshot range (0, latest] of a merge-on-read table is exactly the
+    per-key max-LSN winner set incl. tombstones — which DuckDB can state
+    directly as arg_max over the same log segments."""
+    table = _ensure_cdc_demo_lake(spark)
+    return table.changes(0).select(
+        "conv_id", "turn_idx", "text", "role", "tool", "op", "lsn"
+    )
 
 
 @q("q_cdc_evolution")  # rows-only: evolved map/array columns don't hash portably

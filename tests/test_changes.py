@@ -1,0 +1,109 @@
+"""Incremental change feed (LakeTable.changes) — consumer contract tests.
+
+The contract: applying the feed for (k, n] on top of snapshot k reproduces
+snapshot n exactly, tombstones included (VERDICT r1 item 4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from maestro_spark.gen import GenConfig, generate, write_log
+from maestro_spark.lake import LakeTable
+from maestro_spark.replay import replay
+from maestro_spark.schema import DELETED_COL, LSN_COL
+
+
+def _resolved_pdf(table: LakeTable, sid=None) -> pd.DataFrame:
+    cols = ["conv_id", "turn_idx", "text", "role", "tool", LSN_COL, DELETED_COL]
+    return (
+        table.read_resolved(snapshot_id=sid)
+        .select(*cols)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+def _feed_as_events(feed):
+    return feed.select(
+        F.col("lsn").alias("op_lsn"),
+        F.when(F.col("op") == "delete", F.lit("delete")).otherwise(F.lit("insert")).alias("op"),
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    )
+
+
+def _build(spark, tmp_path, seed=31, n_convs=50, segment_rows=250):
+    log = generate(GenConfig(seed=seed, n_convs=n_convs, segment_rows=segment_rows))
+    write_log(log, str(tmp_path / "log"), segment_rows=segment_rows)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, str(tmp_path / "log"), table, query_id="cf")
+    return table
+
+
+def test_changes_from_zero_equal_resolved_state(spark, tmp_path):
+    # (0, latest] over a fresh table == the entire resolved state incl.
+    # tombstones: every key's current winner appeared in exactly one epoch
+    table = _build(spark, tmp_path)
+    feed = table.changes(0).toPandas().sort_values(
+        ["conv_id", "turn_idx"], kind="stable"
+    ).reset_index(drop=True)
+    state = _resolved_pdf(table)
+    assert len(feed) == len(state)
+    assert (feed["conv_id"].values == state["conv_id"].values).all()
+    assert (feed["lsn"].values == state[LSN_COL].values).all()
+    assert ((feed["op"].values == "delete") == state[DELETED_COL].values).all()
+    pd.testing.assert_series_equal(
+        feed["text"], state["text"], check_names=False
+    )
+    assert (feed["op"].values == "delete").any()  # tombstones ride along
+
+
+def test_changes_apply_reconverges_to_target_snapshot(spark, tmp_path):
+    # replaying the feed of epochs (k, n] onto snapshot k reproduces n
+    table = _build(spark, tmp_path)
+    sids = table.snapshot_ids()
+    k = sids[len(sids) // 2]
+    n = sids[-1]
+    feed = table.changes(k, n)
+
+    # rebuild: fresh table seeded with snapshot k's resolved rows (as events
+    # at their recorded LSN, tombstones as deletes), then one feed epoch
+    twin = LakeTable.create(spark, str(tmp_path / "twin"), n_buckets=8)
+    base = table.read_resolved(snapshot_id=k).select(
+        F.col(LSN_COL).alias("op_lsn"),
+        F.when(F.col(DELETED_COL), F.lit("delete")).otherwise(F.lit("insert")).alias("op"),
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    )
+    from maestro_spark.merge import merge_batch
+
+    merge_batch(twin, base, query_id="seed", epoch_id=0)
+    merge_batch(twin, _feed_as_events(feed), query_id="apply", epoch_id=1)
+
+    got = _resolved_pdf(twin)
+    want = _resolved_pdf(table, sid=n)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_changes_empty_and_bad_range(spark, tmp_path):
+    table = _build(spark, tmp_path, seed=5, n_convs=10, segment_rows=10_000)
+    latest = table.snapshot().snapshot_id
+    assert table.changes(latest, latest).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        table.changes(latest, latest - 1)
+
+
+def test_changes_skip_compaction_snapshots(spark, tmp_path):
+    # force a compaction inside the range; the feed must not re-state the
+    # whole table through the maintenance snapshot's rewritten files
+    table = _build(spark, tmp_path, seed=8, n_convs=30, segment_rows=150)
+    pre = table.snapshot().snapshot_id
+    table.compact()
+    assert table.snapshot().snapshot_id == pre + 1
+    assert table.changes(pre).count() == 0  # only the compaction in range
+    # and the full-range feed is still exactly the resolved state
+    feed = table.changes(0)
+    assert feed.count() == len(_resolved_pdf(table))
