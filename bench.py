@@ -36,6 +36,7 @@ HEADLINE = [
     "q_collect_ordered",# ordered transcript reassembly
     "q_session",        # sessionization (lag + cumsum windows)
     "q_minhash_lsh",    # document near-dup (shingle + LSH)
+    "q_simhash",        # document near-dup (banded simhash, codegen votes)
     "q_ann_bruteforce", # embedding similarity top-k
 ]
 

@@ -818,7 +818,7 @@ def q_minhash_lsh(spark, sf_dir):
 @q("q_simhash")  # rows-only: xxhash64-based (SURVEY §2.H hash family)
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup_text.simhash_near_pairs(d, max_hamming=8, prefix_bits=8)
+    return dedup_text.simhash_near_pairs(d, max_hamming=3, bands=4)
 
 
 @q(

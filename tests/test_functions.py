@@ -53,6 +53,21 @@ def test_simhash_near_pairs(spark):
     ham02 = bin((s[0] ^ s[2]) & mask).count("1")
     ham04 = bin((s[0] ^ s[4]) & mask).count("1")
     assert ham02 < ham04  # near dup closer in hamming space
+    # banded blocking has full recall for hamming < bands (pigeonhole):
+    # every pair within the threshold must surface, incl. identical docs
+    full = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_text.simhash_near_pairs(full, max_hamming=3, bands=4).collect()
+    }
+    sall = {r.id: r.simhash for r in dedup_text.simhash(full).collect()}
+    expected = {
+        (a, b)
+        for a in sall
+        for b in sall
+        if a < b and bin((sall[a] ^ sall[b]) & mask).count("1") <= 3
+    }
+    assert set(pairs) == expected and expected  # exact, and non-empty
 
 
 def test_lang_and_quality_features(spark):
