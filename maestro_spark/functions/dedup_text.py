@@ -65,15 +65,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_chars: int = 200,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold (exact integer arithmetic:
     inter*den >= union*num, no floats — hence oracle-able).
 
-    Scale note: the shingle self-join is quadratic in per-shingle document
-    frequency; at 100 TB use :func:`minhash_lsh_pairs` for candidate
-    generation and this only to verify candidates.
+    Scale guard (structural, not advisory): shingles whose document
+    frequency exceeds ``max_doc_freq`` are dropped BEFORE the self-join, and
+    sizes are computed post-filter so intersection and union stay mutually
+    consistent. Without the cap the self-join is quadratic in per-shingle
+    document frequency — one stopword shingle shared by 10^6 docs creates
+    10^12 pairs; with it, any single shingle contributes at most
+    C(max_doc_freq, 2) pairs, so the worst case is linear in corpus size ×
+    a constant. Semantics become "Jaccard over non-ubiquitous shingles",
+    which for near-dup detection is what you want anyway (ubiquitous
+    shingles carry no signal). Pass ``max_doc_freq=None`` for the exact
+    unguarded form; for candidate *generation* at scale still prefer
+    :func:`minhash_lsh_pairs` and use this to verify.
     """
     sh = shingle_table(df, text_col, id_col, n, max_chars)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -788,10 +788,12 @@ def q_dedup_exact(spark, sf_dir):
 
 @q(
     "q_ngram_jaccard",
-    """WITH sh AS (
+    """WITH sh0 AS (
          SELECT DISTINCT doc_id AS id, substr(substr(text, 1, 120), CAST(i AS INTEGER), 5) AS sh
          FROM documents, range(1, 117) t(i)
          WHERE i <= length(substr(text, 1, 120)) - 4),
+       keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 256),
+       sh AS (SELECT sh0.id, sh0.sh FROM sh0 JOIN keep USING (sh)),
        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
        inter AS (
          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
@@ -805,7 +807,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup_text.jaccard_pairs(
-        d, threshold_num=1, threshold_den=5, n=5, max_chars=120
+        d, threshold_num=1, threshold_den=5, n=5, max_chars=120, max_doc_freq=256
     )
 
 

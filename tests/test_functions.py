@@ -46,6 +46,25 @@ def test_jaccard_and_minhash_find_near_dups(spark):
     assert (0, 2) in mh_pairs and mh_pairs[(0, 2)] > 0.5
 
 
+def test_jaccard_doc_freq_cap_bounds_ubiquitous_shingle(spark):
+    # 30 docs that share exactly one ubiquitous 3-gram ('zzz') but are
+    # otherwise unique: uncapped, threshold 0 surfaces all C(30,2)=435
+    # candidate pairs via that single shingle; the structural df-cap drops it
+    # before the self-join and no pair survives
+    # doc-unique char adjacent to the shared part so even boundary shingles
+    # are unique to one doc; the only cross-doc shingle is 'zzz' (df=30)
+    rows = [(i, "zzz" + chr(0x4E00 + i) * 8) for i in range(30)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup_text.jaccard_pairs(
+        d, threshold_num=0, threshold_den=1, n=3, max_chars=100, max_doc_freq=None
+    )
+    assert uncapped.count() == 435
+    capped = dedup_text.jaccard_pairs(
+        d, threshold_num=0, threshold_den=1, n=3, max_chars=100, max_doc_freq=10
+    )
+    assert capped.count() == 0
+
+
 def test_simhash_near_pairs(spark):
     d = _docs(spark).filter(F.col("doc_id").isin(0, 2, 4))
     s = {r.id: r.simhash for r in dedup_text.simhash(d).collect()}
