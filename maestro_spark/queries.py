@@ -861,6 +861,26 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+@q("q_ann_lsh_indexed")  # rows-only: probes the persisted signature index
+def q_ann_lsh_indexed(spark, sf_dir):
+    """Same probe as q_ann_lsh but against the materialized bucket-partitioned
+    signature index (built once per sf_dir, deterministic seed) — the scan is
+    partition-pruned to the multiprobe bucket set."""
+    import hashlib
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = "/tmp/maestro_lsh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(idx, "_lsh_meta.json")):
+        similarity.build_lsh_index(
+            e.filter(F.col("vec_id") != 0), idx, n_bits=10, prefix_bits=6
+        )
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    return similarity.ann_lsh_topk_indexed(
+        spark, idx, [float(v) for v in qrow[0]], k=10, multiprobe_hamming=2
+    )
+
+
 @q("q_media_features")  # rows-only: multimodal plumbing over synthetic media
 def q_media_features(spark, sf_dir):
     """Scalar projection only (see module docstring: the driver canonicalizer

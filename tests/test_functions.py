@@ -114,6 +114,43 @@ def test_similarity_bruteforce_and_lsh(spark):
     assert ann.head().vec_id == 7  # LSH recalls the planted neighbor
 
 
+def test_persisted_lsh_index_prunes_and_matches(spark, tmp_path):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs[7] = vecs[3] * 0.9 + 0.01
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    corpus = df.filter(F.col("vec_id") != 3)
+    qv = [float(x) for x in vecs[3]]
+
+    idx = str(tmp_path / "lsh_index")
+    similarity.build_lsh_index(corpus, idx, n_bits=10, prefix_bits=6, seed=7)
+    probe = similarity.ann_lsh_topk_indexed(spark, idx, qv, k=5, multiprobe_hamming=2)
+    fly = similarity.ann_lsh_topk(
+        corpus, qv, k=5, n_bits=10, seed=7, multiprobe_hamming=2
+    )
+    assert [r.vec_id for r in probe.collect()] == [r.vec_id for r in fly.collect()]
+    assert probe.head().vec_id == 7  # planted neighbor recalled from the index
+
+    # the probe is partition-pruned: it may touch only the buckets within the
+    # multiprobe radius — a strict subset of the on-disk bucket dirs — and
+    # the scan plan carries the _bucket partition filter
+    import os
+
+    n_dirs = sum(1 for d in os.listdir(idx) if d.startswith("_bucket="))
+    planes = [similarity._projection_vector(7 + i, 16) for i in range(10)]
+    qsig = similarity._query_signature(qv, planes)
+    want = similarity.probe_buckets(qsig, 10, 6, 2)
+    assert len(want) < n_dirs
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue() and "_bucket" in buf.getvalue()
+
+
 def test_knn_join(spark):
     rows = [(i, [float(i), 0.0]) for i in range(10)]
     corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
