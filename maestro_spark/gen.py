@@ -302,16 +302,22 @@ def write_log_distributed(
                 log.cols["op_lsn"] = log.cols["op_lsn"] * n_shards + shard
                 seg = cfg.segment_rows
                 rows = 0
+                import uuid as _uuid
+
+                attempt = _uuid.uuid4().hex[:8]  # unique per task attempt:
+                # a speculative/zombie duplicate attempt for the same shard
+                # must never interleave writes into one tmp file
                 for i, lo in enumerate(range(0, len(log), seg)):
                     p = os.path.join(out_dir, f"segment-{i:05d}-{shard:03d}.parquet")
-                    tmp = p + f".tmp-{shard}"
+                    tmp = p + f".tmp-{shard}-{attempt}"
                     pq.write_table(
                         to_arrow(log, lo, min(lo + seg, len(log))),
                         tmp,
                         row_group_size=131_072,
                     )
-                    os.rename(tmp, p)  # atomic: a torn task retry never
-                    # leaves a half-written segment visible
+                    os.rename(tmp, p)  # atomic: a torn or concurrent task
+                    # attempt never leaves a half-written segment visible
+                    # (both attempts write identical bytes — seeded gen)
                     rows += min(lo + seg, len(log)) - lo
                 yield pd.DataFrame({"shard": [shard], "rows": [rows]})
 

@@ -238,14 +238,30 @@ class LakeTable:
         if multi_groups:
             mode = self.spark.conf.get("maestro.read.resolve", "local")
             if mode == "shuffle":
-                raw = self.spark.read.schema(snap.schema).parquet(
-                    *[p for g in multi_groups for p in g]
-                )
+                # winner per key = max (_lsn, commit seq) — the SAME
+                # deterministic tie-break as mor_scan's bucket-local resolve.
+                # seq = position in the bucket's commit-ordered file list;
+                # one scan per position (bounded by maestro.compact.maxDeltas,
+                # not by table size) tags it without a per-file plan blowup.
+                maxlen = max(len(g) for g in multi_groups)
+                tagged = None
+                for j in range(maxlen):
+                    fs = [g[j] for g in multi_groups if len(g) > j]
+                    part = (
+                        self.spark.read.schema(snap.schema)
+                        .parquet(*fs)
+                        .withColumn("_seq", F.lit(j))
+                    )
+                    tagged = part if tagged is None else tagged.unionByName(part)
                 keys = ["conv_id", "turn_idx"]
                 rest = [c for c in cols if c not in keys]
                 parts.append(
-                    raw.groupBy(*keys)
-                    .agg(F.max_by(F.struct(*rest), F.col(S.LSN_COL)).alias("_w"))
+                    tagged.groupBy(*keys)
+                    .agg(
+                        F.max_by(
+                            F.struct(*rest), F.struct(F.col(S.LSN_COL), F.col("_seq"))
+                        ).alias("_w")
+                    )
                     .select(*keys, "_w.*")
                 )
             else:
@@ -433,6 +449,7 @@ class LakeTable:
         """
         from pyspark.sql import functions as F  # local import to avoid cycle
 
+        t0 = time.time()
         snap = self.snapshot()
         todo = buckets if buckets is not None else [int(b) for b in snap.files]
         df = self.read_resolved(todo)
@@ -448,7 +465,13 @@ class LakeTable:
         for b in todo:
             new_files.setdefault(str(b), [])
         return self.commit(
-            new_files, epoch_key=None, stats={"maintenance": "compact", "buckets": todo}
+            new_files,
+            epoch_key=None,
+            stats={
+                "maintenance": "compact",
+                "buckets": todo,
+                "compact_s": round(time.time() - t0, 3),
+            },
         )
 
     def delta_buckets(self, max_deltas: int) -> list[int]:

@@ -189,9 +189,19 @@ def merge_batch(
     else:
         # MOR sizes the fan-out from the previous epoch's observed input —
         # steady streams are stable epoch-to-epoch, and a wrong guess only
-        # changes file fan-out, never correctness.
-        est_rows = parent.stats.get("rows_in") or 0
-        est_buckets = max(1, parent.stats.get("changed_buckets") or n_buckets)
+        # changes file fan-out, never correctness. The parent may be a
+        # maintenance (compaction) snapshot whose stats carry no input
+        # metrics, so walk back (bounded) to the most recent epoch commit.
+        p = parent
+        for _ in range(8):
+            if "rows_in" in p.stats or p.parent_id is None:
+                break
+            try:
+                p = table.snapshot(p.parent_id)
+            except FileNotFoundError:  # expired ancestor: estimate from here
+                break
+        est_rows = p.stats.get("rows_in") or 0
+        est_buckets = max(1, p.stats.get("changed_buckets") or n_buckets)
     spread = max(1, min(max_spread, int(est_rows / est_buckets // rows_per_task) + 1))
     ev = (
         unioned.withColumn("pk_bucket", bucket_expr("conv_id", n_buckets))
@@ -250,6 +260,12 @@ def merge_batch(
     snap = table.commit(  # commit point
         new_files, epoch_key, schema=full_schema, stats=stats, append=(mode != "cow")
     )
+    # lineage BEFORE the ledger record so its timing lands in the persisted
+    # stats (a crash between commit and ledger is already covered: the
+    # snapshot chain is the authoritative idempotence index)
+    t_lin0 = time.time()
+    append_lineage(table, snap, epoch_id, query_id, new_files, wall)
+    stats["lineage_s"] = round(time.time() - t_lin0, 3)
     ledger.record(
         epoch_id,
         snap.snapshot_id,
@@ -257,21 +273,17 @@ def merge_batch(
         watermark=str(watermark) if watermark is not None else None,
         stats=stats,
     )
-    t_lin0 = time.time()
-    append_lineage(table, snap, epoch_id, query_id, new_files, wall)
-    stats["lineage_s"] = round(time.time() - t_lin0, 3)
 
     # LSM levelling: fold delta-heavy buckets back to one resolved file each.
     # Amortized cost ~= table/(maxDeltas·batch) extra writes per epoch; the
     # resolve shuffle at read time stays bounded by maxDeltas files/bucket.
+    # Timing is recorded in the compaction snapshot's own stats (this epoch's
+    # ledger entry is already durable).
     max_deltas = int(table.spark.conf.get("maestro.compact.maxDeltas", "8"))
     if mode != "cow" and max_deltas > 0:
         due = table.delta_buckets(max_deltas)
         if due:
-            t_c0 = time.time()
             table.compact(due)
-            stats["compact_s"] = round(time.time() - t_c0, 3)
-            stats["compacted_buckets"] = len(due)
     return snap
 
 

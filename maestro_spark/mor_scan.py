@@ -40,9 +40,14 @@ class BucketGroup(InputPartition):
 def resolve_group(files: list[str], schema: StructType):
     """Read one bucket's base+delta files and yield resolved Arrow batches.
 
-    Winner per (conv_id, turn_idx) = max (_lsn, commit-seq); the seq
-    tie-break prefers the later commit, matching the shuffle formulation
-    (ties only arise from re-delivered events with identical payloads).
+    Winner per (conv_id, turn_idx) = max (_lsn, commit-seq), where seq is
+    the file's position in the bucket's commit-ordered list. The
+    ``maestro.read.resolve=shuffle`` formulation applies the identical
+    (_lsn, seq) ordering (lake.read_resolved tags each commit position), so
+    the two paths are deterministically equal. Equal-LSN ties can only come
+    from re-delivered events — the engine invariant is one-LSN-one-payload
+    per key, so the seq preference for the later commit is defensive
+    determinism, not semantics (and tests compare the paths row-for-row).
     """
     import numpy as np
     import pyarrow as pa

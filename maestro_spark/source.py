@@ -48,7 +48,38 @@ class CdcLogStreamReader(DataSourceStreamReader):
         if not self.log_dir:
             raise ValueError("cdc_binlog requires option 'path' (the log directory)")
         self.max_segments_per_batch = int(options.get("maxsegmentsperbatch", 0)) or None
+        self.checkpoint_hint = options.get("checkpointhint")
+        self.trace = options.get("trace")
         self._cursor: int | None = None  # last batch end seen this run
+
+    def _log(self, msg: str) -> None:
+        if self.trace:
+            with open(self.trace, "a") as fh:
+                fh.write(msg + "\n")
+
+    def _restore_cursor(self) -> int | None:
+        """Best-effort restart cursor from Spark's own offset WAL under the
+        checkpoint dir (offsets/<batchId>: 'v1' line, metadata json line,
+        then one offset json per source). Makes the admission-control clamp
+        effective from the FIRST trigger of a restarted query instead of one
+        unbounded catch-up batch."""
+        if not self.checkpoint_hint:
+            return None
+        try:
+            d = os.path.join(self.checkpoint_hint, "offsets")
+            batches = sorted((f for f in os.listdir(d) if f.isdigit()), key=int)
+            if not batches:
+                return None
+            import json
+
+            with open(os.path.join(d, batches[-1])) as fh:
+                last = fh.read().strip().splitlines()[-1]
+            obj = json.loads(last)
+            if isinstance(obj, str):
+                obj = json.loads(obj)
+            return int(obj["segment"])
+        except Exception:  # noqa: BLE001 — unparseable WAL: fall back unclamped
+            return None
 
     def initialOffset(self) -> dict:
         return {"segment": 0}
@@ -57,20 +88,36 @@ class CdcLogStreamReader(DataSourceStreamReader):
         """Admission control lives HERE, never in partitions(): Spark commits
         whatever range latestOffset announces, so truncating the partition
         list instead would silently skip the tail of the range (data loss).
-        The clamp is relative to the last end seen via partitions(); the
-        first trigger of a (re)started query is unclamped because the
-        checkpointed start isn't known yet — one large catch-up batch, then
-        bounded batches.
+        The clamp is relative to the last end seen via partitions(); before
+        the first partitions() call the cursor is recovered from the
+        checkpointed offset WAL (``checkpointHint`` option) or starts at 0
+        on a fresh query, so every trigger — including the first after a
+        restart — admits at most ``maxSegmentsPerBatch`` segments.
+
+        Trigger.AvailableNow caveat (measured, not assumed): Spark captures
+        ONE target offset at query start and drains to it in a single batch
+        for Python stream sources — a clamped announcement would TRUNCATE
+        the run, not split it. So the clamp engages only when (a) a cursor
+        was learned in-run via partitions() (processing-time steady state),
+        or (b) the caller passed ``checkpointHint`` — stream_ingest does so
+        exactly for processing-time triggers — making the restart catch-up
+        batch bounded too. Fresh or availableNow runs stay unclamped by
+        design; their memory is bounded by segment sizing instead.
         """
         n = len(_segments(self.log_dir))
-        if self.max_segments_per_batch and self._cursor is not None:
-            n = min(n, self._cursor + self.max_segments_per_batch)
+        if self.max_segments_per_batch:
+            if self._cursor is None and self.checkpoint_hint:
+                self._cursor = self._restore_cursor()
+            if self._cursor is not None:
+                n = min(n, self._cursor + self.max_segments_per_batch)
+        self._log(f"latestOffset cursor={self._cursor} -> {n}")
         return {"segment": n}
 
     def partitions(self, start: dict, end: dict):
         segs = _segments(self.log_dir)
         lo, hi = start["segment"], end["segment"]
         self._cursor = max(self._cursor or 0, hi)
+        self._log(f"partitions {lo} {hi}")
         return [
             SegmentPartition(os.path.join(self.log_dir, s)) for s in segs[lo:hi]
         ] or [SegmentPartition("")]

@@ -82,6 +82,15 @@ def stream_ingest(
         )
         if max_segments_per_batch:
             reader = reader.option("maxSegmentsPerBatch", str(max_segments_per_batch))
+            if not available_now and processing_time:
+                # processing-time runs: let the source recover its cursor
+                # from the offset WAL so the restart catch-up batch is
+                # bounded too (the clamp must NOT engage for availableNow —
+                # it would truncate the run; see source.latestOffset)
+                ckpt_hint = checkpoint_dir or os.path.join(
+                    table_root, "_checkpoints", query_id
+                )
+                reader = reader.option("checkpointHint", ckpt_hint)
         events = reader.load()
     if watermark:
         # event times are NTZ (naive); watermarks require TIMESTAMP, so derive

@@ -62,12 +62,20 @@ def main() -> None:
     from maestro_spark.ledger import Ledger
     per_epoch = [
         {k: e["stats"].get(k) for k in
-         ("rows_in", "rows_out", "wall_s", "plan_s", "write_s", "lineage_s",
-          "compact_s", "compacted_buckets")}
+         ("rows_in", "rows_out", "wall_s", "plan_s", "write_s", "lineage_s")}
         for e in Ledger(table.root, f"scale{cpus}").entries()
     ]
+    # compaction cost lives in the maintenance snapshots' own stats
+    compactions = [
+        {"snapshot_id": sid, "compact_s": s.stats.get("compact_s"),
+         "buckets": len(s.stats.get("buckets") or [])}
+        for sid in table.snapshot_ids()
+        for s in [table.snapshot(sid)]
+        if s.stats.get("maintenance")
+    ]
     with open("/tmp/replay_diag.log", "a") as fh:
-        fh.write(json.dumps({"cpus": cpus, "per_epoch": per_epoch}) + "\n")
+        fh.write(json.dumps({"cpus": cpus, "per_epoch": per_epoch,
+                             "compactions": compactions}) + "\n")
     print(
         json.dumps(
             {
