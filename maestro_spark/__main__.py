@@ -8,6 +8,7 @@ Subcommands:
           [--segments-per-epoch K]
   stream  --log DIR --table DIR [--continuous INTERVAL]
   show    --table DIR [--limit N] [--snapshot ID]
+  changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N]
   compact --table DIR [--tombstone-horizon LSN]
   bench   (same contract as bench.py)
 """
@@ -52,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--table", required=True)
     w.add_argument("--limit", type=int, default=20)
     w.add_argument("--snapshot", type=int, default=None)
+
+    ch = sub.add_parser("changes", help="incremental change feed between snapshots")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True, dest="from_snapshot")
+    ch.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot")
+    ch.add_argument("--limit", type=int, default=20)
 
     c = sub.add_parser("compact", help="compact data files / GC tombstones")
     c.add_argument("--table", required=True)
@@ -134,6 +141,17 @@ def main(argv: list[str] | None = None) -> int:
         df = table.read(snapshot_id=args.snapshot).orderBy("conv_id", "turn_idx")
         df.show(args.limit, truncate=40)
         print(json.dumps({"rows": df.count(), "snapshot": table.snapshot().snapshot_id}))
+    elif args.cmd == "changes":
+        table = LakeTable(spark, args.table)
+        feed = table.changes(args.from_snapshot, args.to_snapshot)
+        feed.orderBy("conv_id", "turn_idx").show(args.limit, truncate=40)
+        print(json.dumps({
+            "changes": feed.count(),
+            "from_snapshot": args.from_snapshot,
+            "to_snapshot": args.to_snapshot
+            if args.to_snapshot is not None
+            else table.snapshot().snapshot_id,
+        }))
     elif args.cmd == "compact":
         table = LakeTable(spark, args.table)
         snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)

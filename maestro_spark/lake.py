@@ -373,9 +373,16 @@ class LakeTable:
         """
         commit_uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.root, f"_staging-{commit_uid}")
+        # sort-within keeps (conv_id, turn_idx) clustered inside each file:
+        # parquet min/max stats prune key lookups and the MOR resolver's
+        # bucket-local merge stays cache-friendly. Spark would insert a
+        # pk_bucket-only sort for the dynamic-partition write anyway, so the
+        # marginal cost is the two extra sort keys. maestro.write.sortWithin=
+        # false drops to that implicit sort for write-throughput experiments.
+        if self.spark.conf.get("maestro.write.sortWithin", "true") == "true":
+            df = df.sortWithinPartitions("pk_bucket", "conv_id", "turn_idx")
         (
-            df.sortWithinPartitions("pk_bucket", "conv_id", "turn_idx")
-            .write.partitionBy("pk_bucket")
+            df.write.partitionBy("pk_bucket")
             .mode("overwrite")
             .parquet(staging)
         )

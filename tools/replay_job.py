@@ -33,15 +33,24 @@ def main() -> None:
         os.path.getsize(p) for p in log_segments(log_dir)
     )
     split = max(4 * 1024 * 1024, log_bytes // (cpus * 4))
+    extra = {
+        "spark.sql.files.maxPartitionBytes": str(split),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(split),
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+        # local mode: shuffle bytes never cross a NIC — lz4 compress+decompress
+        # is pure CPU/memory-traffic overhead here (measured best-of-3 at 8M
+        # events: 10.48s -> 9.18s @32c, 15.25s -> 11.65s @8c). A cluster
+        # deployment keeps the codec on for network shuffle.
+        "spark.shuffle.compress": "false",
+    }
+    # experiment hook: MAESTRO_EXTRA_CONF='{"spark.x": "y", ...}' overlays
+    # per-run Spark conf so A/B runs get a fresh JVM each (subprocess)
+    extra.update(json.loads(os.environ.get("MAESTRO_EXTRA_CONF", "{}")))
     spark = get_spark(
         f"scale-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=4 * cpus,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(split),
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(split),
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
