@@ -85,13 +85,17 @@ def knn_join_bruteforce(
     q_vec: str = "q_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """k-NN join: for every query row the top-k corpus rows. Queries are
-    broadcast (the small side by assumption); per-query top-k via window."""
+    broadcast (the small side by assumption); per-query top-k via window.
+    ``metric="qdot"`` scores with the quantized integer dot product —
+    bit-exact across engines, hence oracle-checkable."""
     from pyspark.sql import Window
 
+    score_fn = {"cosine": cosine, "dot": dot, "qdot": quantized_dot}[metric]
     scored = corpus.join(F.broadcast(queries)).withColumn(
-        "score", cosine(F.col(vec_col), F.col(q_vec))
+        "score", score_fn(F.col(vec_col), F.col(q_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(id_col))
     return (

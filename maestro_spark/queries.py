@@ -861,6 +861,36 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+@q(
+    "q_knn_join",
+    """WITH qv AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < 3),
+       c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+       prods AS (
+         SELECT qv.q_id, c.vec_id,
+                CAST(floor(CAST(unnest(c.embedding) AS DOUBLE) * 1000) AS BIGINT)
+                * CAST(floor(CAST(unnest(qv.qe) AS DOUBLE) * 1000) AS BIGINT) AS p
+         FROM c, qv),
+       dots AS (SELECT q_id, vec_id, CAST(SUM(p) AS BIGINT) AS score
+                FROM prods GROUP BY q_id, vec_id),
+       ranked AS (SELECT *, CAST(row_number() OVER
+                    (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INTEGER)
+                    AS rank
+                  FROM dots)
+       SELECT q_id, vec_id, score, rank FROM ranked WHERE rank <= 5""",
+)
+def q_knn_join(spark, sf_dir):
+    """k-NN join with the quantized integer dot metric (exact across
+    engines): 3 broadcast query vectors against the rest of the corpus,
+    per-query top-5 via window."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    return similarity.knn_join_bruteforce(qs, corpus, k=5, metric="qdot")
+
+
 @q("q_ann_lsh_indexed")  # rows-only: probes the persisted signature index
 def q_ann_lsh_indexed(spark, sf_dir):
     """Same probe as q_ann_lsh but against the materialized bucket-partitioned
