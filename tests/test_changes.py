@@ -96,6 +96,22 @@ def test_changes_empty_and_bad_range(spark, tmp_path):
         table.changes(latest, latest - 1)
 
 
+def test_changes_across_schema_evolution(spark, tmp_path):
+    # feed spanning an evolution boundary: pre-evolution winners surface with
+    # the evolved columns null-filled, post-evolution winners carry values
+    log = generate(GenConfig(seed=61, n_convs=40, evolution_at=0.5, segment_rows=200))
+    write_log(log, str(tmp_path / "log"), segment_rows=200)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log"), table, query_id="evo")
+    feed = table.changes(0)
+    assert "tool_calls" in feed.columns and "metadata" in feed.columns
+    n_with = feed.filter(F.col("tool_calls").isNotNull()).count()
+    n_without = feed.filter(F.col("tool_calls").isNull()).count()
+    assert n_with > 0 and n_without > 0
+    # and the feed still covers exactly the resolved key set
+    assert feed.count() == table.read_resolved().count()
+
+
 def test_changes_skip_compaction_snapshots(spark, tmp_path):
     # force a compaction inside the range; the feed must not re-state the
     # whole table through the maintenance snapshot's rewritten files
