@@ -464,8 +464,24 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
-@q("q_udaf_checksum")  # rows-only: grouped-agg pandas UDF (SURVEY D9)
+@q(
+    "q_udaf_checksum",
+    # the UDAF's md5-prefix-sum checksum, restated in SQL: per text, the
+    # first 8 md5 bytes as a big-endian integer (hex digits folded via
+    # list_reduce), summed per group in HUGEINT, mod 2^63 at the end —
+    # exactly udf.text_checksum_agg's arithmetic
+    """SELECT lang, CAST(SUM(
+         CASE WHEN text IS NULL THEN 0 ELSE list_reduce(
+           list_prepend(0::HUGEINT,
+             list_transform(generate_series(1, 16),
+               i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)::HUGEINT)),
+           (a, b) -> a * 16 + b) END
+       ) % (1::HUGEINT << 63) AS BIGINT) AS checksum
+       FROM documents GROUP BY lang""",
+)
 def q_udaf_checksum(spark, sf_dir):
+    """Grouped-agg pandas UDF (SURVEY D9), oracle-checked: the checksum is an
+    order-independent sum so both engines agree regardless of group order."""
     from maestro_spark.udf import text_checksum_agg
 
     d = _t(spark, sf_dir, "documents")
@@ -651,13 +667,29 @@ def q_fn_math(spark, sf_dir):
     )
 
 
-@q("q_fn_hash")  # rows-only: xxhash64 is engine-specific (SURVEY §2.H)
+@q(
+    "q_fn_hash",
+    """SELECT event_id, md5(event_type) AS m5, sha256(event_type) AS sha
+       FROM events""",
+)
 def q_fn_hash(spark, sf_dir):
+    """Hash family, cross-engine-checkable subset: md5 and sha2-256 are
+    standardized digests with identical hex output in Spark and DuckDB. The
+    engine-specific hashes (xxhash64, crc32) live in q_fn_hash_native."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.md5(F.col("event_type").cast("binary")).alias("m5"),
+        F.sha2(F.col("event_type"), 256).alias("sha"),
+    )
+
+
+@q("q_fn_hash_native")  # rows-only: xxhash64/crc32 are engine-specific
+def q_fn_hash_native(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.xxhash64("event_type").alias("xx"),
-        F.sha2(F.col("event_type"), 256).alias("sha"),
         F.crc32(F.col("event_type").cast("binary")).alias("crc"),
     )
 
