@@ -105,6 +105,92 @@ def knn_join_bruteforce(
     )
 
 
+def _quantized(vec_col: str, scale: int) -> Column:
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold_centi: int = 40,
+    scale: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "exact",
+    n_bits: int = 12,
+    prefix_bits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task-brief dedup family): all
+    (id_a < id_b) pairs whose cosine similarity is >= threshold_centi/100.
+
+    The comparison is exact integer arithmetic on floor(x*scale) quantized
+    vectors — ``qdot > 0 AND qdot^2 * 100^2 >= t^2 * |a|^2 * |b|^2`` — so the
+    decision is bit-identical across engines (DuckDB-oracle-checkable), with
+    no float sqrt/divide in the predicate.
+
+    ``mode="exact"`` — all-pairs verification baseline: quadratic, scoped to
+    candidate verification / small corpora exactly like
+    ``dedup_text.jaccard_pairs``. ``mode="lsh"`` — the 100 TB shape: pairs
+    are generated only within matching sign-projection signature prefixes
+    (same hyperplane family as :func:`ann_lsh_topk`), then verified with the
+    identical exact predicate; recall trades off with ``prefix_bits`` and is
+    asserted against planted near-dups in tests rather than an oracle.
+    """
+    t2 = threshold_centi * threshold_centi
+    base = (
+        corpus.select(F.col(id_col), _quantized(vec_col, scale).alias("_q"))
+        .withColumn(
+            "_n2",
+            F.aggregate(
+                F.transform("_q", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    if mode == "lsh":
+        sample = corpus.select(vec_col).head()
+        planes = [_projection_vector(seed + i, len(sample[0])) for i in range(n_bits)]
+        sig = lsh_signature(F.col(vec_col), planes)
+        base = (
+            corpus.select(
+                F.col(id_col),
+                F.shiftrightunsigned(sig, n_bits - prefix_bits).alias("_b"),
+            )
+            .join(base, id_col)
+        )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if mode == "lsh":
+        pairs = a.join(b, (F.col("a._b") == F.col("b._b")) & cond)
+    else:
+        pairs = a.join(b, cond)
+    qdot = F.aggregate(
+        F.zip_with(F.col("a._q"), F.col("b._q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            qdot.alias("qdot"),
+            F.col("a._n2").alias("_na2"),
+            F.col("b._n2").alias("_nb2"),
+        )
+        .filter(
+            (F.col("qdot") > 0)
+            & (
+                F.col("qdot") * F.col("qdot") * F.lit(scale * scale)
+                >= F.lit(t2) * F.col("_na2") * F.col("_nb2")
+            )
+        )
+        .select("id_a", "id_b", "qdot")
+    )
+
+
 # ------------------------------------------------------------- LSH-bucketed
 def _projection_vector(seed: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from a seed (numpy, driver-side

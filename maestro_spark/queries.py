@@ -883,6 +883,35 @@ def q_ann_bruteforce(spark, sf_dir):
     )
 
 
+@q(
+    "q_embed_neardup",
+    # the exact integer predicate of similarity.embedding_neardup_pairs,
+    # restated: cosine >= 0.40 decided as qdot^2*100^2 >= 40^2*|a|^2*|b|^2
+    # on floor(x*100) quantized vectors — no float divide/sqrt either side
+    """WITH n AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+         FROM embeddings),
+       m AS (
+         SELECT vec_id, q,
+                CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+         FROM n),
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS na2, b.n2 AS nb2,
+                CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+         FROM m a JOIN m b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, qdot FROM p
+       WHERE qdot > 0 AND qdot * qdot * 10000 >= 1600 * na2 * nb2""",
+)
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (task-brief dedup family), exact
+    verification mode — the LSH-blocked scale path is exercised in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(e, threshold_centi=40, scale=100)
+
+
 @q("q_ann_lsh")  # rows-only: LSH recall is approximate by design
 def q_ann_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")

@@ -151,6 +151,29 @@ def test_persisted_lsh_index_prunes_and_matches(spark, tmp_path):
     assert "PartitionFilters" in buf.getvalue() and "_bucket" in buf.getvalue()
 
 
+def test_embedding_neardup_pairs(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[11] = vecs[2] + rng.standard_normal(16).astype(np.float32) * 0.05
+    vecs[45] = vecs[30] * 1.1  # scaled copy: cosine ~1 regardless of norm
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = similarity.embedding_neardup_pairs(df, threshold_centi=90)
+    got = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert {(2, 11), (30, 45)} <= got
+    assert len(got) < 10  # random pairs stay below a 0.9 cosine bar
+
+    # LSH blocking: a subset of the exact pairs (identical verify predicate),
+    # and it still recalls the planted near-dups
+    lsh = similarity.embedding_neardup_pairs(
+        df, threshold_centi=90, mode="lsh", n_bits=8, prefix_bits=4
+    )
+    got_lsh = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert got_lsh <= got
+    assert {(2, 11), (30, 45)} <= got_lsh
+
+
 def test_knn_join(spark):
     rows = [(i, [float(i), 0.0]) for i in range(10)]
     corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
