@@ -18,7 +18,10 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+try:
+    import maestro_spark  # noqa: F401  (provided via spark-submit --py-files)
+except ImportError:  # repo-local run without packaging
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
