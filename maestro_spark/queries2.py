@@ -219,13 +219,16 @@ def q_fn_regex(spark, sf_dir):
 
 @q("q_fn_map")  # rows-only: map columns don't hash portably across engines
 def q_fn_map(spark, sf_dir):
+    """Map family. Outputs are scalars only — the driver's canonicalizer
+    sorts result rows pandas-side and dies on array/map cells, so the key
+    list is flattened with array_join (see queries.py module docstring)."""
     ev = _t(spark, sf_dir, "events")
     m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("k"),
                      F.get_json_object("props", "$.k"))
     return ev.select(
         "event_id",
         F.element_at(m, "type").alias("type_val"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
         F.to_json(m).alias("as_json"),
     )
 
@@ -362,7 +365,12 @@ def q_cdc_evolution(spark, sf_dir):
     return out.select(
         "conv_id", "turn_idx", "text",
         F.size(F.coalesce(F.col("tool_calls"), F.array())).alias("n_tool_calls"),
-        F.map_keys(F.coalesce(F.col("metadata"), F.create_map())).alias("meta_keys"),
+        # scalars only in driver results (the canonicalizer cannot sort
+        # array cells) — evolved metadata keys flattened to a sorted string
+        F.array_join(
+            F.array_sort(F.map_keys(F.coalesce(F.col("metadata"), F.create_map()))),
+            ",",
+        ).alias("meta_keys"),
     )
 
 
