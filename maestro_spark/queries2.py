@@ -383,22 +383,33 @@ def _finalize_registration_order() -> None:
     driver row costs the least). Runs once at import, after every @q
     registration in queries.py and queries2.py."""
     front = ["q_cdc_replay", "q_cdc_changes"]
+    # new operator FAMILIES (queries3.py) rank above same-family variants:
+    # a driver row for pivot/sampling/subquery is new coverage, a second
+    # string/date-family row is not
+    extended = [
+        "q_pivot", "q_unpivot", "q_sample_hash", "q_sample_stratified",
+        "q_win_pctrank", "q_scalar_subquery", "q_fn_bitwise",
+        "q_tf_topterms", "q_sql_exists",
+    ]
     secondary = [
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
         "q_fn_string2", "q_win_sliding",
     ]
     primary = [
-        k for k in QUERIES if k in ORACLES and k not in front and k not in secondary
+        k for k in QUERIES
+        if k in ORACLES and k not in front and k not in secondary and k not in extended
     ]
     rows_only = [k for k in QUERIES if k not in ORACLES]
-    order = [*front, *primary, *secondary, *rows_only]
+    order = [*front, *primary, *extended, *secondary, *rows_only]
     assert set(order) == set(QUERIES) and len(order) == len(QUERIES)
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
         d.clear()
         d.update({k: snapshot[k] for k in order if k in snapshot})
 
+
+import maestro_spark.queries3  # noqa: E402,F401  (registers part-3 corpus)
 
 _finalize_registration_order()
 

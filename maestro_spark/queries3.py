@@ -1,0 +1,261 @@
+"""Driver-contract query corpus, part 3 — reshaping / sampling / subquery
+operators beyond the SURVEY §2 inventory.
+
+These are the table-reshaping and dataset-curation shapes a training-data
+pipeline needs on top of the core engine: pivot/unpivot, deterministic
+hash sampling (whole-table and stratified), distribution ranks
+(percent_rank/cume_dist), scalar subqueries, bitwise arithmetic, term
+frequency top-k, and the SQL front door (correlated EXISTS through
+``spark.sql``). All follow queries.py's numeric-determinism rules: every
+oracle output CAST to the exact Spark result type, float ordering
+tie-broken by a unique key, sampling keyed on md5 of a canonical string
+(identical bytes in both engines) — never on engine-specific RNG.
+
+Scale notes (the 100 TB lens):
+- the hash samples are pure scan-stage filters/projections — no shuffle,
+  fully pushed into the parquet scan stage, and the stratified variant is
+  one rank-window per stratum (a single hash-partitioned exchange);
+- pivot uses an explicit value list so Spark skips the extra distinct-
+  collection job and the agg stays a single map-side-combined hash agg;
+- the scalar subquery broadcasts one aggregated row — no driver collect;
+- tf-top-k is explode → partial-agg count → per-doc rank window: the
+  explode multiplies rows ~n_tokens× but never materializes beyond the
+  first partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from maestro_spark.queries import _DEC, ORACLES, QUERIES, _t, q
+
+# ------------------------------------------------------------------ pivot
+@q(
+    "q_pivot",
+    """SELECT o_orderpriority,
+              CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+              CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_filled,
+              CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_partial
+       FROM orders GROUP BY o_orderpriority""",
+)
+def q_pivot(spark, sf_dir):
+    """Pivot: long→wide over a small known category set. The explicit
+    values list lets Spark plan ONE hash aggregate (no prior distinct
+    job to discover pivot values) — at 100 TB the pivot is exactly as
+    cheap as the groupBy it wraps."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- unpivot
+@q(
+    "q_unpivot",
+    """WITH a AS (SELECT l_returnflag,
+                         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+                         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+                         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_disc
+                  FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS amount FROM a
+       UNION ALL
+       SELECT l_returnflag, 'sum_price' AS measure, sum_price AS amount FROM a
+       UNION ALL
+       SELECT l_returnflag, 'sum_disc'  AS measure, sum_disc  AS amount FROM a""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide→long via Spark's native unpivot (a zero-shuffle
+    Expand node — each input row fans out to k measure rows in the same
+    task, no exchange). Money math in DECIMAL(18,2) for cross-engine
+    exactness, DOUBLE only at the edge."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast(_DEC).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast(_DEC)).cast(_DEC).cast("double").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "amount"
+    )
+
+
+# ------------------------------------------------- deterministic sampling
+@q(
+    "q_sample_hash",
+    """SELECT event_id, event_type, value FROM events
+       WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~2/16 Bernoulli sample keyed on md5(event_id) — the
+    reproducible alternative to rand()-based TABLESAMPLE for dataset
+    curation: same rows on every engine, every run, any partitioning.
+    Pure narrow filter in the scan stage; no shuffle, no state."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    return ev.filter(bucket.isin("0", "1")).select("event_id", "event_type", "value")
+
+
+@q(
+    "q_sample_stratified",
+    """SELECT event_id, event_type FROM events
+       QUALIFY row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 40""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified fixed-size sample: exactly n rows per stratum, chosen by
+    hash order (deterministic, uniform, engine-portable). One rank window
+    per stratum = a single hash-partitioned exchange on the stratum key;
+    at scale with many strata this is the balanced-cardinality case
+    windows are good at. Skewed strata would use ops.top_k_per_group's
+    salted two-phase variant instead."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 40)
+        .select("event_id", "event_type")
+    )
+
+
+# ------------------------------------------------------ distribution ranks
+@q(
+    "q_win_pctrank",
+    """SELECT event_id, event_type,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+)
+def q_win_pctrank(spark, sf_dir):
+    """percent_rank + cume_dist per stratum. Deterministic doubles: the
+    ordering key is tie-broken by the unique event_id, so both engines
+    compute (rank-1)/(n-1) and row_number/n on identical integer inputs —
+    the single division yields bit-identical IEEE doubles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# -------------------------------------------------------- scalar subquery
+@q(
+    "q_scalar_subquery",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_above
+       FROM events
+       WHERE CAST(FLOOR(value * 1000) AS BIGINT) >
+             (SELECT AVG(CAST(FLOOR(value * 1000) AS BIGINT)) FROM events)
+       GROUP BY event_type""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery filter (rows above the global mean). DataFrame
+    form: the one-row global aggregate is broadcast-cross-joined — the
+    exact plan Catalyst builds for an uncorrelated scalar subquery; no
+    driver-side collect of the scalar. Quantized-int mean: SUM(BIGINT) is
+    exact in both engines, one final division → identical double."""
+    ev = _t(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 1000).cast("long")
+    mean = ev.agg(F.avg(qv).alias("_mean"))
+    return (
+        ev.withColumn("_qv", qv)
+        .join(F.broadcast(mean))
+        .filter(F.col("_qv") > F.col("_mean"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# --------------------------------------------------------------- bitwise
+@q(
+    "q_fn_bitwise",
+    """SELECT event_id,
+              event_id & 255 AS b_and,
+              event_id | 16 AS b_or,
+              xor(event_id, user_id) AS b_xor,
+              event_id << 3 AS b_shl,
+              ~event_id AS b_not,
+              CAST(bit_count(event_id) AS INTEGER) AS b_pop
+       FROM events""",
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise family — AND/OR/XOR/shift/NOT/popcount, all BIGINT-exact
+    codegen arithmetic in both engines (Spark bit_count returns INT; the
+    oracle casts DuckDB's TINYINT to match)."""
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return ev.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("b_and"),
+        eid.bitwiseOR(F.lit(16)).alias("b_or"),
+        eid.bitwiseXOR(F.col("user_id")).alias("b_xor"),
+        F.shiftleft(eid, 3).alias("b_shl"),
+        F.bitwise_not(eid).alias("b_not"),
+        F.bit_count(eid).alias("b_pop"),
+    )
+
+
+# -------------------------------------------------- term frequency top-k
+@q(
+    "q_tf_topterms",
+    """WITH toks AS (
+           SELECT doc_id, tok
+           FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+           WHERE tok <> ''
+       ),
+       tf AS (
+           SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok
+       )
+       SELECT doc_id, tok, tf FROM tf
+       QUALIFY row_number() OVER (
+           PARTITION BY doc_id ORDER BY tf DESC, tok) <= 3""",
+)
+def q_tf_topterms(spark, sf_dir):
+    """Per-document top-3 terms by frequency: tokenize (explode) →
+    count (hash agg with map-side partial — the explosion collapses
+    back to |doc|×|vocab-per-doc| before any exchange) → per-doc rank
+    window. Ties broken by token text so top-k is deterministic. The
+    building block for tf-idf / vocabulary curation over a corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), "tok")
+    return (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "tok", "tf")
+    )
+
+
+# -------------------------------------------------- SQL front door: EXISTS
+_EXISTS_SQL = """SELECT c_custkey, c_name FROM {customer} c
+WHERE EXISTS (SELECT 1 FROM {orders} o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"""
+
+
+@q("q_sql_exists", _EXISTS_SQL.format(customer="customer", orders="orders"))
+def q_sql_exists(spark, sf_dir):
+    """Correlated EXISTS through the engine's SQL front door: the same
+    text a user would type runs via ``spark.sql`` over registered views;
+    Catalyst rewrites the correlated EXISTS into a left-semi hash join
+    (no per-row subquery execution — verify with .explain)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q3_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q3_orders")
+    return spark.sql(_EXISTS_SQL.format(customer="q3_customer", orders="q3_orders"))
