@@ -48,13 +48,15 @@ def _noop_run(df) -> None:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from maestro_spark.queries import QUERIES
 
-    # warmup: JIT/codegen + file-index caches, untimed
-    _noop_run(QUERIES["q_topk"](spark, sf_dir))
-    _noop_run(QUERIES["q_agg_basic"](spark, sf_dir))
-
+    # Steady-state protocol, same as bench_cdc's replay measurement: one
+    # untimed warmup run per query (whole-stage codegen compile + JIT +
+    # file-index caches — one-time costs that amortize to zero over a real
+    # workload; the 64-aggregate simhash plan alone compiles for multiple
+    # seconds on first run), then the timed run measures execution.
     out: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        _noop_run(fn(spark, sf_dir))
         t0 = time.time()
         _noop_run(fn(spark, sf_dir))
         out[name] = round(time.time() - t0, 3)

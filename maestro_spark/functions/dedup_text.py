@@ -212,8 +212,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    )
-    h = F.xxhash64("tok")
+    ).select("id", F.xxhash64("tok").alias("_h"))
+    # hash hoisted into its own projection: xxhash64 is not "cheap" under
+    # CollapseProject, so Catalyst keeps it materialized once per token
+    # instead of cloning it into all 64 vote expressions — 64x smaller
+    # agg expression tree (analysis + codegen compile time) and a
+    # guaranteed single hash evaluation per token
+    h = F.col("_h")
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
