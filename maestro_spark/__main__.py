@@ -10,6 +10,7 @@ Subcommands:
   show    --table DIR [--limit N] [--snapshot ID]
   changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N]
   compact --table DIR [--tombstone-horizon LSN]
+  ivm     --table DIR --view DIR [--to-snapshot N]
   bench   (same contract as bench.py)
 """
 
@@ -63,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="compact data files / GC tombstones")
     c.add_argument("--table", required=True)
     c.add_argument("--tombstone-horizon", type=int, default=None)
+
+    iv = sub.add_parser(
+        "ivm", help="refresh the per-conversation stats view off the change feed"
+    )
+    iv.add_argument("--table", required=True)
+    iv.add_argument("--view", required=True)
+    iv.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot")
 
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
@@ -156,6 +164,17 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)
         print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+    elif args.cmd == "ivm":
+        from maestro_spark.ivm import ConvStatsView
+
+        table = LakeTable(spark, args.table)
+        view = ConvStatsView(spark, table, args.view)
+        snap = view.refresh(to_snapshot=args.to_snapshot)
+        print(json.dumps({
+            "refreshed": snap is not None,
+            "applied_through": view.applied_through(),
+            "view_rows": view.read().count(),
+        }))
     spark.stop()
     return 0
 

@@ -1,0 +1,213 @@
+"""Incremental materialized-view maintenance driven by the change feed.
+
+``ConvStatsView`` maintains a per-conversation aggregate table (turn count,
+tool-turn count, total characters, last event time) on top of a transcript
+``LakeTable``, refreshed from :meth:`LakeTable.changes` so each refresh does
+work proportional to the DELTA, not the table:
+
+- the feed names the changed conversations; only the lake buckets containing
+  them are read (manifest file pruning — untouched buckets contribute zero
+  bytes of IO), and only the changed conversations are re-aggregated;
+- the refreshed rows flow through the engine's own ``merge_batch`` upsert
+  path, so the view inherits the exactly-once contract for free: the epoch
+  key ``ivm-conv-stats:<base_snapshot_id>`` makes every refresh idempotent,
+  and a crash mid-refresh is invisible (the view's snapshot chain is the
+  commit point, same as any table);
+- the refresh cursor is DERIVED, not stored: the highest base snapshot id
+  folded in so far is read back from the view's own committed epoch keys,
+  so there is no side-channel state file to lose or corrupt.
+
+This is the canonical downstream consumer a CDC engine exists for: the
+pattern generalizes to any per-key aggregate by swapping the ``_AGGS`` list.
+
+Delta-driven partial recompute (re-aggregate changed keys from current
+state) rather than algebraic delta application (add/subtract increments)
+is deliberate: the change feed carries post-images only, and update/delete
+events would need pre-images to subtract from SUM/COUNT aggregates.
+Recomputing only the touched conversations needs no pre-images, handles
+non-subtractable aggregates (MAX) uniformly, and its cost is bounded by the
+touched buckets — at 10^10 events per day across millions of conversations
+the touched-bucket set per refresh stays a small fraction of the table.
+
+Scale posture: one bucket-pruned scan + one aggregation + merge_batch's
+single exchange per refresh; nothing driver-side except the bounded
+changed-bucket id list (≤ n_buckets ints, the same bound the COW planner
+already accepts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from maestro_spark.lake import LakeTable, Snapshot, bucket_expr
+from maestro_spark.merge import merge_batch
+
+STATS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        # the merge key is (conv_id, turn_idx); a per-conversation view pins
+        # turn_idx = 0 so conv_id alone is the effective key
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("n_turns", T.LongType(), True),
+        T.StructField("n_tool_turns", T.LongType(), True),
+        T.StructField("total_chars", T.LongType(), True),
+        T.StructField("last_ts", T.TimestampNTZType(), True),
+    ]
+)
+
+_QUERY_ID = "ivm-conv-stats"
+
+
+def _conv_aggs() -> list[F.Column]:
+    return [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_turns"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")).alias(
+            "total_chars"
+        ),
+        F.max("ts").alias("last_ts"),
+    ]
+
+
+class ConvStatsView:
+    """Per-conversation aggregate view over a transcript LakeTable."""
+
+    def __init__(self, spark: SparkSession, base: LakeTable, root: str):
+        self.spark = spark
+        self.base = base
+        try:
+            self.table = LakeTable(spark, root)
+            self.table.snapshot()
+        except Exception:  # noqa: BLE001 — not a table yet: create it
+            self.table = LakeTable.create(
+                spark,
+                root,
+                payload_schema=STATS_PAYLOAD_SCHEMA,
+                n_buckets=base.snapshot().n_buckets,
+            )
+
+    # ------------------------------------------------------------- cursor
+    def applied_through(self) -> int:
+        """Highest base snapshot id already folded into the view, derived
+        from the view's own committed epoch keys (no side-channel state)."""
+        prefix = f"{_QUERY_ID}:"
+        sids = [
+            int(k[len(prefix):])
+            for k in self.table.committed_epoch_keys()
+            if k.startswith(prefix)
+        ]
+        return max(sids, default=0)
+
+    # ------------------------------------------------------------ refresh
+    def refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
+        """Fold base changes ``(applied_through, to_snapshot]`` into the view.
+
+        Returns the view's new snapshot, or None when already current (or
+        when a concurrent/repeated refresh of the same range already
+        committed — merge_batch's idempotence).
+
+        Falls back to :meth:`full_refresh` when the feed horizon has been
+        expired away (same degradation any lake change-feed consumer
+        implements).
+        """
+        frm = self.applied_through()
+        to = (
+            to_snapshot
+            if to_snapshot is not None
+            else self.base.snapshot().snapshot_id
+        )
+        if to <= frm:
+            return None
+        try:
+            feed = self.base.changes(frm, to)
+        except FileNotFoundError:  # feed horizon expired → full rebuild
+            return self.full_refresh(to)
+
+        n_buckets = self.base.snapshot(to).n_buckets
+        # bounded driver-side list: distinct buckets of changed convs
+        bucket_rows = (
+            feed.select(bucket_expr("conv_id", n_buckets).alias("b")).distinct().collect()
+        )
+        buckets = sorted(r["b"] for r in bucket_rows)
+        if not buckets:
+            # content-free range (e.g. maintenance-only): record the cursor
+            # advance with an empty upsert batch so applied_through moves
+            empty = self.spark.createDataFrame([], self._event_schema())
+            return merge_batch(self.table, empty, query_id=_QUERY_ID, epoch_id=to)
+
+        changed = feed.select("conv_id").distinct()
+        current = self.base.read(snapshot_id=to, buckets=buckets)
+        return self._apply(changed, current, to)
+
+    def full_refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
+        """Rebuild every conversation's row from base state at ``to_snapshot``
+        (used when the incremental feed horizon is gone). Conversations that
+        vanished from the base since the last refresh are tombstoned via the
+        same anti-join the incremental path uses."""
+        to = (
+            to_snapshot
+            if to_snapshot is not None
+            else self.base.snapshot().snapshot_id
+        )
+        current = self.base.read(snapshot_id=to)
+        known = self.table.read().select("conv_id")
+        changed = current.select("conv_id").union(known).distinct()
+        return self._apply(changed, current, to)
+
+    def _event_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("op_lsn", T.LongType(), False),
+                T.StructField("op", T.StringType(), False),
+                *STATS_PAYLOAD_SCHEMA.fields,
+            ]
+        )
+
+    def _apply(
+        self, changed: DataFrame, current: DataFrame, to: int
+    ) -> Snapshot | None:
+        """Re-aggregate ``changed`` conv_ids from ``current`` rows and merge
+        upserts + tombstones into the view at LSN ``to`` (monotone per
+        refresh, so later refreshes always dominate earlier rows)."""
+        agg = (
+            current.join(changed, "conv_id")
+            .groupBy("conv_id")
+            .agg(*_conv_aggs())
+        )
+        upserts = agg.select(
+            F.lit(to).cast("long").alias("op_lsn"),
+            F.lit("upsert").alias("op"),
+            "conv_id",
+            F.lit(0).alias("turn_idx"),
+            "n_turns",
+            "n_tool_turns",
+            "total_chars",
+            "last_ts",
+        )
+        # changed convs with zero surviving turns no longer exist in base
+        gone = changed.join(agg.select("conv_id"), "conv_id", "left_anti").select(
+            F.lit(to).cast("long").alias("op_lsn"),
+            F.lit("delete").alias("op"),
+            "conv_id",
+            F.lit(0).alias("turn_idx"),
+            F.lit(None).cast("long").alias("n_turns"),
+            F.lit(None).cast("long").alias("n_tool_turns"),
+            F.lit(None).cast("long").alias("total_chars"),
+            F.lit(None).cast("timestamp_ntz").alias("last_ts"),
+        )
+        events = upserts.unionByName(gone)
+        return merge_batch(self.table, events, query_id=_QUERY_ID, epoch_id=to)
+
+    # -------------------------------------------------------------- reads
+    def read(self) -> DataFrame:
+        return self.table.read().drop("turn_idx")
+
+    def expected(self, snapshot_id: int | None = None) -> DataFrame:
+        """Full recompute from base — the reconvergence oracle for tests."""
+        return (
+            self.base.read(snapshot_id=snapshot_id)
+            .groupBy("conv_id")
+            .agg(*_conv_aggs())
+        )

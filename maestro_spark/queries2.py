@@ -339,6 +339,40 @@ def q_cdc_changes(spark, sf_dir):
     )
 
 
+@q(
+    "q_ivm_stats",
+    f"""WITH w AS (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(tool, op_lsn) AS tool,
+                 arg_max(ts, op_lsn) AS ts,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx)
+        SELECT conv_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tool_turns,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+               MAX(ts) AS last_ts
+        FROM w WHERE op <> 'delete' GROUP BY conv_id""",
+)
+def q_ivm_stats(spark, sf_dir):
+    """Incremental view maintenance (ivm.ConvStatsView): the per-conversation
+    aggregate table, maintained in TWO staged delta refreshes off the change
+    feed (mid-chain, then to current — exercising the incremental path, not a
+    one-shot rebuild), must equal DuckDB's direct aggregate over the replayed
+    final state of the very same log segments."""
+    from maestro_spark.ivm import ConvStatsView
+
+    table = _ensure_cdc_demo_lake(spark)
+    view = ConvStatsView(spark, table, f"{_CDC_DEMO_DIR}/stats_view")
+    sids = [s for s in table.snapshot_ids() if s > 0]
+    view.refresh(to_snapshot=sids[len(sids) // 2])  # no-op when current
+    view.refresh()
+    return view.read()
+
+
 @q("q_cdc_evolution")  # rows-only: evolved map/array columns don't hash portably
 def q_cdc_evolution(spark, sf_dir):
     """Schema-evolution replay demo: log with tool_calls/metadata appearing
@@ -382,7 +416,7 @@ def _finalize_registration_order() -> None:
     entries last (those are additionally pytest-verified, so losing their
     driver row costs the least). Runs once at import, after every @q
     registration in queries.py and queries2.py."""
-    front = ["q_cdc_replay", "q_cdc_changes"]
+    front = ["q_cdc_replay", "q_cdc_changes", "q_ivm_stats"]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
     # string/date-family row is not

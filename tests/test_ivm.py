@@ -1,0 +1,111 @@
+"""Incremental view maintenance: the view must always reconverge to the
+full recompute, refresh must be delta-driven and idempotent, and deletes
+must propagate as view tombstones."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from maestro_spark.gen import GenConfig, generate, write_log
+from maestro_spark.ivm import ConvStatsView
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch
+from maestro_spark.replay import replay
+
+
+def _build_base(spark, d, n_convs=120, segments=4):
+    log = generate(GenConfig(seed=31, n_convs=n_convs))
+    write_log(log, f"{d}/log", segment_rows=(len(log) + segments - 1) // segments)
+    t = LakeTable.create(spark, f"{d}/lake", n_buckets=8)
+    replay(spark, f"{d}/log", t, query_id="ivm-base")
+    return t
+
+
+def _assert_view_matches(view):
+    got = view.read().orderBy("conv_id").toPandas()
+    exp = view.expected().orderBy("conv_id").toPandas()
+    assert len(got) == len(exp)
+    for col in ("conv_id", "n_turns", "n_tool_turns", "total_chars", "last_ts"):
+        assert (
+            got[col].fillna(-1).values == exp[col].fillna(-1).values
+        ).all(), col
+
+
+def test_staged_refresh_reconverges(spark):
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d)
+    sids = [s for s in base.snapshot_ids() if s > 0]
+    assert len(sids) >= 3  # one snapshot per replay epoch
+    view = ConvStatsView(spark, base, f"{d}/stats")
+    # refresh in two stages: mid-chain, then to current — the second stage
+    # must fold exactly the remaining epochs' changes
+    mid = sids[len(sids) // 2]
+    assert view.refresh(to_snapshot=mid) is not None
+    assert view.applied_through() == mid
+    assert view.refresh() is not None
+    assert view.applied_through() == sids[-1]
+    _assert_view_matches(view)
+
+
+def test_refresh_is_idempotent(spark):
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d)
+    view = ConvStatsView(spark, base, f"{d}/stats")
+    assert view.refresh() is not None
+    assert view.refresh() is None  # already current: no new snapshot
+    # re-attaching from disk derives the same cursor (no state file)
+    again = ConvStatsView(spark, base, f"{d}/stats")
+    assert again.applied_through() == view.applied_through()
+    assert again.refresh() is None
+
+
+def test_full_conv_delete_tombstones_view_row(spark):
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d)
+    view = ConvStatsView(spark, base, f"{d}/stats")
+    view.refresh()
+    victim = base.read().select("conv_id").orderBy("conv_id").head()[0]
+    assert view.read().filter(F.col("conv_id") == victim).count() == 1
+    # delete every turn of one conversation through the normal merge path
+    max_lsn = base.read_resolved().agg(F.max("_lsn")).head()[0]
+    doomed = (
+        base.read()
+        .filter(F.col("conv_id") == victim)
+        .select(
+            (F.lit(max_lsn) + 1 + F.col("turn_idx")).cast("long").alias("op_lsn"),
+            F.lit("delete").alias("op"),
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        )
+    )
+    assert merge_batch(base, doomed, query_id="ivm-del", epoch_id=999) is not None
+    view.refresh()
+    assert view.read().filter(F.col("conv_id") == victim).count() == 0
+    _assert_view_matches(view)
+
+
+def test_refresh_across_compaction(spark):
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d)
+    view = ConvStatsView(spark, base, f"{d}/stats")
+    sids = [s for s in base.snapshot_ids() if s > 0]
+    view.refresh(to_snapshot=sids[0])
+    base.compact()  # content-preserving maintenance snapshot mid-range
+    assert view.refresh() is not None
+    _assert_view_matches(view)
+
+
+def test_full_refresh_fallback_after_expiry(spark):
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d)
+    view = ConvStatsView(spark, base, f"{d}/stats")
+    sids = [s for s in base.snapshot_ids() if s > 0]
+    view.refresh(to_snapshot=sids[0])
+    # expire the early chain so the incremental feed horizon is gone
+    base.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        base.changes(view.applied_through())
+    assert view.refresh() is not None  # silently falls back to full rebuild
+    _assert_view_matches(view)
