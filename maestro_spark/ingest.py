@@ -36,28 +36,25 @@ def read_csv_typed(
     )
 
 
-def csv_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-check demo (rows-only): materialize a deterministic CSV from the
-    events table (with two planted corrupt rows), ingest it typed, and return
-    per-channel counts + a value checksum."""
-    import duckdb
+CSV_DEMO_PATH = "/tmp/maestro_csv_demo/events.csv"
 
-    tmp = f"/tmp/maestro_csv_demo_{os.path.basename(sf_dir.rstrip('/'))}"
-    csv_path = f"{tmp}/events.csv"
+
+def csv_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-check demo: materialize a deterministic synthetic CSV (seeded
+    arithmetic rows + two planted corrupt rows — independent of sf_dir, so a
+    static DuckDB oracle can read the very same file), ingest it typed, and
+    return per-channel counts + a value checksum."""
+    csv_path = CSV_DEMO_PATH
     if not os.path.exists(csv_path):
-        os.makedirs(tmp, exist_ok=True)
-        con = duckdb.connect()
-        pdf = con.execute(
-            f"""SELECT event_id, user_id, event_type, value
-                FROM read_parquet('{sf_dir}/events.parquet')
-                ORDER BY event_id LIMIT 2000"""
-        ).df()
-        with open(csv_path, "w") as fh:
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
+        kinds = ["click", "view", "purchase", "signup"]
+        with open(csv_path + ".tmp", "w") as fh:
             fh.write("event_id,user_id,event_type,value\n")
-            for r in pdf.itertuples(index=False):
-                fh.write(f"{r.event_id},{r.user_id},{r.event_type},{r.value}\n")
+            for i in range(2000):
+                fh.write(f"{i},{(i * 7) % 500},{kinds[i % 4]},{i * 0.5:.2f}\n")
             fh.write("oops,not_a_number,click,abc\n")  # planted corrupt rows
             fh.write("123,456,purchase,not_a_double\n")
+        os.replace(csv_path + ".tmp", csv_path)
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -67,7 +64,18 @@ def csv_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     raw = read_csv_typed(spark, csv_path, schema)
-    good, bad = validate_split(raw, F.col("_corrupt").isNull() & F.col("event_id").isNotNull())
+    # the predicate references EVERY typed column: Spark's CSV parser only
+    # parses referenced columns (csv.parser.columnPruning), so a row whose
+    # only malformed field is an unreferenced column would silently pass the
+    # corrupt check — naming all columns forces the full parse the corrupt
+    # channel is defined over
+    good, bad = validate_split(
+        raw,
+        F.col("_corrupt").isNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull(),
+    )
     return good.agg(
         F.count(F.lit(1)).alias("n_good"),
         F.sum("event_id").alias("id_checksum"),

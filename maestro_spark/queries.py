@@ -989,8 +989,32 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", checksum.alias("feature_checksum"))
 
 
-@q("q_ingest_csv")  # rows-only: A4 typed CSV ingest with corrupt-record channel
+@q(
+    "q_ingest_csv",
+    """WITH raw AS (
+         SELECT * FROM read_csv('/tmp/maestro_csv_demo/events.csv',
+             header=true, all_varchar=true)
+       ),
+       typed AS (
+         SELECT TRY_CAST(event_id AS BIGINT) AS eid,
+                TRY_CAST(user_id AS BIGINT) AS uid,
+                TRY_CAST(value AS DOUBLE) AS v
+         FROM raw
+       ),
+       flagged AS (
+         SELECT eid, (eid IS NULL OR uid IS NULL OR v IS NULL) AS bad FROM typed
+       )
+       SELECT CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_good,
+              CAST(SUM(eid) FILTER (WHERE NOT bad) AS BIGINT) AS id_checksum,
+              CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_bad
+       FROM flagged""",
+)
 def q_ingest_csv(spark, sf_dir):
+    """A4 typed CSV ingest with corrupt-record channel, oracle-checked: Spark
+    parses with a declared schema in PERMISSIVE mode (any malformed column
+    flags the row into the error channel); the oracle mirrors that as
+    all-varchar read + TRY_CASTs, bad iff any typed column fails. The demo
+    CSV is synthetic and sf-independent so both engines read the same file."""
     from maestro_spark.ingest import csv_ingest_demo
 
     return csv_ingest_demo(spark, sf_dir)

@@ -373,10 +373,31 @@ def q_ivm_stats(spark, sf_dir):
     return view.read()
 
 
-@q("q_cdc_evolution")  # rows-only: evolved map/array columns don't hash portably
+@q(
+    "q_cdc_evolution",
+    """SELECT conv_id, turn_idx,
+              struct_extract(w, 'text') AS text,
+              CAST(len(COALESCE(struct_extract(w, 'tc'), [])) AS INTEGER)
+                  AS n_tool_calls,
+              COALESCE(array_to_string(list_sort(map_keys(
+                  COALESCE(struct_extract(w, 'md'), MAP{}))), ','), '')
+                  AS meta_keys
+       FROM (
+         SELECT conv_id, turn_idx,
+                arg_max(struct_pack(text := text, tc := tool_calls,
+                                    md := metadata, op := op), op_lsn) AS w
+         FROM read_parquet('/tmp/maestro_cdc_evo/log/segment-*.parquet',
+                           union_by_name=true)
+         GROUP BY conv_id, turn_idx)
+       WHERE struct_extract(w, 'op') <> 'delete'""",
+)
 def q_cdc_evolution(spark, sf_dir):
-    """Schema-evolution replay demo: log with tool_calls/metadata appearing
-    mid-stream; returns the final table with evolved columns materialized."""
+    """Schema-evolution replay (north-rule clause), oracle-checked: the log's
+    tool_calls/metadata columns appear mid-stream; the engine's schema-merged
+    replay must equal DuckDB's union_by_name replay of the same segments.
+    The oracle arg_max's ONE struct_pack (not per-column arg_max — DuckDB's
+    arg_max skips NULL args, which would resurrect stale non-NULL values for
+    winners whose evolved columns are NULL)."""
     import os
     import shutil
 

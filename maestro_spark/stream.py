@@ -45,6 +45,7 @@ def stream_ingest(
     processing_time: str | None = None,
     max_segments_per_batch: int | None = None,
     source: str = "python",
+    maintain_views: list | None = None,
 ):
     """Run the streaming pipeline; with ``available_now`` (default) processes
     the whole log and terminates — the replayable-batch trigger. Returns the
@@ -64,6 +65,10 @@ def stream_ingest(
     footers), so evolved columns present on disk flow through; columns that
     first appear while a continuous query is running are picked up on
     restart — the same contract Spark's own file source has.
+
+    ``maintain_views``: materialized views (e.g. ``ivm.ConvStatsView`` over
+    this table) refreshed after each epoch's commit, so they stay fresh as
+    the stream runs; each refresh is delta-driven and exactly-once.
     """
     log_schema = _discover_log_schema(log_dir)
     if source == "native":
@@ -107,6 +112,14 @@ def stream_ingest(
         if "_event_time" in batch_df.columns:
             batch_df = batch_df.drop("_event_time")
         merge_batch(table, batch_df, query_id=query_id, epoch_id=epoch_id)
+        # continuous view maintenance: fold this epoch's changes into each
+        # registered view after the base commit. refresh() is itself
+        # exactly-once (epoch-keyed on the base snapshot id), so a crash
+        # between base commit and view refresh just replays the refresh on
+        # the next microbatch — views trail the base by at most one epoch,
+        # never diverge
+        for view in maintain_views or []:
+            view.refresh()
 
     ckpt = checkpoint_dir or os.path.join(table_root, "_checkpoints", query_id)
     writer = (

@@ -109,3 +109,20 @@ def test_full_refresh_fallback_after_expiry(spark):
         base.changes(view.applied_through())
     assert view.refresh() is not None  # silently falls back to full rebuild
     _assert_view_matches(view)
+
+
+def test_streaming_maintains_view_per_epoch(spark, tmp_path):
+    """stream_ingest(maintain_views=[view]) keeps the view converged with the
+    final table state after the availableNow run completes."""
+    from maestro_spark.stream import stream_ingest
+
+    log = generate(GenConfig(seed=13, n_convs=60, segment_rows=400))
+    write_log(log, str(tmp_path / "log"), segment_rows=400)
+    base = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    view = ConvStatsView(spark, base, str(tmp_path / "stats"))
+    stream_ingest(
+        spark, str(tmp_path / "log"), base.root, query_id="sivm",
+        maintain_views=[view],
+    )
+    assert view.applied_through() == base.snapshot().snapshot_id
+    _assert_view_matches(view)
