@@ -97,6 +97,11 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
         warm_log = generate_warmup_log(d)
         warm = LakeTable.create(spark, f"{d}/lake_warm", n_buckets=64)
         replay(spark, warm_log, warm, query_id="warm", segments_per_epoch=2)
+        # the IVM refresh merges a DIFFERENT payload schema (stats columns),
+        # so its merge path compiles its own codegen — warm it too
+        from maestro_spark.ivm import ConvStatsView
+
+        ConvStatsView(spark, warm, f"{d}/stats_warm").refresh()
 
         table = LakeTable.create(spark, f"{d}/lake", n_buckets=64)
         t0 = time.time()
@@ -113,6 +118,14 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
         stream_s = time.time() - t0
         stream_rows = LakeTable(spark, f"{d}/lake_s").read().count()
         assert stream_rows == final_rows, (stream_rows, final_rows)
+
+        # incremental view maintenance over the replayed chain: one refresh
+        # folding all epochs' changes (delta-driven, bucket-pruned)
+        view = ConvStatsView(spark, table, f"{d}/stats_view")
+        t0 = time.time()
+        view.refresh()
+        ivm_s = time.time() - t0
+        ivm_rows = view.read().count()
         return {
             "events": n_gen,
             "epochs": n_done,
@@ -122,6 +135,8 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
             "stream_sec": round(stream_s, 3),
             "stream_events_per_sec": round(n_gen / stream_s, 1),
             "final_rows": final_rows,
+            "ivm_refresh_sec": round(ivm_s, 3),
+            "ivm_view_rows": ivm_rows,
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)

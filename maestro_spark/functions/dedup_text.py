@@ -289,3 +289,71 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_groups(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``(id, group_id)`` where
+    ``group_id`` is the smallest doc id in the component — the final step of
+    any near-dup pipeline (cluster the pairs, keep one doc per cluster).
+
+    Min-label propagation with pointer jumping: each round every node takes
+    the min label over itself and its neighbors (one keyed join + one
+    partial-agg groupBy), then labels are re-pointed through themselves
+    (``lbl <- lbl[lbl]``), which collapses chains so convergence is
+    O(log diameter) rounds, not O(diameter) — near-dup chains (A~B~C~...)
+    are exactly where naive propagation degenerates. Each round ends in
+    ``localCheckpoint`` to truncate lineage (on a real cluster, swap for
+    ``checkpoint`` on reliable storage) and one scalar convergence count —
+    no data ever lands on the driver.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            edges["src"].alias("id"), "lbl"
+        )
+        merged = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        jump = merged.select(F.col("id").alias("jid"), F.col("lbl").alias("jlbl"))
+        new_labels = (
+            merged.join(jump, merged["lbl"] == jump["jid"], "left")
+            .select("id", F.coalesce("jlbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("group_id"))
+
+
+def canonical_docs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Annotate every document with its dedup group and an ``is_canonical``
+    flag (true for the group's min-id representative — the row a curation
+    pipeline keeps). Documents in no pair form their own group."""
+    g = dedup_groups(pairs).withColumnRenamed("id", id_col)
+    return (
+        docs.join(g, id_col, "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
+        .withColumn("is_canonical", F.col("group_id") == F.col(id_col))
+    )

@@ -81,11 +81,16 @@ class ConvStatsView:
             self.table = LakeTable(spark, root)
             self.table.snapshot()
         except Exception:  # noqa: BLE001 — not a table yet: create it
+            # the view is one row per conversation — an order of magnitude
+            # smaller than the base table — so it takes a fraction of the
+            # base's bucket fan-out (fewer files written and tasks launched
+            # per refresh); view and base buckets never join co-partitioned,
+            # so the counts are free to differ
             self.table = LakeTable.create(
                 spark,
                 root,
                 payload_schema=STATS_PAYLOAD_SCHEMA,
-                n_buckets=base.snapshot().n_buckets,
+                n_buckets=max(4, base.snapshot().n_buckets // 8),
             )
 
     # ------------------------------------------------------------- cursor
@@ -126,9 +131,16 @@ class ConvStatsView:
             return self.full_refresh(to)
 
         n_buckets = self.base.snapshot(to).n_buckets
-        # bounded driver-side list: distinct buckets of changed convs
+        # ONE scan of the feed's epoch-file union: the changed-conv set is
+        # checkpointed (bounded: convs touched in the range — small relative
+        # to the table by construction), then the bucket list (driver-side,
+        # ≤ n_buckets ints), the aggregate join, and the tombstone anti-join
+        # all read the checkpoint — the feed itself is never scanned again
+        changed = feed.select("conv_id").distinct().localCheckpoint(eager=True)
         bucket_rows = (
-            feed.select(bucket_expr("conv_id", n_buckets).alias("b")).distinct().collect()
+            changed.select(bucket_expr("conv_id", n_buckets).alias("b"))
+            .distinct()
+            .collect()
         )
         buckets = sorted(r["b"] for r in bucket_rows)
         if not buckets:
@@ -137,7 +149,6 @@ class ConvStatsView:
             empty = self.spark.createDataFrame([], self._event_schema())
             return merge_batch(self.table, empty, query_id=_QUERY_ID, epoch_id=to)
 
-        changed = feed.select("conv_id").distinct()
         current = self.base.read(snapshot_id=to, buckets=buckets)
         return self._apply(changed, current, to)
 
@@ -171,10 +182,15 @@ class ConvStatsView:
         """Re-aggregate ``changed`` conv_ids from ``current`` rows and merge
         upserts + tombstones into the view at LSN ``to`` (monotone per
         refresh, so later refreshes always dominate earlier rows)."""
+        # materialize the (small: one row per changed conv) aggregate once —
+        # it feeds BOTH union branches below (upserts and the anti-join that
+        # finds vanished convs), and without the checkpoint each branch would
+        # re-execute the whole bucket-read + join + aggregate DAG
         agg = (
             current.join(changed, "conv_id")
             .groupBy("conv_id")
             .agg(*_conv_aggs())
+            .localCheckpoint(eager=True)
         )
         upserts = agg.select(
             F.lit(to).cast("long").alias("op_lsn"),

@@ -259,3 +259,49 @@ def q_sql_exists(spark, sf_dir):
     _t(spark, sf_dir, "customer").createOrReplaceTempView("q3_customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("q3_orders")
     return spark.sql(_EXISTS_SQL.format(customer="q3_customer", orders="q3_orders"))
+
+
+# ------------------------------------------- dedup groups (connected comps)
+@q(
+    "q_dedup_groups",
+    """WITH RECURSIVE
+         n AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS q
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, q,
+                  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+           FROM n),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS na2, b.n2 AS nb2,
+                  CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                    i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+           FROM m a JOIN m b ON a.vec_id < b.vec_id),
+         pairs AS (
+           SELECT id_a, id_b FROM p
+           WHERE qdot > 0 AND qdot * qdot * 10000 >= 1600 * na2 * nb2),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       SELECT src AS id, LEAST(src, MIN(dst)) AS group_id
+       FROM reach GROUP BY src""",
+)
+def q_dedup_groups(spark, sf_dir):
+    """Connected components over embedding-cosine near-dup pairs (the
+    cluster-then-keep-one step of a dedup pipeline): min-label propagation
+    with pointer jumping on the engine side must equal DuckDB's recursive
+    transitive closure over the identical exact-integer pair set. The
+    iterative DataFrame loop is the distributed formulation (O(log diameter)
+    rounds, two keyed shuffles per round); the oracle's closure is
+    oracle-only — quadratic in component size, fine at test scale."""
+    from maestro_spark.functions.dedup_text import dedup_groups
+    from maestro_spark.functions.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold_centi=40, scale=100)
+    return dedup_groups(pairs.select("id_a", "id_b"))

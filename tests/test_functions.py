@@ -204,3 +204,26 @@ def test_no_rowwise_python_udfs():
     assert files, "engine sources not found"
     offenders = assert_vectorized_only(files)
     assert offenders == [], offenders
+
+
+def test_dedup_groups_chain_and_canonical(spark):
+    """A long chain A-B-C-...-Z must collapse to ONE group (the pointer-jump
+    path — naive propagation needs O(chain) rounds, this must converge well
+    inside max_iter), plus two disjoint small groups; canonical_docs keeps
+    exactly one representative per group."""
+    from maestro_spark.functions.dedup_text import canonical_docs, dedup_groups
+
+    chain = [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    pairs = chain + [(1, 2), (2, 3), (7, 8)]               # {1,2,3} and {7,8}
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    g = dedup_groups(pdf, max_iter=10).toPandas()
+    by_id = dict(zip(g.id, g.group_id))
+    assert all(by_id[i] == 100 for i in range(100, 141))
+    assert by_id[1] == by_id[2] == by_id[3] == 1
+    assert by_id[7] == by_id[8] == 7
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 7, 8, 50]], ["doc_id", "text"]
+    )
+    c = canonical_docs(docs, pdf).toPandas()
+    keep = set(c[c.is_canonical].doc_id)
+    assert keep == {1, 7, 50}  # 50 is pairless: its own group
