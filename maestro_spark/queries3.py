@@ -305,3 +305,54 @@ def q_dedup_groups(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(e, threshold_centi=40, scale=100)
     return dedup_groups(pairs.select("id_a", "id_b"))
+
+
+# --------------------------------------------- curation pipeline (capstone)
+@q(
+    "q_curate",
+    """WITH RECURSIVE
+         q AS (
+           SELECT doc_id, text FROM documents
+           WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 5),
+         d AS (
+           SELECT MIN(doc_id) AS doc_id
+           FROM q GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))),
+         dd AS (SELECT q.doc_id, q.text FROM q JOIN d USING (doc_id)),
+         sh0 AS (
+           SELECT DISTINCT doc_id AS id,
+                  substr(substr(text, 1, 120), CAST(i AS INTEGER), 5) AS sh
+           FROM dd, range(1, 117) t(i)
+           WHERE i <= length(substr(text, 1, 120)) - 4),
+         keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 256),
+         sh AS (SELECT sh0.id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+         sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT i.id_a, i.id_b FROM inter i
+           JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+           WHERE i.inter * 5 >= (sa.n_sh + sb.n_sh - i.inter) * 1),
+         e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION SELECT id_b, id_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+         grp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS g
+                 FROM reach GROUP BY src)
+       SELECT dd.doc_id FROM dd LEFT JOIN grp ON dd.doc_id = grp.id
+       WHERE grp.id IS NULL OR grp.g = dd.doc_id""",
+)
+def q_curate(spark, sf_dir):
+    """CAPSTONE: the full training-data curation pipeline — quality gate
+    (token count), exact dedup (md5 fingerprint, min-id keep), n-gram
+    Jaccard near-dup clustering (df-capped), connected components, canonical
+    keep — end to end on the engine, equal to DuckDB restating every stage
+    (incl. the component step as a recursive transitive closure). The
+    surviving doc_id SET pins the whole pipeline's semantics."""
+    from maestro_spark.functions.curate import curate_documents
+
+    return curate_documents(_t(spark, sf_dir, "documents")).select("doc_id")

@@ -227,3 +227,23 @@ def test_dedup_groups_chain_and_canonical(spark):
     c = canonical_docs(docs, pdf).toPandas()
     keep = set(c[c.is_canonical].doc_id)
     assert keep == {1, 7, 50}  # 50 is pairless: its own group
+
+
+def test_curate_documents_pipeline(spark):
+    """Planted corpus: a too-short doc is gated out, an exact duplicate
+    collapses to the min id, a near-dup pair keeps only its canonical, and
+    a distinct doc survives untouched."""
+    from maestro_spark.functions.curate import curate_documents
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base[:-12] + "yet once more"  # high shingle overlap with base
+    rows = [
+        (1, base),
+        (2, base),                        # exact dup of 1 -> dropped
+        (3, near),                        # near-dup of 1 -> non-canonical
+        (4, "completely different text about spark engines and parquet files and shuffles"),
+        (5, "too short"),                 # quality-gated (< 5 tokens)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_documents(docs).select("doc_id").toPandas()
+    assert sorted(out.doc_id) == [1, 4]

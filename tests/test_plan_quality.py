@@ -1,0 +1,84 @@
+"""Plan-quality gates: the physical plans the docstrings promise, asserted.
+
+A correctness-green query with the wrong plan is a 100 TB failure waiting —
+these tests pin the load-bearing optimizer properties (pushdown, pruning,
+broadcast, partial aggregation, top-k) so a refactor that silently
+de-optimizes a query fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import maestro_spark.queries2  # noqa: F401  (registers parts 2+3)
+from maestro_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_filter_is_pushed_to_scan(spark):
+    plan = _plan(spark, "q_filter")
+    assert "PushedFilters: [" in plan
+    # at least one concrete predicate made it into the scan, not a bare []
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = _plan(spark, "q_project")
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read, read  # unused wide column never read
+
+
+def test_small_dim_join_broadcasts(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "q_join_bcast")
+
+
+def test_hash_sample_is_scan_stage_only(spark):
+    plan = _plan(spark, "q_sample_hash")
+    assert "Exchange" not in plan, plan  # pure narrow filter: zero shuffles
+
+
+def test_topk_uses_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "q_topk")
+
+
+def test_agg_has_mapside_partial(spark):
+    # partial + final HashAggregate pair = map-side combine before exchange
+    plan = _plan(spark, "q_agg_basic")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the exchange
+
+
+def test_merge_winners_plan_single_exchange(spark):
+    """The CDC merge's dedup aggregation (union -> max_by winners) must hit
+    exactly ONE exchange keyed by the bucket columns — the engine's core
+    scale claim (SURVEY §2.K5)."""
+    from pyspark.sql import functions as F
+
+    from maestro_spark.lake import bucket_expr
+
+    rows = [
+        (i * 10 + j, "upsert", f"conv_{i:03d}", j, "user", f"text {i} {j}")
+        for i in range(30)
+        for j in range(4)
+    ]
+    ev = (
+        spark.createDataFrame(
+            rows, ["op_lsn", "op", "conv_id", "turn_idx", "role", "text"]
+        )
+        .withColumn("pk_bucket", bucket_expr("conv_id", 8))
+        .withColumn("_spread", F.pmod(F.col("turn_idx"), F.lit(1)))
+        .repartition("pk_bucket", "_spread")
+    )
+    keys = ["pk_bucket", "_spread", "conv_id", "turn_idx"]
+    rest = [c for c in ev.columns if c not in keys]
+    winners = ev.groupBy(*keys).agg(
+        F.max_by(F.struct(*rest), F.col("op_lsn")).alias("_w")
+    )
+    plan = winners._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
