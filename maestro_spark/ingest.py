@@ -80,3 +80,65 @@ def csv_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_good"),
         F.sum("event_id").alias("id_checksum"),
     ).crossJoin(bad.agg(F.count(F.lit(1)).alias("n_bad")))
+
+
+def read_json_typed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt",
+    **options,
+) -> DataFrame:
+    """JSON-lines scan with a declared schema; malformed rows (invalid JSON
+    or unconvertible field values) fill ``corrupt_col``."""
+    full = T.StructType([*schema.fields, T.StructField(corrupt_col, T.StringType(), True)])
+    return spark.read.json(
+        path,
+        schema=full,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
+        **options,
+    )
+
+
+JSON_DEMO_PATH = "/tmp/maestro_json_demo/events.jsonl"
+
+
+def json_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-check demo, JSON twin of csv_ingest_demo: deterministic
+    synthetic JSONL (sf-independent) with two planted corrupt rows — one
+    syntactically invalid line, one type-invalid field — ingested typed,
+    returning per-channel counts + a checksum the oracle can restate."""
+    path = JSON_DEMO_PATH
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        kinds = ["click", "view", "purchase", "signup"]
+        with open(path + ".tmp", "w") as fh:
+            for i in range(2000):
+                fh.write(
+                    '{"event_id": %d, "user_id": %d, "event_type": "%s", "value": %.2f}\n'
+                    % (i, (i * 7) % 500, kinds[i % 4], i * 0.5)
+                )
+            fh.write('{"event_id": 7, "user_id": 7, BROKEN\n')  # invalid JSON
+            fh.write('{"event_id": 123, "user_id": 456, "event_type": "purchase", "value": "not_a_double"}\n')
+        os.replace(path + ".tmp", path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    raw = read_json_typed(spark, path, schema)
+    good, bad = validate_split(
+        raw,
+        F.col("_corrupt").isNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull(),
+    )
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum("event_id").alias("id_checksum"),
+    ).crossJoin(bad.agg(F.count(F.lit(1)).alias("n_bad")))

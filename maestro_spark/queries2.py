@@ -445,6 +445,11 @@ def _finalize_registration_order() -> None:
         "q_pivot", "q_unpivot", "q_sample_hash", "q_sample_stratified",
         "q_win_pctrank", "q_scalar_subquery", "q_fn_bitwise",
         "q_tf_topterms", "q_sql_exists",
+        # 2nd A4 row (CSV twin is in-window) and the 3rd similarity-family
+        # oracle row: lower marginal driver-signal than the schema-evolution
+        # / components / curation rows they would otherwise displace from a
+        # bounded driver window
+        "q_ingest_json", "q_knn_join",
     ]
     secondary = [
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",

@@ -356,3 +356,37 @@ def q_curate(spark, sf_dir):
     from maestro_spark.functions.curate import curate_documents
 
     return curate_documents(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+# ------------------------------------------------------- JSON typed ingest
+@q(
+    "q_ingest_json",
+    """WITH raw AS (
+         SELECT * FROM read_csv('/tmp/maestro_json_demo/events.jsonl',
+             header=false, delim='', quote='', columns={'line': 'VARCHAR'})),
+       typed AS (
+         SELECT CASE WHEN json_valid(line)
+                     THEN TRY_CAST(json_extract_string(line, '$.event_id') AS BIGINT)
+                END AS eid,
+                CASE WHEN json_valid(line)
+                     THEN TRY_CAST(json_extract_string(line, '$.user_id') AS BIGINT)
+                END AS uid,
+                CASE WHEN json_valid(line)
+                     THEN TRY_CAST(json_extract_string(line, '$.value') AS DOUBLE)
+                END AS v
+         FROM raw),
+       flagged AS (
+         SELECT eid, (eid IS NULL OR uid IS NULL OR v IS NULL) AS bad FROM typed)
+       SELECT CAST(COUNT(*) FILTER (WHERE NOT bad) AS BIGINT) AS n_good,
+              CAST(SUM(eid) FILTER (WHERE NOT bad) AS BIGINT) AS id_checksum,
+              CAST(COUNT(*) FILTER (WHERE bad) AS BIGINT) AS n_bad
+       FROM flagged""",
+)
+def q_ingest_json(spark, sf_dir):
+    """A4's JSON half: JSON-lines ingest with a declared schema and corrupt
+    channel (invalid JSON and type-invalid fields both route to the error
+    side). Oracle reads the same file as raw lines and mirrors PERMISSIVE
+    as json_valid + per-field TRY_CASTs."""
+    from maestro_spark.ingest import json_ingest_demo
+
+    return json_ingest_demo(spark, sf_dir)
