@@ -11,6 +11,8 @@ Subcommands:
   changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N]
   compact --table DIR [--tombstone-horizon LSN]
   ivm     --table DIR --view DIR [--to-snapshot N]
+  rollback --table DIR --to-snapshot N
+  clone   --table DIR --dest DIR [--snapshot N]
   bench   (same contract as bench.py)
 """
 
@@ -71,6 +73,15 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--table", required=True)
     iv.add_argument("--view", required=True)
     iv.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot")
+
+    rb = sub.add_parser("rollback", help="revert to an earlier snapshot (forward-only)")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-snapshot", type=int, required=True, dest="to_snapshot")
+
+    cl = sub.add_parser("clone", help="zero-copy clone a snapshot to a new table")
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--snapshot", type=int, default=None)
 
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
@@ -164,6 +175,16 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)
         print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+    elif args.cmd == "rollback":
+        table = LakeTable(spark, args.table)
+        snap = table.rollback(args.to_snapshot)
+        print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats,
+                          "rows": table.read().count()}))
+    elif args.cmd == "clone":
+        table = LakeTable(spark, args.table)
+        out = table.clone(args.dest, snapshot_id=args.snapshot)
+        print(json.dumps({"dest": args.dest, "rows": out.read().count(),
+                          "stats": out.snapshot().stats}))
     elif args.cmd == "ivm":
         from maestro_spark.ivm import ConvStatsView
 

@@ -127,7 +127,9 @@ class ConvStatsView:
             return None
         try:
             feed = self.base.changes(frm, to)
-        except FileNotFoundError:  # feed horizon expired → full rebuild
+        except (FileNotFoundError, ValueError):
+            # feed horizon expired, or the range spans a rollback (whose
+            # delta the feed cannot express) → full rebuild re-syncs
             return self.full_refresh(to)
 
         n_buckets = self.base.snapshot(to).n_buckets

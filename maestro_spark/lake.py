@@ -323,6 +323,13 @@ class LakeTable:
         parts: list[DataFrame] = []
         for seq, sid in enumerate(range(from_snapshot + 1, to_snapshot + 1)):
             snap = self.snapshot(sid)
+            if snap.stats.get("rollback_to") is not None:
+                # a rollback's delta is files REMOVED vs its parent — the
+                # added-files feed cannot express it; consumers re-sync
+                raise ValueError(
+                    f"change feed range ({from_snapshot}, {to_snapshot}] spans "
+                    f"rollback snapshot {sid}; re-sync from a full read"
+                )
             if snap.stats.get("maintenance"):
                 continue
             parent = self.snapshot(snap.parent_id) if snap.parent_id is not None else None
@@ -438,6 +445,71 @@ class LakeTable:
         )
         self._publish(snap)
         return snap
+
+    def rollback(self, to_snapshot: int) -> Snapshot:
+        """Revert the table to ``to_snapshot``'s content by publishing a NEW
+        snapshot that re-states its files and schema (forward-only history —
+        the bad epochs stay visible for audit; nothing is deleted). The undo
+        story for a bad epoch or a poisoned upstream batch.
+
+        Two consumer contracts change at a rollback boundary:
+        - :meth:`changes` REFUSES ranges that span it (a rollback's delta is
+          expressed by files *removed* relative to its parent, which the
+          added-files feed cannot represent); feed consumers re-sync via a
+          full rebuild — exactly what ``ivm.ConvStatsView`` does on the
+          raised error.
+        - epoch idempotence keys of the rolled-back epochs REMAIN committed
+          (same as Iceberg + a streaming checkpoint): re-delivering the bad
+          epoch under the same ``(query_id, epoch_id)`` is still skipped.
+          Re-applying corrected data needs a fresh epoch id / query id.
+        """
+        target = self.snapshot(to_snapshot)
+        parent = self.snapshot()
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            epoch_key=None,
+            schema_json=target.schema_json,
+            files=dict(target.files),
+            n_buckets=parent.n_buckets,
+            stats={"rollback_to": to_snapshot},
+        )
+        self._publish(snap)
+        return snap
+
+    def clone(self, dest_root: str, snapshot_id: int | None = None) -> "LakeTable":
+        """Zero-copy clone of one snapshot into an independent table at
+        ``dest_root`` (dev/test sandboxing, fan-out experimentation). Data
+        files are hard-linked (copy fallback across filesystems): the engine
+        never mutates a committed data file in place, so both tables can
+        commit, compact, expire, and vacuum independently — each unlinks only
+        its own paths, and the inode survives until the last link drops."""
+        snap = self.snapshot(snapshot_id)
+        for sub in (SNAP_DIR, DATA_DIR, LEDGER_DIR, LINEAGE_DIR):
+            os.makedirs(os.path.join(dest_root, sub), exist_ok=True)
+        for ps in snap.files.values():
+            for rel in ps:
+                src = os.path.join(self.root, rel)
+                dst = os.path.join(dest_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                if not os.path.exists(dst):
+                    try:
+                        os.link(src, dst)
+                    except OSError:  # cross-device: fall back to a copy
+                        shutil.copy2(src, dst)
+        out = LakeTable(self.spark, dest_root)
+        out._publish(
+            Snapshot(
+                snapshot_id=0,
+                parent_id=None,
+                epoch_key=None,
+                schema_json=snap.schema_json,
+                files={b: list(ps) for b, ps in snap.files.items()},
+                n_buckets=snap.n_buckets,
+                stats={"cloned_from": self.root, "source_snapshot": snap.snapshot_id},
+            )
+        )
+        return out
 
     # ----------------------------------------------------------- maintenance
     def compact(
