@@ -11,6 +11,7 @@ Subcommands:
   changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N]
   compact --table DIR [--tombstone-horizon LSN]
   ivm     --table DIR --view DIR [--to-snapshot N]
+  lineage --table DIR [--limit N]
   rollback --table DIR --to-snapshot N
   clone   --table DIR --dest DIR [--snapshot N]
   bench   (same contract as bench.py)
@@ -73,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--table", required=True)
     iv.add_argument("--view", required=True)
     iv.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot")
+
+    ln = sub.add_parser("lineage", help="per-epoch lineage/metrics rollup")
+    ln.add_argument("--table", required=True)
+    ln.add_argument("--limit", type=int, default=50)
 
     rb = sub.add_parser("rollback", help="revert to an earlier snapshot (forward-only)")
     rb.add_argument("--table", required=True)
@@ -175,6 +180,13 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)
         print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+    elif args.cmd == "lineage":
+        from maestro_spark.lineage import lineage_summary
+
+        table = LakeTable(spark, args.table)
+        s = lineage_summary(table)
+        s.show(args.limit, truncate=False)
+        print(json.dumps({"epochs": s.count()}))
     elif args.cmd == "rollback":
         table = LakeTable(spark, args.table)
         snap = table.rollback(args.to_snapshot)

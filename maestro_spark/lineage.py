@@ -90,3 +90,26 @@ def read_lineage(table: LakeTable):
 
         return table.spark.createDataFrame([], from_arrow_schema(_LINEAGE_ARROW))
     return table.spark.read.parquet(*files)
+
+
+def lineage_summary(table: LakeTable):
+    """Per-epoch operational rollup of the lineage rows: rows applied,
+    buckets touched, bytes written, wall seconds, commit snapshot — the
+    table an operator watches to spot a slow or skewed epoch without
+    touching any data file."""
+    from pyspark.sql import functions as F
+
+    return (
+        read_lineage(table)
+        .groupBy("query_id", "epoch_id", "snapshot_id")
+        .agg(
+            F.sum("rows").alias("rows"),
+            F.count(F.lit(1)).alias("buckets_touched"),
+            F.max("rows").alias("max_bucket_rows"),  # skew indicator
+            F.sum("bytes").alias("bytes"),
+            F.max("wall_s").alias("wall_s"),
+            F.min("lsn_min").alias("lsn_min"),
+            F.max("lsn_max").alias("lsn_max"),
+        )
+        .orderBy("snapshot_id")
+    )

@@ -247,3 +247,40 @@ def test_curate_documents_pipeline(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = curate_documents(docs).select("doc_id").toPandas()
     assert sorted(out.doc_id) == [1, 4]
+
+
+def test_dedup_groups_random_graphs_match_union_find(spark):
+    """Property check on seeded random graphs: the distributed min-label
+    components must equal a serial union-find on every topology (stars,
+    chains, cliques, isolates all arise at these densities)."""
+    import random
+
+    from maestro_spark.functions.dedup_text import dedup_groups
+
+    for seed, n_nodes, n_edges in [(0, 40, 25), (1, 60, 80), (2, 30, 5)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+                for _ in range(n_edges)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in range(n_nodes) if any(x in e for e in edges)}
+
+        got = dedup_groups(
+            spark.createDataFrame(edges, ["id_a", "id_b"])
+        ).toPandas()
+        assert dict(zip(got.id, got.group_id)) == expected, f"seed={seed}"
