@@ -449,7 +449,7 @@ def _finalize_registration_order() -> None:
         # oracle row: lower marginal driver-signal than the schema-evolution
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
-        "q_ingest_json", "q_knn_join",
+        "q_ingest_json", "q_knn_join", "q_win_firstval",
     ]
     secondary = [
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",

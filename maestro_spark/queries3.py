@@ -390,3 +390,34 @@ def q_ingest_json(spark, sf_dir):
     from maestro_spark.ingest import json_ingest_demo
 
     return json_ingest_demo(spark, sf_dir)
+
+
+# ------------------------------------------------ window value extractors
+@q(
+    "q_win_firstval",
+    """SELECT event_id, event_type,
+              first_value(value) OVER w AS first_v,
+              last_value(value) OVER w AS last_v,
+              nth_value(value, 3) OVER w AS third_v
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def q_win_firstval(spark, sf_dir):
+    """first/last/nth value extractors over the full partition frame —
+    deterministic because the ordering is tie-broken by the unique
+    event_id and the frame is the whole partition; the extracted doubles
+    are copied, not computed, so they hash identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 3).over(w).alias("third_v"),
+    )

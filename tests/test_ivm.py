@@ -111,6 +111,29 @@ def test_full_refresh_fallback_after_expiry(spark):
     _assert_view_matches(view)
 
 
+def test_crossover_rebuilds_when_feed_outweighs_table(spark, monkeypatch):
+    """When the unapplied feed range carries more bytes than the table
+    itself (epochs re-stating the same keys, then compacted away), refresh
+    must route through full_refresh — and still reconverge."""
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d)
+    # re-apply the same log under a second query id: every key re-stated,
+    # so the feed over the full chain carries ~2x the compacted table
+    replay(spark, f"{d}/log", base, query_id="ivm-base-2")
+    base.compact()
+    to = base.snapshot().snapshot_id
+    view = ConvStatsView(spark, base, f"{d}/stats")
+    assert view._range_bytes(0, to) > view._table_bytes(to)
+    calls = []
+    orig = view.full_refresh
+    monkeypatch.setattr(
+        view, "full_refresh", lambda t=None: calls.append(t) or orig(t)
+    )
+    assert view.refresh() is not None
+    assert calls, "crossover should route through full_refresh"
+    _assert_view_matches(view)
+
+
 def test_streaming_maintains_view_per_epoch(spark, tmp_path):
     """stream_ingest(maintain_views=[view]) keeps the view converged with the
     final table state after the availableNow run completes."""
