@@ -357,3 +357,58 @@ def canonical_docs(
         .withColumn("group_id", F.coalesce("group_id", F.col(id_col)))
         .withColumn("is_canonical", F.col("group_id") == F.col(id_col))
     )
+
+
+# -------------------------------------------------- benchmark contamination
+def contamination_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    max_chars: int = 200,
+) -> DataFrame:
+    """Per-document benchmark-contamination score: the fraction of a corpus
+    document's distinct character ``n``-gram shingles that appear anywhere
+    in the benchmark set, flagged at ``num/den`` (exact integer arithmetic,
+    no floats — hence oracle-able).
+
+    This is the decontamination step a training-data pipeline runs before
+    every release: drop (or flag) documents that overlap an eval benchmark.
+
+    Scale posture: the benchmark side is collapsed to its DISTINCT shingle
+    set and broadcast — eval benchmarks are tiny (10^4-10^6 shingles)
+    relative to a 100 TB corpus, so the overlap probe is a broadcast
+    semi-join inside the corpus scan stage: one shuffle total (the per-doc
+    groupBy), corpus never re-read. If the benchmark outgrows the broadcast
+    threshold Spark's AQE falls back to a shuffled join on its own — the
+    declarative form stays valid either way.
+    """
+    sh_c = shingle_table(corpus, text_col, id_col, n, max_chars)
+    bench_sh = (
+        shingle_table(benchmark, text_col, id_col, n, max_chars)
+        .select("sh")
+        .distinct()
+    )
+    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        sh_c.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) * threshold_den
+                >= F.col("n_sh") * threshold_num
+            )
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

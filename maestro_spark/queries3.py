@@ -421,3 +421,124 @@ def q_win_firstval(spark, sf_dir):
         F.last("value").over(w).alias("last_v"),
         F.nth_value("value", 3).over(w).alias("third_v"),
     )
+
+
+# ----------------------------------------------------------- PII redaction
+from maestro_spark.functions import dedup_text as dd  # noqa: E402
+from maestro_spark.functions import pii  # noqa: E402
+from maestro_spark.functions import text as tx  # noqa: E402
+
+_PII_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ph 415-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 ssn 123-45-6789 card 4111 1111 1111 1111'"
+)
+
+
+@q(
+    "q_pii_redact",
+    f"""SELECT doc_id, {pii.pii_oracle_exprs(_PII_INJECT_SQL)} AS redacted
+        FROM documents""",
+)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (functions/pii.py): deterministic PII is first
+    injected from doc_id so every row demonstrably exercises all five
+    pattern families, then masked. The whole chain is regexp_replace
+    expression code inside the scan stage — at 100 TB redaction costs
+    the same as reading the text column (no shuffle, no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 card 4111 1111 1111 1111"),
+    )
+    return d.select("doc_id", pii.redact_pii(injected).alias("redacted"))
+
+
+# -------------------------------------------------------- sequence packing
+@q(
+    "q_seq_pack",
+    """WITH t AS (SELECT doc_id, source,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+         FROM documents),
+       c AS (SELECT doc_id, source, n_tok,
+              COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         FROM t)
+       SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(tok_start // 512 AS BIGINT) AS pack_id,
+              CAST(tok_start % 512 AS BIGINT) AS pack_offset,
+              CAST(CASE WHEN tok_start % 512 + n_tok > 512 THEN 1 ELSE 0 END
+                   AS BIGINT) AS straddles
+       FROM c""",
+)
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: order documents deterministically
+    within each shard (source), running token offset, pack = offset div
+    budget — the exact semantics of GPT-style pretraining packing, where
+    shard streams are concatenated and cut every B tokens (``straddles``
+    marks docs split across a cut). One window per shard — the running
+    sum is a single hash-partitioned exchange on the shard key, each
+    shard's scan stays sequential-free; at 100 TB shards are file groups
+    and packing parallelizes across them (never a global window)."""
+    B = 512
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("tok_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.expr(f"CAST(tok_start div {B} AS BIGINT)").alias("pack_id"),
+        (F.col("tok_start") % B).cast("long").alias("pack_offset"),
+        ((F.col("tok_start") % B + F.col("n_tok")) > B).cast("long").alias("straddles"),
+    )
+
+
+# -------------------------------------------- benchmark contamination check
+@q(
+    "q_contamination",
+    """WITH shc AS (
+         SELECT DISTINCT doc_id AS id,
+                substr(substr(text, 1, 120), CAST(i AS INTEGER), 5) AS sh
+         FROM documents, range(1, 117) t(i)
+         WHERE doc_id % 50 <> 0 AND i <= length(substr(text, 1, 120)) - 4),
+       shb AS (
+         SELECT DISTINCT substr(substr(text, 1, 120), CAST(i AS INTEGER), 5) AS sh
+         FROM documents, range(1, 117) t(i)
+         WHERE doc_id % 50 = 0 AND i <= length(substr(text, 1, 120)) - 4),
+       sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
+       hits AS (SELECT shc.id, COUNT(*) AS n_hit FROM shc JOIN shb USING (sh)
+                GROUP BY shc.id)
+       SELECT s.id AS doc_id, CAST(s.n_sh AS BIGINT) AS n_sh,
+              CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(CASE WHEN COALESCE(h.n_hit, 0) * 10 >= s.n_sh * 3
+                   THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       FROM sizes s LEFT JOIN hits h ON h.id = s.id""",
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup_text.contamination_scores):
+    fraction of each corpus doc's distinct 5-gram shingles found anywhere
+    in a (deterministic doc_id%50==0) benchmark set, flagged at 30%. The
+    benchmark collapses to a broadcast distinct-shingle set — the overlap
+    probe rides the corpus scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return dd.contamination_scores(
+        corpus, bench, threshold_num=3, threshold_den=10, n=5, max_chars=120
+    )

@@ -284,3 +284,71 @@ def test_dedup_groups_random_graphs_match_union_find(spark):
             spark.createDataFrame(edges, ["id_a", "id_b"])
         ).toPandas()
         assert dict(zip(got.id, got.group_id)) == expected, f"seed={seed}"
+
+
+def test_pii_redaction_masks_every_family(spark):
+    from maestro_spark.functions.pii import redact_pii
+
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org today"),
+        (1, "call 415-555-0042 or 415.555.0042"),
+        (2, "ssn is 123-45-6789 ok"),
+        (3, "server at 192.168.0.17 responded"),
+        (4, "card 4111 1111 1111 1111 and 4111-1111-1111-1111"),
+        (5, "nothing sensitive here, version 1.2 build 345"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"]).select(
+        "i", redact_pii(F.col("t")).alias("r")
+    )
+    got = {r["i"]: r["r"] for r in df.collect()}
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "call <PHONE> or <PHONE>"
+    assert got[2] == "ssn is <SSN> ok"
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == "card <CARD> and <CARD>"
+    # no digits leak from any masked row; benign digit runs are untouched
+    assert got[5] == rows[5][1]
+    for i in range(5):
+        assert not any(c.isdigit() for c in got[i]), got[i]
+
+
+def test_seq_pack_invariants(spark):
+    """Packing must tile each shard's token stream exactly: offsets are
+    contiguous, every pack except a shard's last spans the full budget."""
+    from maestro_spark.queries3 import q_seq_pack
+
+    pdf = (
+        q_seq_pack(spark, "/root/testdata/sf0.001")
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    B = 512
+    for src, g in pdf.groupby("source"):
+        start = (g.pack_id * B + g.pack_offset).to_numpy()
+        assert start[0] == 0
+        assert (start[1:] == start[:-1] + g.n_tok.to_numpy()[:-1]).all(), src
+        straddle = (g.pack_offset + g.n_tok > B).to_numpy()
+        assert (g.straddles.to_numpy() == straddle.astype("int64")).all()
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from maestro_spark.functions.dedup_text import contamination_scores
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (2, "a quick brown fox appears"),                    # partial
+            (3, "xyzzy plugh grue filfre quux zzyzx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_hit"], r["n_sh"], r["contaminated"])
+        for r in contamination_scores(corpus, bench).collect()
+    }
+    assert got[1][0] == got[1][1] and got[1][2] == 1   # 100% overlap
+    assert 0 < got[2][0] < got[2][1]                   # partial overlap
+    assert got[3][0] == 0 and got[3][2] == 0
