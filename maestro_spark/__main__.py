@@ -88,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--dest", required=True)
     cl.add_argument("--snapshot", type=int, default=None)
 
+    rk = sub.add_parser("rebucket", help="re-hash the table into a new bucket count")
+    rk.add_argument("--table", required=True)
+    rk.add_argument("--buckets", type=int, required=True)
+
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
     args = p.parse_args(argv)
@@ -190,6 +194,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rollback":
         table = LakeTable(spark, args.table)
         snap = table.rollback(args.to_snapshot)
+        print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats,
+                          "rows": table.read().count()}))
+    elif args.cmd == "rebucket":
+        table = LakeTable(spark, args.table)
+        snap = table.rebucket(args.buckets)
         print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats,
                           "rows": table.read().count()}))
     elif args.cmd == "clone":

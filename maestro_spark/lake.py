@@ -477,6 +477,47 @@ class LakeTable:
         self._publish(snap)
         return snap
 
+    def rebucket(self, new_n_buckets: int) -> Snapshot:
+        """Re-hash the table into ``new_n_buckets`` buckets (one content-
+        preserving maintenance snapshot; ONE exchange on the new bucket key).
+
+        The operational escape hatch a hash-bucketed table needs at scale:
+        the bucket count fixed at create time caps per-bucket parallelism
+        and file sizes, and a table that grows 100x needs more buckets.
+        Tombstones are carried (not resolved away), so late-arrival
+        rejection below the watermark keeps working across the boundary;
+        epoch idempotence keys live in the snapshot chain and survive.
+        Readers pinned to older snapshots keep the old layout (per-snapshot
+        file manifests); the change feed skips the rebucket snapshot like
+        any maintenance commit, and subsequent epochs diff against the new
+        layout. Merge epochs after the rebucket pick up the new count from
+        the current snapshot automatically.
+        """
+        t0 = time.time()
+        snap = self.snapshot()
+        if new_n_buckets == snap.n_buckets:
+            return snap
+        df = self.read_resolved().withColumn(
+            "pk_bucket", bucket_expr("conv_id", new_n_buckets)
+        )
+        new_files = self.write_bucket_files(df.repartition("pk_bucket"))
+        out = Snapshot(
+            snapshot_id=snap.snapshot_id + 1,
+            parent_id=snap.snapshot_id,
+            epoch_key=None,
+            schema_json=snap.schema_json,
+            files=new_files,
+            n_buckets=new_n_buckets,
+            stats={
+                "maintenance": "rebucket",
+                "from_buckets": snap.n_buckets,
+                "to_buckets": new_n_buckets,
+                "rebucket_s": round(time.time() - t0, 3),
+            },
+        )
+        self._publish(out)
+        return out
+
     def clone(self, dest_root: str, snapshot_id: int | None = None) -> "LakeTable":
         """Zero-copy clone of one snapshot into an independent table at
         ``dest_root`` (dev/test sandboxing, fan-out experimentation). Data

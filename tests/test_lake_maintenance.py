@@ -141,3 +141,68 @@ def test_clone_is_independent_and_zero_copy(spark, tmp_path):
     after_pdf = table.read().orderBy("conv_id", "turn_idx").toPandas()
     assert (after_pdf["text"].values == src_pdf["text"].values).all()
     assert clone.read().count() > len(src_pdf)  # still healthy
+
+
+def test_rebucket_grows_layout_preserves_content_and_semantics(spark, tmp_path):
+    """Rebucket 4→16 must preserve content exactly, keep idempotence and
+    tombstones across the boundary, and route later epochs into the new
+    layout."""
+    from pyspark.sql import functions as F
+
+    from maestro_spark import schema as S
+    from maestro_spark.gen import expected_final_state
+
+    log = generate(GenConfig(seed=47, n_convs=60, segment_rows=300))
+    write_log(log, str(tmp_path / "log"), segment_rows=300)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log"), table, query_id="r", max_epochs=2)
+
+    before = table.read().orderBy("conv_id", "turn_idx")
+    snap = table.rebucket(16)
+    assert snap.n_buckets == 16 and snap.stats["maintenance"] == "rebucket"
+    after = table.read().orderBy("conv_id", "turn_idx")
+    assert symmetric_diff_empty(before, after)
+    # tombstones survive the rewrite (late-arrival rejection intact)
+    raw_tombs = table.read_raw().filter(F.col(S.DELETED_COL)).count()
+
+    # remaining epochs replay into the NEW layout and converge exactly
+    replay(spark, str(tmp_path / "log"), table, query_id="r")
+    got = table.read().orderBy("conv_id", "turn_idx").toPandas()
+    exp = expected_final_state(log)
+    assert len(got) == len(exp)
+    assert (got["text"].values == exp["text"].values).all()
+    # re-delivery of the pre-rebucket epochs is still skipped (epoch keys
+    # live in the snapshot chain, which rebucket preserves)
+    assert replay(spark, str(tmp_path / "log"), table, query_id="r") == 0
+    cur = table.snapshot()
+    assert cur.n_buckets == 16
+    assert all(int(b) < 16 for b in cur.files)
+    assert raw_tombs > 0  # the generator always emits deletes at this size
+
+
+def test_change_feed_spans_rebucket(spark, tmp_path):
+    """Applying the feed for (k, n] across a rebucket boundary onto a
+    clone of snapshot k must reproduce snapshot n (rebucket is
+    content-preserving maintenance, so the feed skips it)."""
+    from pyspark.sql import functions as F
+
+    from maestro_spark.merge import merge_batch
+
+    log = generate(GenConfig(seed=48, n_convs=40, segment_rows=250))
+    write_log(log, str(tmp_path / "log"), segment_rows=250)
+    table = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log"), table, query_id="a", max_epochs=2)
+    k = table.snapshot().snapshot_id
+    table.rebucket(8)
+    replay(spark, str(tmp_path / "log"), table, query_id="a")
+    n = table.snapshot().snapshot_id
+    feed = table.changes(k, n)
+
+    replica = table.clone(str(tmp_path / "replica"), snapshot_id=k)
+    payload = [c for c in feed.columns if c not in ("lsn", "op")]
+    events = feed.select(F.col("lsn").alias("op_lsn"), "op", *payload)
+    merge_batch(replica, events, query_id="sync", epoch_id=1)
+    assert symmetric_diff_empty(
+        table.read(snapshot_id=n).orderBy("conv_id", "turn_idx"),
+        replica.read().orderBy("conv_id", "turn_idx"),
+    )
