@@ -1,0 +1,206 @@
+"""Streaming change-feed source: tail a LakeTable's committed snapshots.
+
+``spark.readStream.format("table_changes").option("path", root).load()``
+emits one row per change the table commits — payload columns plus
+``op`` ('upsert'|'delete') and ``lsn`` — the streaming twin of
+:meth:`LakeTable.changes` (the Delta-CDF / Iceberg-incremental-read shape).
+Downstream consumers subscribe to the TABLE, not the upstream log: they
+see exactly what was committed, after dedup/late-event resolution, with
+offsets = snapshot ids checkpointed by Spark.
+
+Semantics per microbatch: the union of data files the covered epochs
+ADDED (manifest set-difference vs parent — zero data IO to plan). Under
+merge-on-read an epoch's added files are precisely its batch winners, so
+no cross-epoch resolution is needed in the source: a consumer applying
+batches in order (or merging by max-LSN, as ``merge_batch`` does) always
+converges. Maintenance snapshots (compaction / rebucket) are
+content-preserving and contribute nothing. A rollback snapshot cannot be
+expressed as added files — the reader RAISES, and the consumer re-syncs
+from a full read (same contract as the batch feed).
+
+Scale posture: planning is driver-side manifest JSON only; each data file
+becomes one InputPartition, so a microbatch's read parallelism equals its
+file count. Older files are conformed (null-filled) to the table's
+current schema Arrow-side, so a feed spanning a schema evolution stays a
+single well-typed stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+from pyspark.sql.types import StructType
+
+from maestro_spark import schema as S
+from maestro_spark.lake import SNAP_DIR
+
+FORMAT_NAME = "table_changes"
+
+
+def _snap(root: str, sid: int) -> dict:
+    with open(os.path.join(root, SNAP_DIR, f"s-{sid:013d}.json")) as fh:
+        return json.load(fh)
+
+
+def _current_sid(root: str) -> int:
+    d = os.path.join(root, SNAP_DIR)
+    sids = [
+        int(f[2:-5]) for f in os.listdir(d) if f.startswith("s-") and f.endswith(".json")
+    ]
+    return max(sids, default=0)
+
+
+def _full_schema(root: str) -> StructType:
+    return StructType.fromJson(json.loads(_snap(root, _current_sid(root))["schema_json"]))
+
+
+def feed_schema(root: str) -> StructType:
+    """Payload columns + op + lsn (what subscribers see)."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    internal = {S.LSN_COL, S.DELETED_COL}
+    fields = [f for f in _full_schema(root).fields if f.name not in internal]
+    return StructType(
+        [*fields, StructField("op", StringType(), True), StructField("lsn", LongType(), True)]
+    )
+
+
+@dataclass
+class FeedFilePartition(InputPartition):
+    path: str = ""
+    schema_json: str = ""
+
+
+class TableChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self.root = options.get("path") or options.get("table")
+        if not self.root:
+            raise ValueError("table_changes requires option 'path' (the table root)")
+        self.start_snapshot = int(options.get("startingsnapshot", 0))
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self.start_snapshot}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot": _current_sid(self.root)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["snapshot"], end["snapshot"]
+        full_json = _snap(self.root, hi)["schema_json"] if hi > lo else ""
+        parts: list[FeedFilePartition] = []
+        for sid in range(lo + 1, hi + 1):
+            snap = _snap(self.root, sid)
+            stats = snap.get("stats") or {}
+            if stats.get("rollback_to") is not None:
+                raise ValueError(
+                    f"table_changes stream hit rollback snapshot {sid}; "
+                    "re-sync the consumer from a full read and restart the "
+                    "stream with startingSnapshot >= the rollback commit"
+                )
+            if stats.get("maintenance"):
+                continue
+            parent = _snap(self.root, snap["parent_id"]) if snap["parent_id"] is not None else None
+            for b, ps in snap["files"].items():
+                prev = set(parent["files"].get(b, [])) if parent else set()
+                for p in ps:
+                    if p not in prev:
+                        parts.append(
+                            FeedFilePartition(os.path.join(self.root, p), full_json)
+                        )
+        return parts or [FeedFilePartition("", "")]
+
+    def read(self, partition: FeedFilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from maestro_spark.schema import conform_arrow_table
+
+        full = StructType.fromJson(json.loads(partition.schema_json))
+        t = conform_arrow_table(pq.read_table(partition.path), to_arrow_schema(full))
+        op = pc.if_else(
+            pc.fill_null(t[S.DELETED_COL], False),
+            pa.scalar("delete"),
+            pa.scalar("upsert"),
+        )
+        lsn = t[S.LSN_COL].cast(pa.int64())
+        t = t.drop_columns([S.LSN_COL, S.DELETED_COL])
+        t = t.append_column("op", op).append_column("lsn", lsn)
+        return iter(t.to_batches(max_chunksize=65536))
+
+    def commit(self, end: dict) -> None:
+        pass  # exactly-once is the consumer's (checkpoint + idempotent sink)
+
+
+class TableChangesDataSource(DataSource):
+    """spark.readStream.format("table_changes").option("path", root).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        root = self.options.get("path") or self.options.get("table")
+        return feed_schema(root)
+
+    def streamReader(self, schema: StructType) -> TableChangesStreamReader:
+        return TableChangesStreamReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(TableChangesDataSource)
+
+
+# ---------------------------------------------------------------- consumers
+def stream_replicate(
+    spark,
+    src_root: str,
+    dst_root: str,
+    query_id: str = "replicate",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuously replicate one table into another off its change feed —
+    the canonical feed subscriber. Each microbatch merges through the
+    replica's own ``merge_batch``, so the replica inherits exactly-once
+    (epoch key = (query_id, batch_id), idempotent on re-delivery) and the
+    two tables converge after every batch. Bootstrap is automatic: the
+    feed from snapshot 0 carries the full history."""
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.merge import merge_batch
+    from pyspark.sql import functions as F
+
+    register(spark)
+    try:
+        dst = LakeTable(spark, dst_root)
+        dst.snapshot()
+    except Exception:  # noqa: BLE001 — not a table yet
+        src = LakeTable(spark, src_root)
+        dst = LakeTable.create(
+            spark, dst_root,
+            payload_schema=src.snapshot().payload_schema(),
+            n_buckets=src.snapshot().n_buckets,
+        )
+
+    feed = spark.readStream.format(FORMAT_NAME).option("path", src_root).load()
+    payload = [c for c in feed.columns if c not in ("op", "lsn")]
+
+    def apply(batch, batch_id):
+        events = batch.select(F.col("lsn").alias("op_lsn"), "op", *payload)
+        merge_batch(dst, events, query_id=query_id, epoch_id=batch_id)
+
+    writer = feed.writeStream.foreachBatch(apply).option(
+        "checkpointLocation", checkpoint or os.path.join(dst_root, "_feed_checkpoint")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return dst
+    return writer.start()

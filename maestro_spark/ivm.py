@@ -134,14 +134,18 @@ class ConvStatsView:
             # delta the feed cannot express) → full rebuild re-syncs
             return self.full_refresh(to)
 
-        # Crossover rule (manifest arithmetic, zero IO): a long unapplied
-        # range can carry MORE bytes than the table itself (epochs re-state
-        # the same keys), at which point scanning the feed + joining changed
-        # keys costs more than one resolved read of current state — measured
-        # 27.8s partial vs 10.6s full at 8.3M events / 5 epochs behind.
-        # Delta-proportionality holds only while the delta is the smaller
-        # side; when it is not, rebuild.
-        if self._range_bytes(frm, to) > self._table_bytes(to):
+        # Crossover rule (manifest arithmetic, zero data IO): a long
+        # unapplied range can carry AS MANY OR MORE bytes than the table
+        # itself (epochs re-state the same keys; a bootstrap-from-0 over an
+        # uncompacted table hits exact equality — every table file IS a feed
+        # file), at which point the partial path scans the feed AND re-reads
+        # the changed buckets — strictly more than one resolved read of
+        # current state. Measured 27.8s partial vs 10.6s full at 8.3M
+        # events / 5 epochs behind; at exact equality (1M-event bootstrap)
+        # interleaved A/B gives full 3.9-4.5s vs partial 4.2-5.4s. Delta-
+        # proportionality holds only while the delta is the strictly
+        # smaller side; otherwise rebuild.
+        if self._range_bytes(frm, to) >= self._table_bytes(to):
             return self.full_refresh(to)
 
         n_buckets = self.base.snapshot(to).n_buckets
