@@ -1,0 +1,153 @@
+"""Per-file zone maps (min/max stats) for manifest-level data skipping.
+
+Iceberg keeps per-file column bounds in its manifests so a planner can drop
+files without opening them; this module is that capability for the lake.
+Stats are harvested from parquet FOOTERS at the single chokepoint where data
+files are born (``LakeTable.write_bucket_files``) — metadata-only, no second
+pass over the data — and persisted as one small JSON *shard per commit*
+(``_snapshots/fstats-<uid>.json``). A shard is O(files written by that
+commit), so commit cost never grows with table size; a reader loads shards
+once per process and incrementally afterwards (same pattern as the
+epoch-key index).
+
+Tracked per file: ``rows, lsn_min, lsn_max, ts_min_us, ts_max_us``. LSN
+bounds double as the lineage source (maestro_spark.lineage) and drive the
+superseder "mask scan" that keeps time-range pruning EXACT under
+merge-on-read (see ``LakeTable.read_where_ts``); ts bounds are the zone map
+for event-time range scans — at 100 TB a "yesterday's conversations" query
+touches yesterday's delta files, not the table.
+
+A file with no entry (pre-upgrade tables, foreign files) degrades safely:
+the planner treats its bounds as unknown → never pruned, always masked.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import uuid
+
+import pyarrow.parquet as pq
+
+from maestro_spark import schema as S
+
+SHARD_PREFIX = "fstats-"
+_TS_COL = "ts"
+
+
+def _micros(v) -> int | None:
+    """Parquet timestamp statistics → int microseconds (JSON-safe)."""
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return int(v)
+
+
+def collect_file(path: str) -> dict:
+    """Footer-only stats for one parquet file:
+    ``{rows, lsn_min, lsn_max, ts_min, ts_max}`` (ts in epoch micros,
+    bounds None when the column is absent or all-null)."""
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    out = {"rows": md.num_rows, "lsn_min": None, "lsn_max": None,
+           "ts_min": None, "ts_max": None}
+    for col, lo_key, hi_key, conv in (
+        (S.LSN_COL, "lsn_min", "lsn_max", int),
+        (_TS_COL, "ts_min", "ts_max", _micros),
+    ):
+        if col not in names:
+            continue
+        ci = names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            out[lo_key], out[hi_key] = conv(min(mins)), conv(max(maxs))
+    return out
+
+
+class FileStatsStore:
+    """Sharded rel-path → stats map under ``<root>/_snapshots/``.
+
+    Shards are immutable once written (like snapshots), so incremental
+    loading is safe; entries for vacuumed files are harmless garbage and are
+    dropped whenever :meth:`compact_shards` runs (piggybacked on vacuum).
+    """
+
+    def __init__(self, root: str, snap_dir: str):
+        self.root = root
+        self.dir = os.path.join(root, snap_dir)
+        self._stats: dict[str, dict] = {}
+        self._loaded: set[str] = set()
+
+    # ------------------------------------------------------------- load/get
+    def _refresh(self) -> None:
+        for fn in os.listdir(self.dir):
+            if fn.startswith(SHARD_PREFIX) and fn.endswith(".json") and fn not in self._loaded:
+                with open(os.path.join(self.dir, fn)) as fh:
+                    self._stats.update(json.load(fh))
+                self._loaded.add(fn)
+
+    def get(self, rel: str) -> dict | None:
+        if rel not in self._stats:
+            self._refresh()
+        return self._stats.get(rel)
+
+    def get_or_read(self, rel: str) -> dict:
+        """Stats for ``rel``, reading the footer once on a store miss
+        (self-healing for pre-upgrade tables; not persisted)."""
+        st = self.get(rel)
+        if st is None:
+            st = collect_file(os.path.join(self.root, rel))
+            self._stats[rel] = st
+        return st
+
+    # ---------------------------------------------------------------- write
+    def add_files(self, rels: list[str]) -> None:
+        """Harvest footer stats for freshly-written files; one shard."""
+        if not rels:
+            return
+        shard = {rel: collect_file(os.path.join(self.root, rel)) for rel in rels}
+        self._stats.update(shard)
+        fn = f"{SHARD_PREFIX}{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(self.dir, f".{fn}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(shard, fh)
+        os.rename(tmp, os.path.join(self.dir, fn))
+        self._loaded.add(fn)
+
+    # ------------------------------------------------------------------- gc
+    def compact_shards(self, live_rels: set[str]) -> None:
+        """Fold all shards into one, dropping entries for dead files."""
+        self._refresh()
+        self._stats = {r: s for r, s in self._stats.items() if r in live_rels}
+        for fn in list(self._loaded):
+            p = os.path.join(self.dir, fn)
+            if os.path.exists(p):
+                os.unlink(p)
+        self._loaded.clear()
+        if self._stats:
+            fn = f"{SHARD_PREFIX}{uuid.uuid4().hex[:12]}.json"
+            tmp = os.path.join(self.dir, f".{fn}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(self._stats, fh)
+            os.rename(tmp, os.path.join(self.dir, fn))
+            self._loaded.add(fn)
+
+
+def ts_overlaps(st: dict | None, lo_us: int | None, hi_us: int | None) -> bool:
+    """Zone test: could a file with these stats hold a row in [lo, hi]?
+    Unknown bounds (no stats / all-null ts) → True (never prune blind)."""
+    if st is None or st.get("ts_min") is None:
+        return True
+    if lo_us is not None and st["ts_max"] < lo_us:
+        return False
+    if hi_us is not None and st["ts_min"] > hi_us:
+        return False
+    return True

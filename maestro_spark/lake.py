@@ -107,6 +107,9 @@ class LakeTable:
         # driver-side JSON reads over a long-running stream.
         self._epoch_keys: set[str] = set()
         self._epoch_keys_upto: int = -1
+        from maestro_spark.filestats import FileStatsStore
+
+        self.file_stats = FileStatsStore(root, SNAP_DIR)
 
     # ---------------------------------------------------------------- create
     @classmethod
@@ -372,6 +375,112 @@ class LakeTable:
             *[f.name for f in snap.payload_schema().fields]
         )
 
+    def plan_ts_scan(
+        self, lo, hi, snapshot_id: int | None = None
+    ) -> tuple[dict[int, list[str]], list[str], int]:
+        """Zone-map planning for an event-time range read (driver-side
+        manifest + fstats arithmetic, no data IO).
+
+        Returns ``(candidates, mask, total_files)`` where ``candidates`` maps
+        commit position → absolute paths of files whose ts bounds overlap
+        [lo, hi] (position is the max-LSN tie-break, as in read_resolved),
+        and ``mask`` is the absolute paths of files that cannot hold a row in
+        range but CAN hold a higher-LSN version of a candidate row (per-file
+        lsn_max ≥ the bucket's minimum candidate lsn_min). Scanning the mask
+        with keys+_lsn only (columnar projection) keeps the pruned read EXACT
+        under merge-on-read: a candidate winner superseded by an out-of-range
+        update is knocked out instead of resurrected. Files with unknown
+        bounds are never pruned and always masked.
+        """
+        from maestro_spark.filestats import ts_overlaps
+
+        def _us(v):
+            if v is None:
+                return None
+            import datetime as _dt
+
+            return int((v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)).total_seconds() * 1e6)
+
+        lo_us, hi_us = _us(lo), _us(hi)
+        snap = self.snapshot(snapshot_id)
+        cand: dict[int, list[str]] = {}
+        mask: list[str] = []
+        total = 0
+        for ps in snap.files.values():
+            total += len(ps)
+            stats = [self.file_stats.get_or_read(p) for p in ps]
+            hits = [j for j, st in enumerate(stats) if ts_overlaps(st, lo_us, hi_us)]
+            if not hits:
+                continue  # no row of this bucket can be in range
+            floor = min(
+                (stats[j]["lsn_min"] for j in hits if stats[j]["lsn_min"] is not None),
+                default=None,
+            )
+            for j, (p, st) in enumerate(zip(ps, stats)):
+                ap = os.path.join(self.root, p)
+                if j in hits:
+                    cand.setdefault(j, []).append(ap)
+                elif floor is None or st["lsn_max"] is None or st["lsn_max"] >= floor:
+                    mask.append(ap)
+        return cand, mask, total
+
+    def read_where_ts(
+        self, lo=None, hi=None, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Live rows whose ``ts`` falls in [lo, hi] (inclusive, either end
+        open), scanning only the files the zone maps admit plus a keys-only
+        mask scan — the "yesterday's conversations" query reads yesterday's
+        files, not the table. Result equals ``read().filter(ts between)``
+        exactly (see plan_ts_scan for why masking preserves MOR semantics).
+        """
+        snap = self.snapshot(snapshot_id)
+        cand, mask, _ = self.plan_ts_scan(lo, hi, snapshot_id)
+        payload = [f.name for f in snap.payload_schema().fields]
+        if not cand:
+            return self.spark.createDataFrame([], snap.payload_schema())
+        keys = S.KEY_COLS
+        rest = [f.name for f in snap.schema.fields if f.name not in keys]
+        union: DataFrame | None = None
+        for j in sorted(cand):
+            part = (
+                self.spark.read.schema(snap.schema)
+                .parquet(*cand[j])
+                .withColumn("_seq", F.lit(j))
+            )
+            union = part if union is None else union.unionByName(part)
+        winners = (
+            union.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*rest), F.struct(F.col(S.LSN_COL), F.col("_seq"))).alias("_w")
+            )
+            .select(*keys, "_w.*")
+        )
+        if mask:
+            m = (
+                self.spark.read.schema(snap.schema)
+                .parquet(*mask)
+                .select(
+                    F.col("conv_id").alias("_m_conv"),
+                    F.col("turn_idx").alias("_m_turn"),
+                    F.col(S.LSN_COL).alias("_m_lsn"),
+                )
+            )
+            winners = winners.join(
+                m,
+                on=(
+                    (F.col("conv_id") == F.col("_m_conv"))
+                    & (F.col("turn_idx") == F.col("_m_turn"))
+                    & (F.col("_m_lsn") > F.col(S.LSN_COL))
+                ),
+                how="left_anti",
+            )
+        out = winners.filter(~F.col(S.DELETED_COL))
+        if lo is not None:
+            out = out.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col("ts") <= F.lit(hi))
+        return out.select(*payload)
+
     # ---------------------------------------------------------------- writes
     def write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``pk_bucket``) as the new full content of
@@ -410,6 +519,9 @@ class LakeTable:
             if rels:
                 out[b] = rels
         shutil.rmtree(staging, ignore_errors=True)
+        # zone maps: footer stats for the files just born (metadata-only;
+        # also feeds lineage, which therefore never re-opens these footers)
+        self.file_stats.add_files([p for ps in out.values() for p in ps])
         return out
 
     def commit(
@@ -538,6 +650,15 @@ class LakeTable:
                         os.link(src, dst)
                     except OSError:  # cross-device: fall back to a copy
                         shutil.copy2(src, dst)
+        # zone-map shards ride along (entries for un-cloned files are inert)
+        from maestro_spark.filestats import SHARD_PREFIX
+
+        for fn in os.listdir(os.path.join(self.root, SNAP_DIR)):
+            if fn.startswith(SHARD_PREFIX) and fn.endswith(".json"):
+                shutil.copy2(
+                    os.path.join(self.root, SNAP_DIR, fn),
+                    os.path.join(dest_root, SNAP_DIR, fn),
+                )
         out = LakeTable(self.spark, dest_root)
         out._publish(
             Snapshot(
@@ -637,4 +758,10 @@ class LakeTable:
         for entry in os.listdir(self.root):
             if entry.startswith("_staging-"):
                 shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+        if n:
+            live: set[str] = set()
+            for sid in self.snapshot_ids():
+                for ps in self.snapshot(sid).files.values():
+                    live.update(ps)
+            self.file_stats.compact_shards(live)
         return n

@@ -52,7 +52,6 @@ from __future__ import annotations
 
 import time
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -288,21 +287,8 @@ def merge_batch(
 
 
 def file_stats(table: LakeTable, rel_path: str) -> dict:
-    """Parquet-footer stats for lineage — zero extra compute (no data read)."""
-    import os
-
-    md = pq.ParquetFile(os.path.join(table.root, rel_path)).metadata
-    rows = md.num_rows
-    lsn_min = lsn_max = None
-    schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
-    if S.LSN_COL in schema_names:
-        ci = schema_names.index(S.LSN_COL)
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(ci).statistics
-            if st and st.has_min_max:
-                mins.append(st.min)
-                maxs.append(st.max)
-        if mins:
-            lsn_min, lsn_max = min(mins), max(maxs)
-    return {"rows": rows, "lsn_min": lsn_min, "lsn_max": lsn_max}
+    """Per-file stats for lineage, served from the zone-map store the write
+    path populated (maestro_spark.filestats) — the footer is read at most
+    once per file per process, and normally zero times here because
+    write_bucket_files already harvested it."""
+    return table.file_stats.get_or_read(rel_path)

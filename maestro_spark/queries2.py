@@ -313,6 +313,36 @@ def q_cdc_replay(spark, sf_dir):
 
 
 @q(
+    "q_read_tsrange",
+    f"""SELECT conv_id, turn_idx, text, role, tool, ts FROM (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(tool, op_lsn) AS tool,
+                 arg_max(ts, op_lsn) AS ts,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx)
+        WHERE op <> 'delete'
+          AND ts BETWEEN TIMESTAMP '2025-01-01 00:10:00'
+                     AND TIMESTAMP '2025-01-01 00:20:00'""",
+)
+def q_read_tsrange(spark, sf_dir):
+    """Zone-map pruned event-time range read (lake.read_where_ts): per-file
+    ts bounds from the fstats store admit only overlapping files, a
+    keys-only mask scan preserves exact merge-on-read semantics (a winner
+    updated out of the range in a pruned file cannot resurrect its old
+    version), and the result must equal DuckDB's unpruned arg_max + filter
+    over the same log."""
+    import datetime as dt
+
+    table = _ensure_cdc_demo_lake(spark)
+    return table.read_where_ts(
+        dt.datetime(2025, 1, 1, 0, 10), dt.datetime(2025, 1, 1, 0, 20)
+    ).select("conv_id", "turn_idx", "text", "role", "tool", "ts")
+
+
+@q(
     "q_cdc_changes",
     f"""SELECT conv_id, turn_idx,
               struct_extract(w, 'text') AS text,
@@ -437,7 +467,7 @@ def _finalize_registration_order() -> None:
     entries last (those are additionally pytest-verified, so losing their
     driver row costs the least). Runs once at import, after every @q
     registration in queries.py and queries2.py."""
-    front = ["q_cdc_replay", "q_cdc_changes", "q_ivm_stats"]
+    front = ["q_cdc_replay", "q_cdc_changes", "q_ivm_stats", "q_read_tsrange"]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
     # string/date-family row is not
@@ -452,6 +482,10 @@ def _finalize_registration_order() -> None:
         "q_ingest_json", "q_knn_join", "q_win_firstval",
     ]
     secondary = [
+        # q_cross demoted from the window to make room for q_read_tsrange:
+        # a 1-row cross join is the weakest in-window signal (C8 was
+        # driver-green in r1 and stays oracle-checked locally)
+        "q_cross",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
         "q_fn_string2", "q_win_sliding",
