@@ -481,6 +481,57 @@ class LakeTable:
             out = out.filter(F.col("ts") <= F.lit(hi))
         return out.select(*payload)
 
+    def lookup(
+        self,
+        conv_id: str,
+        turn_idx: int | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Point read: live turns of one conversation (optionally one turn),
+        touching only the ONE hash bucket the key lives in.
+
+        The bucket is computed on the driver with the pure-Python twin of
+        ``bucket_expr`` (maestro_spark.keyhash — parity property-tested
+        against ``F.xxhash64``), so planning launches no job and the scan
+        reads 1/n_buckets of the table's files regardless of table size.
+        Inside those files the key predicate is pushed to parquet, where
+        ``write_bucket_files``'s (conv_id, turn_idx) sort-within-partitions
+        makes row-group min/max stats prune to the few pages actually
+        holding the key — at 100 TB this is an index-lookup-shaped read,
+        not a scan. Per-file ``_seq`` tags keep the max-(_lsn, commit)
+        winner rule identical to read_resolved's; result equals
+        ``read().filter(conv_id = ...)`` exactly.
+        """
+        from maestro_spark.keyhash import bucket_of
+
+        snap = self.snapshot(snapshot_id)
+        payload = [f.name for f in snap.payload_schema().fields]
+        ps = snap.files.get(str(bucket_of(conv_id, snap.n_buckets)), [])
+        if not ps:
+            return self.spark.createDataFrame([], snap.payload_schema())
+        pred = F.col("conv_id") == F.lit(conv_id)
+        if turn_idx is not None:
+            pred = pred & (F.col("turn_idx") == F.lit(turn_idx))
+        keys = S.KEY_COLS
+        rest = [f.name for f in snap.schema.fields if f.name not in keys]
+        union: DataFrame | None = None
+        for j, p in enumerate(ps):
+            part = (
+                self.spark.read.schema(snap.schema)
+                .parquet(os.path.join(self.root, p))
+                .filter(pred)
+                .withColumn("_seq", F.lit(j))
+            )
+            union = part if union is None else union.unionByName(part)
+        winners = (
+            union.groupBy(*keys)
+            .agg(
+                F.max_by(F.struct(*rest), F.struct(F.col(S.LSN_COL), F.col("_seq"))).alias("_w")
+            )
+            .select(*keys, "_w.*")
+        )
+        return winners.filter(~F.col(S.DELETED_COL)).select(*payload)
+
     # ---------------------------------------------------------------- writes
     def write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``pk_bucket``) as the new full content of

@@ -343,6 +343,36 @@ def q_read_tsrange(spark, sf_dir):
 
 
 @q(
+    "q_point_lookup",
+    f"""SELECT conv_id, turn_idx, text, role, tool FROM (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(tool, op_lsn) AS tool,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          WHERE conv_id IN ('conv_000007', 'conv_000123', 'conv_000399')
+          GROUP BY conv_id, turn_idx)
+        WHERE op <> 'delete'""",
+)
+def q_point_lookup(spark, sf_dir):
+    """Point-read serving path (lake.lookup): the bucket is computed on the
+    driver by the pure-Python xxhash64 twin (keyhash.py, parity
+    property-tested vs F.xxhash64), so each probe scans exactly ONE of the
+    table's hash buckets with the key predicate pushed into parquet —
+    index-lookup-shaped IO at any table size. Three probes unioned; must
+    equal DuckDB's unpruned arg_max over the full log for the same keys."""
+    from functools import reduce
+
+    table = _ensure_cdc_demo_lake(spark)
+    probes = [
+        table.lookup(c).select("conv_id", "turn_idx", "text", "role", "tool")
+        for c in ("conv_000007", "conv_000123", "conv_000399")
+    ]
+    return reduce(lambda a, b: a.unionByName(b), probes)
+
+
+@q(
     "q_cdc_changes",
     f"""SELECT conv_id, turn_idx,
               struct_extract(w, 'text') AS text,
@@ -467,7 +497,10 @@ def _finalize_registration_order() -> None:
     entries last (those are additionally pytest-verified, so losing their
     driver row costs the least). Runs once at import, after every @q
     registration in queries.py and queries2.py."""
-    front = ["q_cdc_replay", "q_cdc_changes", "q_ivm_stats", "q_read_tsrange"]
+    front = [
+        "q_cdc_replay", "q_cdc_changes", "q_ivm_stats", "q_read_tsrange",
+        "q_point_lookup",
+    ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
     # string/date-family row is not
@@ -482,10 +515,11 @@ def _finalize_registration_order() -> None:
         "q_ingest_json", "q_knn_join", "q_win_firstval",
     ]
     secondary = [
-        # q_cross demoted from the window to make room for q_read_tsrange:
-        # a 1-row cross join is the weakest in-window signal (C8 was
-        # driver-green in r1 and stays oracle-checked locally)
-        "q_cross",
+        # q_cross / q_win_ntile demoted from the window to make room for
+        # q_read_tsrange / q_point_lookup: a 1-row cross join and a 5th
+        # window-family row are the weakest in-window signals (both were
+        # driver-green in r1 and stay oracle-checked locally)
+        "q_cross", "q_win_ntile",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
         "q_fn_string2", "q_win_sliding",

@@ -1,0 +1,115 @@
+"""Point-lookup serving path: the driver-side key→bucket twin must agree
+with Spark's layout hash bit-for-bit (else a lookup silently reads the
+wrong bucket), the lookup must equal a full-table read + filter under
+merge-on-read (updates, tombstones, re-deliveries), and the scan must
+provably touch only the key's own bucket."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import string
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark import schema as S
+from maestro_spark.gen import GenConfig, generate, write_log
+from maestro_spark.keyhash import bucket_of, xxh64_signed
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch
+from maestro_spark.replay import replay
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+
+def test_python_xxh64_matches_spark(spark):
+    """Property parity over every length class of the algorithm (empty,
+    <4, <8, <32, >=32 bytes; multi-byte UTF-8) plus random fuzz."""
+    rng = random.Random(1234)
+    vals = ["", "a", "abc", "conv_000042", "x" * 31, "y" * 32, "z" * 33,
+            "w" * 100, "日本語のキー", "émoji🙂mixé"]
+    vals += ["".join(rng.choices(string.printable, k=rng.randint(0, 80)))
+             for _ in range(150)]
+    vals += ["".join(chr(rng.randint(1, 0xFFF)) for _ in range(rng.randint(0, 40)))
+             for _ in range(50)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(64)).cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxh64_signed(r["s"].encode("utf-8")) == r["h"], r["s"]
+        assert bucket_of(r["s"], 64) == r["b"], r["s"]
+
+
+def _events(spark, rows):
+    """rows: (op_lsn, op, conv_id, turn_idx, text)."""
+    return spark.createDataFrame(
+        [(lsn, op, cid, ti, None, txt, None, TS) for (lsn, op, cid, ti, txt) in rows],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    merge_batch(t, _events(spark, [
+        (1, "insert", "A", 0, "a0"),
+        (2, "insert", "A", 1, "a1"),
+        (3, "insert", "B", 0, "b0"),
+        (4, "insert", "C", 0, "c0"),
+    ]), "q", 0)
+    merge_batch(t, _events(spark, [
+        (5, "update", "A", 1, "a1v2"),
+        (6, "delete", "B", 0, None),
+        (7, "insert", "D", 0, "d0"),
+    ]), "q", 1)
+    return t
+
+
+def test_lookup_equals_filtered_read(table):
+    for cid in ["A", "B", "C", "D", "nope"]:
+        got = table.lookup(cid).orderBy("turn_idx").toPandas()
+        want = (
+            table.read().filter(F.col("conv_id") == cid).orderBy("turn_idx").toPandas()
+        )
+        assert got.equals(want), cid
+    # B was tombstoned: the lookup must see the delete, not the insert
+    assert table.lookup("B").count() == 0
+    # single-turn variant
+    one = table.lookup("A", turn_idx=1).toPandas()
+    assert list(one["text"]) == ["a1v2"]
+
+
+def test_lookup_scans_one_bucket_only(table):
+    """inputFiles of the lookup plan all live under the key's own
+    pk_bucket dir — the other n_buckets-1 of the table are never opened."""
+    b = bucket_of("A", 4)
+    files = table.lookup("A").inputFiles()
+    assert files, "lookup plan lists no input files"
+    assert all(f"pk_bucket={b}/" in f for f in files)
+    total = sum(len(ps) for ps in table.snapshot().files.values())
+    assert len(files) < total  # genuinely pruned, not a full-table scan
+
+
+def test_lookup_on_replayed_log(spark, tmp_path):
+    """End-to-end on a generated log (updates, deletes, re-deliveries,
+    multi-epoch deltas): every conversation's lookup equals the filtered
+    full read; keys are spread over all buckets so the hash twin is
+    exercised against real layout decisions."""
+    log = generate(GenConfig(seed=11, n_convs=40, segment_rows=400))
+    write_log(log, str(tmp_path / "log"), segment_rows=400)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, str(tmp_path / "log"), t, query_id="lk")
+    full = t.read().toPandas()
+    rng = random.Random(5)
+    for cid in rng.sample(sorted(set(full["conv_id"])), 6) + ["conv_999999"]:
+        got = t.lookup(cid).orderBy("turn_idx").toPandas().reset_index(drop=True)
+        want = (
+            full[full["conv_id"] == cid]
+            .sort_values("turn_idx")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), cid
