@@ -38,6 +38,8 @@ HEADLINE = [
     "q_minhash_lsh",    # document near-dup (shingle + LSH)
     "q_simhash",        # document near-dup (banded simhash, codegen votes)
     "q_ann_bruteforce", # embedding similarity top-k
+    "q_read_tsrange",   # zone-map pruned event-time range read (lake)
+    "q_point_lookup",   # one-bucket point read, driver-side bucket pick
 ]
 
 
@@ -46,6 +48,9 @@ def _noop_run(df) -> None:
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    # queries2/queries3 register into the same dict as a side effect
+    import maestro_spark.queries2  # noqa: F401
+    import maestro_spark.queries3  # noqa: F401
     from maestro_spark.queries import QUERIES
 
     # Steady-state protocol, same as bench_cdc's replay measurement: one

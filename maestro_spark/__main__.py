@@ -92,6 +92,19 @@ def main(argv: list[str] | None = None) -> int:
     rk.add_argument("--table", required=True)
     rk.add_argument("--buckets", type=int, required=True)
 
+    lk = sub.add_parser("lookup", help="point-read one conversation (one-bucket scan)")
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--conv-id", required=True, dest="conv_id")
+    lk.add_argument("--turn", type=int, default=None)
+
+    pg = sub.add_parser("purge", help="right-to-be-forgotten: erase a conversation's content")
+    pg.add_argument("--table", required=True)
+    pg.add_argument("--conv-id", required=True, dest="conv_id")
+
+    ad = sub.add_parser("adopt", help="write-audit-publish: fast-forward main to an audited branch")
+    ad.add_argument("--table", required=True)
+    ad.add_argument("--branch", required=True)
+
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
     args = p.parse_args(argv)
@@ -206,6 +219,25 @@ def main(argv: list[str] | None = None) -> int:
         out = table.clone(args.dest, snapshot_id=args.snapshot)
         print(json.dumps({"dest": args.dest, "rows": out.read().count(),
                           "stats": out.snapshot().stats}))
+    elif args.cmd == "lookup":
+        table = LakeTable(spark, args.table)
+        df = table.lookup(args.conv_id, turn_idx=args.turn).orderBy("turn_idx")
+        df.show(100, truncate=40)
+        print(json.dumps({"rows": df.count(), "conv_id": args.conv_id}))
+    elif args.cmd == "purge":
+        table = LakeTable(spark, args.table)
+        snap = table.purge(args.conv_id)
+        print(json.dumps({
+            "snapshot": snap.snapshot_id, "stats": snap.stats,
+            "note": "content erased from the live snapshot; run "
+                    "expire_snapshots+vacuum (or `compact`) to drop history",
+        }))
+    elif args.cmd == "adopt":
+        table = LakeTable(spark, args.table)
+        branch = LakeTable(spark, args.branch)
+        snap = table.adopt(branch)
+        print(json.dumps({"snapshot": snap.snapshot_id,
+                          "rows": table.read().count()}))
     elif args.cmd == "ivm":
         from maestro_spark.ivm import ConvStatsView
 

@@ -60,6 +60,13 @@ def bucket_expr(conv_col: str = "conv_id", n_buckets: int = 64) -> F.Column:
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
 
 
+class CommitConflict(Exception):
+    """A concurrent commit made this one unsafe to rebase automatically
+    (overlapping copy-on-write buckets, a rebucket, or a rollback landed
+    first). The work is not lost — the caller re-plans against the current
+    snapshot and commits again."""
+
+
 def _atomic_write_json(path: str, obj: dict, exclusive: bool) -> None:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -532,6 +539,78 @@ class LakeTable:
         )
         return winners.filter(~F.col(S.DELETED_COL)).select(*payload)
 
+    def purge(self, conv_id: str) -> Snapshot:
+        """Right-to-be-forgotten delete: physically erase one conversation's
+        CONTENT from the current table state, rewriting only the one bucket
+        the key lives in (IO is O(bucket), not O(table)).
+
+        What remains is a payload-nulled tombstone per affected turn at that
+        turn's last LSN **+ 1** — the engine forgets what was said but
+        remembers THAT it was deleted, so (a) late re-deliveries at or below
+        the purged LSN are rejected by normal max-LSN resolution (the +1
+        makes the tombstone strictly dominate even an equal-LSN re-delivery
+        of the purged content), and (b) the change
+        feed emits ``op='delete'`` rows for the key, propagating the purge
+        to downstream replicas (which must run their own purge to erase
+        their history — same contract as any lake format).
+
+        Older snapshots still reference the pre-purge files: physical
+        erasure COMPLETES after ``expire_snapshots()`` + ``vacuum()``, which
+        is the Iceberg/Delta GDPR story too. test_purge.py greps every
+        surviving data file to prove the bytes are gone.
+        """
+        from maestro_spark.keyhash import bucket_of
+
+        snap = self.snapshot()
+        b = str(bucket_of(conv_id, snap.n_buckets))
+        ps = snap.files.get(b, [])
+        if not ps:
+            return snap
+        is_key = F.col("conv_id") == F.lit(conv_id)
+        nullable_payload = [
+            f.name
+            for f in snap.payload_schema().fields
+            if f.name not in S.KEY_COLS
+        ]
+        df = (
+            self.spark.read.schema(snap.schema)
+            .parquet(*[os.path.join(self.root, p) for p in ps])
+            .select(
+                *S.KEY_COLS,
+                *[
+                    F.when(is_key, F.lit(None).cast(dict(
+                        (f.name, f.dataType) for f in snap.schema.fields
+                    )[c])).otherwise(F.col(c)).alias(c)
+                    for c in nullable_payload
+                ],
+                # the tombstone takes lsn+1: it must STRICTLY dominate every
+                # version already emitted for this key, or an equal-LSN late
+                # re-delivery would win the (lsn, commit-seq) tie-break and
+                # resurrect the purged content
+                F.when(is_key, F.col(S.LSN_COL) + F.lit(1))
+                .otherwise(F.col(S.LSN_COL))
+                .alias(S.LSN_COL),
+                F.when(is_key, F.lit(True)).otherwise(F.col(S.DELETED_COL)).alias(S.DELETED_COL),
+            )
+            .withColumn("pk_bucket", F.lit(int(b)))
+        )
+        # one winner per key first (the rewrite is also a compaction of this
+        # bucket — re-writing every historical delta version of the purged
+        # key as a null row would leak its row count)
+        rest = [f.name for f in snap.schema.fields if f.name not in S.KEY_COLS]
+        df = (
+            df.groupBy("pk_bucket", *S.KEY_COLS)
+            .agg(F.max_by(F.struct(*rest), F.col(S.LSN_COL)).alias("_w"))
+            .select("pk_bucket", *S.KEY_COLS, "_w.*")
+        )
+        new_files = self.write_bucket_files(df.repartition("pk_bucket"))
+        return self.commit(
+            {b: new_files.get(b, [])},
+            epoch_key=None,
+            stats={"purge_bucket": int(b)},
+            append=False,
+        )
+
     # ---------------------------------------------------------------- writes
     def write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``pk_bucket``) as the new full content of
@@ -582,32 +661,97 @@ class LakeTable:
         schema: T.StructType | None = None,
         stats: dict | None = None,
         append: bool = False,
+        retries: int | None = None,
     ) -> Snapshot:
         """Commit new bucket files; untouched buckets carried forward by
         reference. ``append=False`` (copy-on-write / compaction) replaces each
         listed bucket's file set; ``append=True`` (merge-on-read delta commit)
-        appends the new files after the bucket's existing ones. Raises
-        FileExistsError on a snapshot-id race (single-writer protocol
-        surfaces, never corrupts).
+        appends the new files after the bucket's existing ones.
+
+        Concurrent writers are handled with optimistic concurrency (the
+        Iceberg model): the snapshot-id hard-link publish is the CAS, and a
+        loser re-reads the chain, VALIDATES that every intervening commit is
+        compatible with this one, rebases its file manifest onto the new
+        tip, and retries (up to ``maestro.commit.retries`` times, default 5;
+        pass ``retries=0`` for strict single-writer behavior — the loser
+        then sees the raw FileExistsError).
+
+        Validation rules, per intervening snapshot:
+        - same ``epoch_key`` already landed → this is a duplicate delivery
+          racing itself; return the current tip unchanged (idempotence).
+        - rebucket or rollback in the gap → :class:`CommitConflict` (our
+          files target the wrong layout / a retracted state).
+        - ``append=True`` (MOR delta): always rebasable otherwise — delta
+          files are per-epoch batch winners and the max-(lsn, seq) resolve
+          is order-insensitive across writers; a concurrent compaction only
+          folded *older* files, so appending after it stays correct.
+        - ``append=False`` (COW / compaction): rebasable only when the
+          intervening commits touched DISJOINT buckets — our replacement
+          content was computed from the parent's bucket state, so an
+          overlapping touch means lost updates → :class:`CommitConflict`
+          (caller re-plans from the new tip).
+        The published schema is re-merged against the tip's on every rebase,
+        so a concurrent schema evolution is never silently narrowed.
         """
+        if retries is None:
+            retries = int(self.spark.conf.get("maestro.commit.retries", "5"))
         parent = self.snapshot()
-        files = dict(parent.files)
-        if append:
-            for b, ps in new_files.items():
-                files[b] = [*files.get(b, []), *ps]
-        else:
-            files.update(new_files)
-        snap = Snapshot(
-            snapshot_id=parent.snapshot_id + 1,
-            parent_id=parent.snapshot_id,
-            epoch_key=epoch_key,
-            schema_json=json.dumps((schema or parent.schema).jsonValue()),
-            files=files,
-            n_buckets=parent.n_buckets,
-            stats=stats or {},
-        )
-        self._publish(snap)
-        return snap
+        my_schema = schema or parent.schema
+        for _ in range(retries + 1):
+            files = dict(parent.files)
+            if append:
+                for b, ps in new_files.items():
+                    files[b] = [*files.get(b, []), *ps]
+            else:
+                files.update(new_files)
+            snap = Snapshot(
+                snapshot_id=parent.snapshot_id + 1,
+                parent_id=parent.snapshot_id,
+                epoch_key=epoch_key,
+                schema_json=json.dumps(
+                    S.merge_schemas(parent.schema, my_schema).jsonValue()
+                ),
+                files=files,
+                n_buckets=parent.n_buckets,
+                stats=stats or {},
+            )
+            try:
+                self._publish(snap)
+                return snap
+            except FileExistsError:
+                if retries == 0:
+                    raise
+                current = self.snapshot()
+                for sid in range(parent.snapshot_id + 1, current.snapshot_id + 1):
+                    s = self.snapshot(sid)
+                    if epoch_key is not None and s.epoch_key == epoch_key:
+                        return current  # duplicate delivery won the race
+                    if s.n_buckets != parent.n_buckets:
+                        raise CommitConflict(
+                            f"concurrent rebucket at snapshot {sid}: files "
+                            f"target a {parent.n_buckets}-bucket layout"
+                        ) from None
+                    if s.stats.get("rollback_to") is not None:
+                        raise CommitConflict(
+                            f"concurrent rollback at snapshot {sid}; re-plan "
+                            "from the current state"
+                        ) from None
+                    if not append:
+                        s_parent = self.snapshot(s.parent_id)
+                        touched = {
+                            b for b, ps in s.files.items()
+                            if ps != s_parent.files.get(b)
+                        }
+                        overlap = touched & set(new_files)
+                        if overlap:
+                            raise CommitConflict(
+                                f"concurrent commit {sid} rewrote buckets "
+                                f"{sorted(overlap)[:8]} this copy-on-write "
+                                "commit also replaces; re-plan from the "
+                                "current state"
+                            ) from None
+                parent = current
+        raise CommitConflict(f"commit lost the publish race {retries + 1} times")
 
     def rollback(self, to_snapshot: int) -> Snapshot:
         """Revert the table to ``to_snapshot``'s content by publishing a NEW
@@ -722,6 +866,77 @@ class LakeTable:
                 stats={"cloned_from": self.root, "source_snapshot": snap.snapshot_id},
             )
         )
+        return out
+
+    def adopt(self, branch: "LakeTable") -> Snapshot:
+        """Write-audit-publish: fast-forward this table to a staged branch.
+
+        The WAP pattern (Iceberg's branch + fast-forward): ``clone()`` a
+        zero-copy branch, replay/merge the new epochs INTO THE BRANCH, run
+        audits on the branch's read surface (reconverge_check, validators,
+        row-count gates — anything), and only then ``adopt()`` the branch:
+        every branch commit above the fork point is re-published onto main
+        in order, hard-linking its data files (no data copy, no recompute).
+        Until adopt, main's readers never see unaudited data; an audit
+        failure costs one discarded directory.
+
+        Epoch keys, stats (incl. maintenance / rollback markers — so change
+        feed refusal semantics carry over), and schema evolution ride along.
+        Preconditions: the branch must have been cloned FROM this table's
+        current snapshot (strict fast-forward — if main moved, re-stage;
+        this is `CommitConflict`, same contract as an overlapping COW race)
+        and must not have been rebucketed.
+        """
+        b0 = branch.snapshot(0)
+        fork = b0.stats.get("source_snapshot")
+        if b0.stats.get("cloned_from") is None or fork is None:
+            raise ValueError("adopt() target must be a clone() of this table")
+        cur = self.snapshot()
+        if cur.snapshot_id != fork or b0.files != cur.files:
+            raise CommitConflict(
+                f"branch forked at snapshot {fork} but main is at "
+                f"{cur.snapshot_id}; re-stage from the current state"
+            )
+        out = cur
+        for sid in branch.snapshot_ids():
+            if sid == 0:
+                continue
+            s = branch.snapshot(sid)
+            if s.n_buckets != cur.n_buckets:
+                raise CommitConflict("branch was rebucketed; adopt unsupported")
+            sp = branch.snapshot(s.parent_id)
+            changed = {
+                b: list(ps) for b, ps in s.files.items() if ps != sp.files.get(b)
+            }
+            for b in sp.files:
+                if b not in s.files:
+                    changed[b] = []
+            for ps in changed.values():
+                for rel in ps:
+                    src = os.path.join(branch.root, rel)
+                    dst = os.path.join(self.root, rel)
+                    if not os.path.exists(dst):
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        try:
+                            os.link(src, dst)
+                        except OSError:  # cross-device
+                            shutil.copy2(src, dst)
+            out = self.commit(
+                changed,
+                epoch_key=s.epoch_key,
+                schema=s.schema,
+                stats={**s.stats, "adopted_branch_snapshot": sid},
+                append=False,
+                retries=0,
+            )
+        # zone-map shards for the adopted files ride along
+        from maestro_spark.filestats import SHARD_PREFIX
+
+        for fn in os.listdir(os.path.join(branch.root, SNAP_DIR)):
+            if fn.startswith(SHARD_PREFIX) and fn.endswith(".json"):
+                dst = os.path.join(self.root, SNAP_DIR, fn)
+                if not os.path.exists(dst):
+                    shutil.copy2(os.path.join(branch.root, SNAP_DIR, fn), dst)
         return out
 
     # ----------------------------------------------------------- maintenance

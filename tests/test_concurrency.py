@@ -1,0 +1,158 @@
+"""Optimistic concurrency: two writers race on the snapshot-id CAS; the
+loser must validate the intervening commits and rebase (MOR appends,
+disjoint COW), dedupe itself (same epoch_key), or refuse with
+CommitConflict (overlapping COW, rebucket, rollback) — never corrupt.
+
+The race is injected at the REAL boundary: writer A's ``_publish`` is
+wrapped so writer B commits between A's snapshot read and A's CAS attempt,
+which makes A's first hard-link genuinely fail with FileExistsError and
+drives the production retry path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark import schema as S
+from maestro_spark.lake import CommitConflict, LakeTable
+from maestro_spark.merge import merge_batch
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+
+def _events(spark, rows):
+    """rows: (op_lsn, op, conv_id, turn_idx, text)."""
+    return spark.createDataFrame(
+        [(lsn, op, cid, ti, None, txt, None, TS) for (lsn, op, cid, ti, txt) in rows],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+
+
+def _two_bucket_ids() -> tuple[str, str]:
+    """Two conv_ids guaranteed to land in different buckets (n_buckets=4)."""
+    from maestro_spark.keyhash import bucket_of
+
+    first = "A"
+    for i in range(100):
+        cand = f"K{i}"
+        if bucket_of(cand, 4) != bucket_of(first, 4):
+            return first, cand
+    raise AssertionError("unreachable")
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    """Two independent handles on one table, seeded with two conversations
+    landing in different buckets."""
+    ka, kb = _two_bucket_ids()
+    root = str(tmp_path / "lake")
+    a = LakeTable.create(spark, root, n_buckets=4)
+    merge_batch(a, _events(spark, [
+        (1, "insert", ka, 0, "a0"),
+        (2, "insert", kb, 0, "b0"),
+    ]), "seed", 0)
+    b = LakeTable(spark, root)
+    return a, b
+
+
+def _race(a, b_action):
+    """Arm handle ``a`` so its next publish attempt happens AFTER
+    ``b_action()`` has committed — the classic read-plan-publish race."""
+    real = a._publish
+    state = {"fired": False}
+
+    def hooked(snap):
+        if not state["fired"]:
+            state["fired"] = True
+            b_action()
+        real(snap)
+
+    a._publish = hooked
+    return state
+
+
+def test_append_race_rebases_and_loses_nothing(spark, pair):
+    """Two MOR delta commits race; the loser rebases its append onto the
+    winner's snapshot and the table converges to the union of both."""
+    a, b = pair
+    ka, kb = _two_bucket_ids()
+    _race(a, lambda: merge_batch(b, _events(spark, [
+        (3, "update", kb, 0, "b1"),
+    ]), "qb", 1))
+    merge_batch(a, _events(spark, [
+        (4, "insert", ka, 1, "a1"),
+    ]), "qa", 1)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in a.read().collect()
+    }
+    assert got == {(ka, 0): "a0", (ka, 1): "a1", (kb, 0): "b1"}
+    # both epochs are in the chain, as separate snapshots
+    keys = {a.snapshot(sid).epoch_key for sid in a.snapshot_ids()}
+    assert {"qa:1", "qb:1"} <= keys
+
+
+def test_duplicate_epoch_key_race_is_idempotent(spark, pair):
+    """The same epoch delivered by two drivers at once: the loser detects
+    its own epoch_key in the gap and becomes a no-op instead of applying
+    the batch twice."""
+    a, b = pair
+    ev = [(5, "insert", "C", 0, "c0")]
+    _race(a, lambda: merge_batch(b, _events(spark, ev), "q", 7))
+    merge_batch(a, _events(spark, ev), "q", 7)
+    chain_keys = [a.snapshot(sid).epoch_key for sid in a.snapshot_ids()]
+    assert chain_keys.count("q:7") == 1
+    assert a.read().filter(F.col("conv_id") == "C").count() == 1
+
+
+def test_overlapping_cow_race_conflicts(spark, pair):
+    """Copy-on-write replacements of the SAME bucket cannot merge by
+    manifest arithmetic — the loser must surface CommitConflict."""
+    a, b = pair
+    snap = a.snapshot()
+    bucket = next(iter(snap.files))
+    # B truncates the bucket (a genuinely different file list) while A is
+    # mid-flight replacing the same bucket's content
+    _race(a, lambda: b.commit({bucket: []}, "cow-b", append=False))
+    with pytest.raises(CommitConflict, match="rewrote buckets"):
+        a.commit({bucket: snap.files[bucket]}, "cow-a", append=False)
+
+
+def test_disjoint_cow_race_rebases(spark, pair):
+    """COW replacements of DIFFERENT buckets are independent; the loser
+    rebases and both replacements land."""
+    a, b = pair
+    snap = a.snapshot()
+    buckets = sorted(snap.files)
+    assert len(buckets) >= 2, "seed data must span two buckets"
+    b0, b1 = buckets[0], buckets[1]
+    _race(a, lambda: b.commit({b0: []}, "cow-b", append=False))
+    out = a.commit({b1: snap.files[b1]}, "cow-a", append=False)
+    keys = [a.snapshot(sid).epoch_key for sid in a.snapshot_ids()]
+    assert "cow-b" in keys and "cow-a" in keys
+    # the rebase carried B's truncation forward instead of resurrecting b0
+    assert out.files.get(b0, []) == []
+
+
+def test_rebucket_race_conflicts(spark, pair):
+    """A concurrent rebucket invalidates the loser's file layout."""
+    a, b = pair
+    _race(a, lambda: b.rebucket(8))
+    with pytest.raises(CommitConflict, match="rebucket"):
+        merge_batch(a, _events(spark, [(9, "insert", "D", 0, "d0")]), "qa", 9)
+    # and a re-plan against the new tip succeeds
+    merge_batch(a, _events(spark, [(9, "insert", "D", 0, "d0")]), "qa", 9)
+    assert a.read().filter(F.col("conv_id") == "D").count() == 1
+
+
+def test_strict_single_writer_mode_raises_raw(spark, pair):
+    """retries=0 keeps the documented single-writer contract: the raw
+    FileExistsError surfaces."""
+    a, b = pair
+    snap = a.snapshot()
+    bucket = next(iter(snap.files))
+    _race(a, lambda: b.commit({bucket: b.snapshot().files[bucket]}, "w", append=True))
+    with pytest.raises(FileExistsError):
+        a.commit({bucket: snap.files[bucket]}, "l", append=True, retries=0)

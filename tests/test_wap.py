@@ -1,0 +1,102 @@
+"""Write-audit-publish: epochs staged on a zero-copy branch are invisible
+to main until adopt(); adopt fast-forwards main to the audited branch
+state exactly (content, epoch idempotence, change feed); a failed audit
+costs only the branch directory; a moved main refuses the fast-forward."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark import schema as S
+from maestro_spark.lake import CommitConflict, LakeTable
+from maestro_spark.merge import merge_batch
+from maestro_spark.verify import symmetric_diff_empty
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(lsn, op, cid, ti, None, txt, None, TS) for (lsn, op, cid, ti, txt) in rows],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def main(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "main"), n_buckets=4)
+    merge_batch(t, _events(spark, [
+        (1, "insert", "A", 0, "a0"),
+        (2, "insert", "B", 0, "b0"),
+    ]), "q", 0)
+    return t
+
+
+def test_staged_epochs_invisible_until_adopt(spark, tmp_path, main):
+    branch = main.clone(str(tmp_path / "branch"))
+    merge_batch(branch, _events(spark, [
+        (3, "update", "A", 0, "a0-v2"),
+        (4, "insert", "C", 0, "c0"),
+        (5, "delete", "B", 0, None),
+    ]), "q", 1)
+    # audit happens HERE, on the branch; main is untouched
+    assert main.read().count() == 2
+    assert {r["text"] for r in main.read().collect()} == {"a0", "b0"}
+    main.adopt(branch)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in main.read().collect()}
+    assert got == {("A", 0): "a0-v2", ("C", 0): "c0"}
+    # adopted state is bit-identical to the branch's
+    assert symmetric_diff_empty(main.read(), branch.read())
+
+
+def test_adopt_carries_epoch_idempotence(spark, tmp_path, main):
+    branch = main.clone(str(tmp_path / "branch"))
+    ev = [(3, "insert", "C", 0, "c0")]
+    merge_batch(branch, _events(spark, ev), "q", 1)
+    main.adopt(branch)
+    # re-delivering the adopted epoch straight to main is a no-op
+    assert merge_batch(main, _events(spark, ev), "q", 1) is None
+    assert main.read().filter(F.col("conv_id") == "C").count() == 1
+
+
+def test_adopt_refuses_moved_main(spark, tmp_path, main):
+    branch = main.clone(str(tmp_path / "branch"))
+    merge_batch(branch, _events(spark, [(3, "insert", "C", 0, "c0")]), "q", 1)
+    # main moves while the branch is being audited
+    merge_batch(main, _events(spark, [(4, "insert", "D", 0, "d0")]), "q", 9)
+    with pytest.raises(CommitConflict, match="re-stage"):
+        main.adopt(branch)
+    # re-stage from the new tip and publish
+    branch2 = main.clone(str(tmp_path / "branch2"))
+    merge_batch(branch2, _events(spark, [(3, "insert", "C", 0, "c0")]), "q", 1)
+    main.adopt(branch2)
+    assert main.read().count() == 4
+
+
+def test_adopt_multi_epoch_chain_and_feed(spark, tmp_path, main):
+    """A branch with several epochs publishes as the same number of commits;
+    the change feed over the adopted range equals replaying the branch's
+    own feed."""
+    pre = main.snapshot().snapshot_id
+    branch = main.clone(str(tmp_path / "branch"))
+    merge_batch(branch, _events(spark, [(3, "update", "A", 0, "a1")]), "q", 1)
+    merge_batch(branch, _events(spark, [(4, "update", "A", 0, "a2")]), "q", 2)
+    out = main.adopt(branch)
+    feed = main.changes(pre, out.snapshot_id)
+    rows = {(r["conv_id"], r["turn_idx"]): (r["text"], r["op"]) for r in feed.collect()}
+    assert rows[("A", 0)] == ("a2", "upsert")
+    assert [main.snapshot(s).epoch_key for s in main.snapshot_ids()][-2:] == ["q:1", "q:2"]
+
+
+def test_failed_audit_discards_branch_only(spark, tmp_path, main):
+    import shutil
+
+    branch = main.clone(str(tmp_path / "branch"))
+    merge_batch(branch, _events(spark, [(3, "insert", "BAD", 0, "poison")]), "q", 1)
+    # audit: the quality gate rejects the batch → throw the branch away
+    shutil.rmtree(branch.root)
+    assert main.read().count() == 2
+    assert main.read().filter(F.col("conv_id") == "BAD").count() == 0
