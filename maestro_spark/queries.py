@@ -972,6 +972,28 @@ def q_ann_lsh_indexed(spark, sf_dir):
     )
 
 
+@q("q_ann_ivf")  # rows-only: probes the persisted IVF (k-means lists) index
+def q_ann_ivf(spark, sf_dir):
+    """The brief's second ANN scale path: IVF coarse quantization. Fits
+    deterministic k-means lists once per sf_dir, persists the corpus
+    partitioned by list, then answers the probe scanning only the nprobe
+    nearest lists (PartitionFilters-pruned) with exact cosine re-rank.
+    nprobe=k degenerates to brute force, which pytest asserts."""
+    import hashlib
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = "/tmp/maestro_ivf_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not os.path.exists(os.path.join(idx, "_ivf_meta.json")):
+        similarity.build_ivf_index(
+            e.filter(F.col("vec_id") != 0), idx, k=8, iters=4, seed=11
+        )
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    return similarity.ann_ivf_topk_indexed(
+        spark, idx, [float(v) for v in qrow[0]], k=10, nprobe=2
+    )
+
+
 @q("q_media_features")  # rows-only: multimodal plumbing over synthetic media
 def q_media_features(spark, sf_dir):
     """Scalar projection only (see module docstring: the driver canonicalizer

@@ -352,3 +352,61 @@ def test_contamination_flags_planted_overlap(spark):
     assert got[1][0] == got[1][1] and got[1][2] == 1   # 100% overlap
     assert 0 < got[2][0] < got[2][1]                   # partial overlap
     assert got[3][0] == 0 and got[3][2] == 0
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three well-separated blobs: deterministic k-means puts each blob's
+    points in one cluster (and two fits give identical centroids)."""
+    rng = np.random.default_rng(3)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0] * 4 + [-10.0] * 4])
+    vecs = np.vstack([c + 0.1 * rng.standard_normal((20, 8)) for c in centers])
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = similarity.kmeans_fit(df, k=3, iters=6, seed=5)
+    c2 = similarity.kmeans_fit(df, k=3, iters=6, seed=5)
+    assert c1 == c2  # bit-deterministic
+    assign = df.select(
+        "vec_id", similarity._assign_expr(c1, "embedding").alias("c")
+    ).collect()
+    by_blob = {}
+    for r in assign:
+        by_blob.setdefault(r["vec_id"] // 20, set()).add(r["c"])
+    # each blob maps to exactly one cluster, and the three differ
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len(set.union(*by_blob.values())) == 3
+
+
+def test_ivf_index_prunes_and_recalls(spark, tmp_path):
+    """nprobe=all lists == exact brute force; nprobe=1 on clustered data
+    still recalls the planted neighbor while scanning only its list."""
+    rng = np.random.default_rng(4)
+    centers = np.array([[8.0] * 16, [-8.0] * 16, [8.0] * 8 + [-8.0] * 8, [0.0] * 16])
+    vecs = np.vstack(
+        [c + 0.2 * rng.standard_normal((50, 16)) for c in centers]
+    ).astype(np.float32)
+    vecs[7] = vecs[3] * 0.9 + 0.01
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    corpus = df.filter(F.col("vec_id") != 3)
+    qv = [float(x) for x in vecs[3]]
+
+    idx = str(tmp_path / "ivf_index")
+    meta = similarity.build_ivf_index(corpus, idx, k=4, iters=5, seed=9)
+    # exactness: probing every list must equal brute force
+    allp = similarity.ann_ivf_topk_indexed(spark, idx, qv, k=5, nprobe=4)
+    bf = similarity.brute_force_topk(corpus, qv, k=5)
+    assert [r.vec_id for r in allp.collect()] == [r.vec_id for r in bf.collect()]
+    # recall at nprobe=1: the planted neighbor lives in the query's own list
+    one = similarity.ann_ivf_topk_indexed(spark, idx, qv, k=1, nprobe=1)
+    assert one.head().vec_id == 7
+    # and the probe is partition-pruned to fewer dirs than exist on disk
+    import contextlib
+    import io
+    import os
+
+    n_dirs = sum(1 for d in os.listdir(idx) if d.startswith("_list="))
+    assert n_dirs >= 3  # the blobs actually spread over lists
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue() and "_list" in buf.getvalue()
