@@ -868,6 +868,46 @@ class LakeTable:
         )
         return out
 
+    # -------------------------------------------------------- introspection
+    def meta_files(self, snapshot_id: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg ``table.files`` parity): one row per live
+        data file of the snapshot, with bucket, commit position, and the
+        zone-map stats (rows, lsn/ts bounds). Driver-side manifest+fstats
+        arithmetic only — no data IO, any table size."""
+        snap = self.snapshot(snapshot_id)
+        rows = []
+        for b, ps in snap.files.items():
+            for seq, p in enumerate(ps):
+                st = self.file_stats.get_or_read(p)
+                rows.append((
+                    int(b), seq, p, int(st["rows"] or 0),
+                    st["lsn_min"], st["lsn_max"], st["ts_min"], st["ts_max"],
+                ))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, commit_seq int, path string, rows long, "
+            "lsn_min long, lsn_max long, ts_min_us long, ts_max_us long",
+        )
+
+    def meta_snapshots(self) -> DataFrame:
+        """Metadata table (Iceberg ``table.history``/``snapshots`` parity):
+        the retained snapshot chain with parentage, epoch key, file/bucket
+        counts, and the commit's recorded stats as a JSON string."""
+        rows = []
+        for sid in self.snapshot_ids():
+            s = self.snapshot(sid)
+            rows.append((
+                sid, s.parent_id, s.epoch_key, s.n_buckets,
+                sum(len(ps) for ps in s.files.values()),
+                len([b for b, ps in s.files.items() if ps]),
+                json.dumps(s.stats),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id int, parent_id int, epoch_key string, n_buckets int, "
+            "files long, buckets long, stats_json string",
+        )
+
     def adopt(self, branch: "LakeTable") -> Snapshot:
         """Write-audit-publish: fast-forward this table to a staged branch.
 

@@ -206,3 +206,30 @@ def test_change_feed_spans_rebucket(spark, tmp_path):
         table.read(snapshot_id=n).orderBy("conv_id", "turn_idx"),
         replica.read().orderBy("conv_id", "turn_idx"),
     )
+
+
+def test_metadata_tables(spark, tmp_path):
+    """meta_files/meta_snapshots introspection: counts agree with the
+    manifest, zone-map stats are populated, and the chain's parentage and
+    epoch keys are faithful."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "meta_lake"), n_buckets=4)
+    ev = spark.createDataFrame(
+        [(1, "insert", "A", 0, None, "a0", None, dt.datetime(2025, 1, 1)),
+         (2, "insert", "B", 0, None, "b0", None, dt.datetime(2025, 1, 2))],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+    merge_batch(t, ev, "q", 0)
+    snap = t.snapshot()
+    mf = t.meta_files().toPandas()
+    assert len(mf) == sum(len(ps) for ps in snap.files.values())
+    assert int(mf["rows"].sum()) == 2
+    assert mf["lsn_max"].max() == 2 and mf["ts_min_us"].notna().all()
+    ms = t.meta_snapshots().toPandas()
+    assert list(ms["snapshot_id"]) == t.snapshot_ids()
+    assert ms.iloc[-1]["epoch_key"] == "q:0"
+    assert ms.iloc[-1]["parent_id"] == ms.iloc[-2]["snapshot_id"]
