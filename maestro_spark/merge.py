@@ -136,28 +136,42 @@ def merge_batch(
         else F.lit(0).cast("long")
     )
     ts_expr = F.col("ts") if has_ts else F.lit(None).cast("timestamp_ntz")
+    # Dead-letter channel (B4 wired into the sink): events that cannot merge
+    # (null key / null LSN / unknown op) are counted on the SAME pass as the
+    # other planning metrics (zero extra jobs when the batch is clean),
+    # excluded from the merge, and — only when any exist — written to
+    # <root>/_quarantine/<query_id>/epoch=<id>/ with a _reason column BEFORE
+    # the commit (overwrite mode, so a crash-retry of the epoch rewrites the
+    # same rows: the DLQ is exactly-once alongside the table).
+    reason = quarantine_reason()
     in_aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(late_expr).alias("late_events"),
         F.max(ts_expr).alias("max_ts"),
+        F.sum(reason.isNotNull().cast("long")).alias("invalid_events"),
     ]
 
     t_plan0 = time.time()
     changed: list[int] | None  # None = unknown until the job runs (MOR)
     obs_in: Observation | None = None
+    invalid_events = 0
+    raw_batch = batch  # pre-observe handle: the quarantine write (rare path)
+    # re-executes the batch plan, which must NOT carry the Observation node
     if mode == "cow":
         plan_row = batch.agg(
             F.collect_set(bucket_expr("conv_id", n_buckets)).alias("buckets"), *in_aggs
         ).head()
         changed = sorted(plan_row["buckets"])
-        rows_in, late_events, max_ts = (
+        rows_in, late_events, max_ts, invalid_events = (
             plan_row["rows_in"], plan_row["late_events"], plan_row["max_ts"],
+            plan_row["invalid_events"] or 0,
         )
     else:
         changed = None
         obs_in = Observation(f"epoch-{epoch_id}-in")
         batch = batch.observe(obs_in, *in_aggs)
     t_plan = time.time() - t_plan0
+    batch = batch.filter(reason.isNull())
 
     bat_ev = S.conform(batch, event_schema).withColumn("_prio", F.lit(0))
     if mode == "cow" and changed:
@@ -234,13 +248,37 @@ def merge_batch(
     new_files = table.write_bucket_files(result.select(*cols)) if run_job else {}
     t_write = time.time() - t_write0
     if run_job:
-        metrics = dict(obs.get)
-        changed = sorted(metrics.pop("buckets"))
+        try:
+            metrics = dict(obs.get)
+            changed = sorted(metrics.pop("buckets"))
+        except Exception:
+            # Degenerate plan: when Catalyst can statically prove the merge
+            # input empty (e.g. a LOCAL-relation batch whose every row is
+            # quarantined), the optimizer collapses the observed subtree and
+            # CollectMetrics never executes — Observation.get then asserts.
+            # File-backed epochs (the real path) always execute tasks, so
+            # this fallback only ever pays on tiny driver-local batches.
+            metrics = {"rows_out": 0, "tombstones_out": 0, "max_lsn": None}
+            changed = []
     else:
         metrics = {"rows_out": 0, "tombstones_out": 0, "max_lsn": None}
     if obs_in is not None:  # MOR: planning metrics observed on the same job
-        row = dict(obs_in.get)
+        try:
+            row = dict(obs_in.get)
+        except Exception:  # same degenerate-plan case: recount directly
+            row = raw_batch.agg(*in_aggs).head().asDict()
         rows_in, late_events, max_ts = row["rows_in"], row["late_events"], row["max_ts"]
+        invalid_events = row["invalid_events"] or 0
+    if invalid_events:
+        import os as _os
+
+        qdir = _os.path.join(table.root, "_quarantine", query_id, f"epoch={epoch_id}")
+        (
+            raw_batch.withColumn("_reason", reason)
+            .filter(F.col("_reason").isNotNull())
+            .write.mode("overwrite")
+            .parquet(qdir)
+        )
     watermark = max_ts
     if prev_wm is not None and (watermark is None or str(watermark) < prev_wm):
         watermark = prev_wm  # ledger watermark is monotone
@@ -249,6 +287,7 @@ def merge_batch(
         **metrics,
         "rows_in": rows_in,
         "late_events": late_events or 0,
+        "invalid_events": int(invalid_events),
         "mode": mode,
         "changed_buckets": len(changed),
         "wall_s": round(wall, 3),
@@ -284,6 +323,37 @@ def merge_batch(
         if due:
             table.compact(due)
     return snap
+
+
+def quarantine_reason() -> F.Column:
+    """NULL for a mergeable event, else the first matching defect label.
+    An event missing its key, its LSN, or carrying an unknown op cannot
+    participate in max-LSN resolution — it is routed to the dead-letter
+    directory instead of corrupting the table or crashing the tail."""
+    return (
+        F.when(F.col("conv_id").isNull(), F.lit("null_conv_id"))
+        .when(F.col("turn_idx").isNull(), F.lit("null_turn_idx"))
+        .when(F.col("op_lsn").isNull(), F.lit("null_op_lsn"))
+        .when(
+            # 'upsert' is the change-feed consumer dialect (stream_replicate
+            # merges feed rows verbatim) — first-class, not a defect
+            ~F.col("op").isin("insert", "update", "upsert", "delete"),
+            F.lit("bad_op"),
+        )
+    )
+
+
+def read_quarantine(table: LakeTable, query_id: str) -> DataFrame | None:
+    """All dead-lettered events of a query (with ``_reason`` and the hive
+    ``epoch`` partition column), or None when the DLQ is empty. Repair flow:
+    fix the rows, re-merge them under a NEW epoch id — LSN dominance makes
+    the late application order-safe."""
+    import os as _os
+
+    qdir = _os.path.join(table.root, "_quarantine", query_id)
+    if not _os.path.isdir(qdir):
+        return None
+    return table.spark.read.option("basePath", qdir).parquet(qdir)
 
 
 def file_stats(table: LakeTable, rel_path: str) -> dict:

@@ -372,6 +372,81 @@ def q_point_lookup(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), probes)
 
 
+def _ensure_dirty_log() -> str:
+    """Deterministic mixed valid/invalid event log (pure pyarrow): every
+    4th row is defective in a rotating way — the DLQ oracle fixture."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{_CDC_DEMO_DIR}/dirty/log.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        n = 200
+        lsn = [None if i % 16 == 3 else i + 1 for i in range(n)]
+        op = ["nonsense" if i % 16 == 7 else "insert" for i in range(n)]
+        cid = [None if i % 16 == 11 else f"c{i % 20:03d}" for i in range(n)]
+        ti = [None if i % 16 == 15 else i % 7 for i in range(n)]
+        pq.write_table(
+            pa.table(
+                {
+                    "op_lsn": pa.array(lsn, pa.int64()),
+                    "op": pa.array(op, pa.string()),
+                    "conv_id": pa.array(cid, pa.string()),
+                    "turn_idx": pa.array(ti, pa.int32()),
+                    "role": pa.array(["user"] * n, pa.string()),
+                    "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+                    "tool": pa.array([None] * n, pa.string()),
+                    "ts": pa.array(
+                        [1735689600000000 + i * 1_000_000 for i in range(n)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            path,
+        )
+    return path
+
+
+@q(
+    "q_quarantine",
+    f"""SELECT op_lsn, op, conv_id, turn_idx, text,
+               CASE WHEN conv_id IS NULL THEN 'null_conv_id'
+                    WHEN turn_idx IS NULL THEN 'null_turn_idx'
+                    WHEN op_lsn IS NULL THEN 'null_op_lsn'
+                    WHEN op NOT IN ('insert','update','upsert','delete') THEN 'bad_op'
+               END AS reason
+        FROM read_parquet('{_CDC_DEMO_DIR}/dirty/log.parquet')
+        WHERE conv_id IS NULL OR turn_idx IS NULL OR op_lsn IS NULL
+           OR op NOT IN ('insert','update','upsert','delete')""",
+)
+def q_quarantine(spark, sf_dir):
+    """Dead-letter channel end-to-end: merge a deterministic dirty log into
+    a scratch lake — unmergeable events are excluded from the table,
+    counted on the planning pass, and written exactly-once to the
+    per-query quarantine dir — then return the DLQ contents, which must
+    equal DuckDB applying the same defect rules to the same file."""
+    import shutil
+
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.merge import merge_batch, read_quarantine
+
+    log = _ensure_dirty_log()
+    root = f"{_CDC_DEMO_DIR}/dirty/lake"
+    try:
+        table = LakeTable(spark, root)
+        table.snapshot()
+    except Exception:  # noqa: BLE001 — first run (or stale tmp): build it
+        shutil.rmtree(root, ignore_errors=True)
+        table = LakeTable.create(spark, root, n_buckets=4)
+    merge_batch(table, spark.read.parquet(log), "dirty", 0)  # idempotent
+    return read_quarantine(table, "dirty").select(
+        "op_lsn", "op", "conv_id", "turn_idx", "text",
+        F.col("_reason").alias("reason"),
+    )
+
+
 @q(
     "q_cdc_changes",
     f"""SELECT conv_id, turn_idx,
@@ -515,11 +590,12 @@ def _finalize_registration_order() -> None:
         "q_ingest_json", "q_knn_join", "q_win_firstval",
     ]
     secondary = [
-        # q_cross / q_win_ntile demoted from the window to make room for
-        # q_read_tsrange / q_point_lookup: a 1-row cross join and a 5th
-        # window-family row are the weakest in-window signals (both were
-        # driver-green in r1 and stay oracle-checked locally)
-        "q_cross", "q_win_ntile",
+        # q_cross / q_win_ntile / q_intersect demoted from the window to
+        # make room for q_read_tsrange / q_point_lookup / q_quarantine: a
+        # 1-row cross join, a 5th window-family row, and a second set-op row
+        # are the weakest in-window signals (all were driver-green in r1 and
+        # stay oracle-checked locally)
+        "q_cross", "q_win_ntile", "q_intersect",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
         "q_fn_string2", "q_win_sliding",

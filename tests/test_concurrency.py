@@ -156,3 +156,39 @@ def test_strict_single_writer_mode_raises_raw(spark, pair):
     _race(a, lambda: b.commit({bucket: b.snapshot().files[bucket]}, "w", append=True))
     with pytest.raises(FileExistsError):
         a.commit({bucket: snap.files[bucket]}, "l", append=True, retries=0)
+
+
+def test_three_writer_soak_converges(spark, tmp_path):
+    """Nine interleaved epochs from three handles, every one racing the
+    others at the publish point: the table must converge to the same state
+    a sequential application produces, with all nine epoch keys committed."""
+    root = str(tmp_path / "soak")
+    w = [LakeTable.create(spark, root, n_buckets=4)]
+    w += [LakeTable(spark, root), LakeTable(spark, root)]
+    batches = []  # (writer, qid, epoch, rows)
+    for e in range(3):
+        for i in range(3):
+            rows = [
+                (e * 100 + i * 10 + k, "insert" if (e + k) % 3 else "update",
+                 f"c{(i * 7 + k) % 9}", k, f"w{i}e{e}k{k}")
+                for k in range(5)
+            ]
+            batches.append((i, f"w{i}", e, rows))
+    # interleave: each writer's merge races the NEXT batch's writer
+    for j, (i, qid, e, rows) in enumerate(batches):
+        nxt = batches[(j + 1) % len(batches)]
+        if nxt is not batches[j]:
+            ni, nqid, ne, nrows = nxt
+            if (nqid, ne) != (qid, e):
+                _race(w[i], lambda ni=ni, nqid=nqid, ne=ne, nrows=nrows:
+                      merge_batch(w[ni], _events(spark, nrows), nqid, ne))
+        merge_batch(w[i], _events(spark, rows), qid, e)
+    keys = {w[0].snapshot(s).epoch_key for s in w[0].snapshot_ids()}
+    assert {f"w{i}:{e}" for i in range(3) for e in range(3)} <= keys
+    # convergence: rebuild sequentially in a fresh table and compare
+    ref = LakeTable.create(spark, str(tmp_path / "ref"), n_buckets=4)
+    for i, qid, e, rows in batches:
+        merge_batch(ref, _events(spark, rows), qid, e)
+    a = w[0].read().orderBy("conv_id", "turn_idx").toPandas()
+    b = ref.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert a.equals(b)

@@ -125,3 +125,33 @@ def test_purge_missing_key_is_noop(table):
     # live content must be unchanged
     assert table.snapshot().snapshot_id in (before, before + 1)
     assert table.read().filter(F.col("text").isNull()).count() == 0
+
+
+def test_purge_random_logs_property(spark, tmp_path):
+    """Property over generated logs: purging any key leaves exactly the
+    expected final state minus that conversation, for several seeds/keys.
+    (Loop-based rather than hypothesis: each case costs a Spark replay.)"""
+    import random
+
+    from maestro_spark.gen import GenConfig, expected_final_state, generate, write_log
+    from maestro_spark.replay import replay
+
+    for seed in (3, 17):
+        log = generate(GenConfig(seed=seed, n_convs=25, segment_rows=300))
+        d = tmp_path / f"p{seed}"
+        write_log(log, str(d / "log"), segment_rows=300)
+        t = LakeTable.create(spark, str(d / "lake"), n_buckets=4)
+        replay(spark, str(d / "log"), t, query_id="v")
+        exp = expected_final_state(log)
+        rng = random.Random(seed)
+        for cid in rng.sample(sorted(set(exp["conv_id"])), 2):
+            t.purge(cid)
+            got = (
+                t.read()
+                .orderBy("conv_id", "turn_idx")
+                .toPandas()
+                .reset_index(drop=True)
+            )
+            exp = exp[exp["conv_id"] != cid].reset_index(drop=True)
+            assert list(got["conv_id"]) == list(exp["conv_id"])
+            assert list(got["text"]) == list(exp["text"])
