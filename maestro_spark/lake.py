@@ -979,6 +979,42 @@ class LakeTable:
                     shutil.copy2(os.path.join(branch.root, SNAP_DIR, fn), dst)
         return out
 
+    def export(self, dest_root: str, snapshot_id: int | None = None) -> dict:
+        """Exactly-once export of one snapshot's LIVE rows (payload columns,
+        tombstones resolved away) to a plain parquet directory a non-maestro
+        consumer can read with any engine.
+
+        Layout: ``<dest>/snapshot=<id>/part-*.parquet`` plus a ``LATEST``
+        pointer JSON published with the same hard-link CAS as table commits.
+        Idempotent per snapshot: re-exporting an already-exported snapshot
+        is a no-op (the CAS on LATEST's sibling marker refuses a second
+        publisher, a crashed half-export leaves only an invisible _tmp dir
+        that the next attempt clears). Consumers either read the pinned
+        ``snapshot=<id>`` dir (stable forever) or follow LATEST.
+        """
+        snap = self.snapshot(snapshot_id)
+        sid = snap.snapshot_id
+        final = os.path.join(dest_root, f"snapshot={sid}")
+        marker = os.path.join(dest_root, f"_exported-{sid}.json")
+        os.makedirs(dest_root, exist_ok=True)
+        if os.path.exists(marker):
+            return json.load(open(marker))
+        tmp = os.path.join(dest_root, f"_tmp-{uuid.uuid4().hex[:12]}")
+        self.read(snapshot_id=sid).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)  # stale half-rename
+        os.rename(tmp, final)
+        meta = {"snapshot_id": sid, "path": final,
+                "rows": None, "schema": snap.payload_schema().simpleString()}
+        try:
+            _atomic_write_json(marker, meta, exclusive=True)
+        except FileExistsError:  # a racer exported the same snapshot first
+            return json.load(open(marker))
+        _atomic_write_json(os.path.join(dest_root, "LATEST"), meta, exclusive=False)
+        # a crashed exporter's _tmp-* dir is invisible garbage (consumers
+        # read snapshot=* or LATEST only); it is NOT swept here because a
+        # concurrent exporter of another snapshot may be mid-write in its own
+        return meta
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,

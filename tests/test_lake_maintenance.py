@@ -233,3 +233,49 @@ def test_metadata_tables(spark, tmp_path):
     assert list(ms["snapshot_id"]) == t.snapshot_ids()
     assert ms.iloc[-1]["epoch_key"] == "q:0"
     assert ms.iloc[-1]["parent_id"] == ms.iloc[-2]["snapshot_id"]
+
+
+def test_export_exactly_once(spark, tmp_path):
+    """Snapshot export to a plain parquet dir: content equals read(), the
+    LATEST pointer tracks, re-export of the same snapshot is a no-op, and
+    a foreign engine (pyarrow) can read the result directly."""
+    import datetime as dt
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "exp_lake"), n_buckets=4)
+    ev = spark.createDataFrame(
+        [(1, "insert", "A", 0, None, "a0", None, dt.datetime(2025, 1, 1)),
+         (2, "insert", "B", 0, None, "b0", None, dt.datetime(2025, 1, 1)),
+         (3, "delete", "B", 0, None, None, None, dt.datetime(2025, 1, 1))],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+    merge_batch(t, ev, "q", 0)
+    dest = str(tmp_path / "export")
+    meta = t.export(dest)
+    sid = meta["snapshot_id"]
+    got = spark.read.parquet(f"{dest}/snapshot={sid}").orderBy("conv_id").toPandas()
+    want = t.read().orderBy("conv_id").toPandas()
+    assert got.equals(want) and list(got["conv_id"]) == ["A"]  # tombstone resolved
+    # foreign-engine read (no maestro code)
+    assert pq.read_table(f"{dest}/snapshot={sid}").num_rows == 1
+    latest = json.load(open(os.path.join(dest, "LATEST")))
+    assert latest["snapshot_id"] == sid
+    # idempotent: second export of the same snapshot changes nothing
+    files_before = sorted(os.listdir(f"{dest}/snapshot={sid}"))
+    meta2 = t.export(dest)
+    assert meta2["snapshot_id"] == sid
+    assert sorted(os.listdir(f"{dest}/snapshot={sid}")) == files_before
+    # a newer snapshot exports beside it and LATEST advances
+    merge_batch(t, spark.createDataFrame(
+        [(4, "insert", "C", 0, None, "c0", None, dt.datetime(2025, 1, 2))],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    meta3 = t.export(dest)
+    assert meta3["snapshot_id"] > sid
+    assert json.load(open(os.path.join(dest, "LATEST")))["snapshot_id"] == meta3["snapshot_id"]
+    assert os.path.isdir(f"{dest}/snapshot={sid}")  # pinned dir untouched
