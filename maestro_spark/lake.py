@@ -868,6 +868,28 @@ class LakeTable:
         )
         return out
 
+    def snapshot_id_at(self, ts) -> int:
+        """Time travel by wall clock: the snapshot that was current at
+        ``ts`` (float epoch seconds or datetime) — the latest retained
+        snapshot with ``committed_at <= ts``. Raises if ``ts`` predates the
+        retained history (expire_snapshots bounds the horizon, as in any
+        lake format). Pass the result to ``read(snapshot_id=...)`` /
+        ``lookup`` / ``changes`` — "what did this conversation look like
+        yesterday" composes from this plus a point lookup."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best = None
+        for sid in self.snapshot_ids():
+            if self.snapshot(sid).committed_at <= ts:
+                best = sid
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before {ts} (history expired?)"
+            )
+        return best
+
     # -------------------------------------------------------- introspection
     def meta_files(self, snapshot_id: int | None = None) -> DataFrame:
         """Metadata table (Iceberg ``table.files`` parity): one row per live

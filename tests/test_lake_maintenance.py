@@ -279,3 +279,31 @@ def test_export_exactly_once(spark, tmp_path):
     assert meta3["snapshot_id"] > sid
     assert json.load(open(os.path.join(dest, "LATEST")))["snapshot_id"] == meta3["snapshot_id"]
     assert os.path.isdir(f"{dest}/snapshot={sid}")  # pinned dir untouched
+
+
+def test_snapshot_id_at_time_travel(spark, tmp_path):
+    """Wall-clock time travel: reading at a timestamp between commits sees
+    exactly the earlier commit's state; before-history raises."""
+    import datetime as dt
+    import time
+
+    import pytest as _pytest
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "tt_lake"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(1, "insert", "A", 0, None, "v1", None, dt.datetime(2025, 1, 1))],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    mid = time.time()
+    time.sleep(0.05)
+    merge_batch(t, spark.createDataFrame(
+        [(2, "update", "A", 0, None, "v2", None, dt.datetime(2025, 1, 1))],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    sid = t.snapshot_id_at(mid)
+    assert t.read(snapshot_id=sid).head()["text"] == "v1"
+    assert t.read().head()["text"] == "v2"
+    assert t.snapshot_id_at(time.time()) == t.snapshot().snapshot_id
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        t.snapshot_id_at(0.0)
