@@ -1,0 +1,99 @@
+"""DML verbs compile to change-event epochs through the normal merge path:
+LSN dominance, tombstone semantics, change-feed visibility, and schema
+evolution all hold; duplicate-key statements are rejected."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark import schema as S
+from maestro_spark.dml import delete_where, max_live_lsn, update_where, upsert
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(5, "insert", "A", 0, "user", "a0", None, TS),
+         (6, "insert", "A", 1, "assistant", "a1", None, TS),
+         (7, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 0)
+    return t
+
+
+def _rows(t):
+    return {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t.read().collect()
+    }
+
+
+def test_upsert_insert_and_replace(spark, table):
+    df = spark.createDataFrame(
+        [("A", 0, "user", "a0-v2", None, TS), ("C", 0, "user", "c0", None, TS)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    upsert(table, df)
+    assert _rows(table) == {
+        ("A", 0): "a0-v2", ("A", 1): "a1", ("B", 0): "b0", ("C", 0): "c0",
+    }
+    # the statement's LSN strictly dominates the seed data
+    assert max_live_lsn(table) == 8
+
+
+def test_upsert_duplicate_keys_rejected(spark, table):
+    df = spark.createDataFrame(
+        [("X", 0, "a"), ("X", 0, "b")], "conv_id string, turn_idx int, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert(table, df)
+
+
+def test_delete_where_tombstones(spark, table):
+    delete_where(table, F.col("conv_id") == "A")
+    assert _rows(table) == {("B", 0): "b0"}
+    # late re-delivery of the deleted rows (their original LSNs) stays dead
+    merge_batch(table, spark.createDataFrame(
+        [(5, "insert", "A", 0, "user", "a0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "late", 1)
+    assert _rows(table) == {("B", 0): "b0"}
+
+
+def test_update_where_preserves_other_columns(spark, table):
+    update_where(
+        table,
+        (F.col("conv_id") == "A") & (F.col("turn_idx") == 1),
+        {"text": F.upper("text")},
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["role"])
+        for r in table.read().collect()
+    }
+    assert got[("A", 1)] == ("A1", "assistant")  # role rode along
+    assert got[("A", 0)] == ("a0", "user")       # untouched rows unchanged
+
+
+def test_dml_visible_in_change_feed(spark, table):
+    pre = table.snapshot().snapshot_id
+    snap = delete_where(table, F.col("conv_id") == "B")
+    feed = table.changes(pre, snap.snapshot_id).collect()
+    assert [(r["conv_id"], r["op"]) for r in feed] == [("B", "delete")]
+
+
+def test_upsert_schema_evolution(spark, table):
+    df = spark.createDataFrame(
+        [("D", 0, "d0", "rated-5")],
+        "conv_id string, turn_idx int, text string, rating string",
+    )
+    upsert(table, df)
+    got = table.read().filter(F.col("conv_id") == "D").head()
+    assert got["rating"] == "rated-5"
+    # pre-existing rows read the evolved column as null
+    assert table.read().filter(F.col("conv_id") == "A").head()["rating"] is None
