@@ -372,6 +372,55 @@ def q_point_lookup(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), probes)
 
 
+@q(
+    "q_dml",
+    f"""WITH base AS (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx)
+        SELECT conv_id, turn_idx,
+               CASE WHEN conv_id = 'conv_000005' AND turn_idx = 0
+                    THEN 'EDITED' ELSE text END AS text,
+               role
+        FROM base
+        WHERE op <> 'delete' AND conv_id <> 'conv_000011'
+        UNION ALL
+        SELECT 'dml_new', CAST(0 AS INTEGER), 'inserted-by-dml', 'user'""",
+)
+def q_dml(spark, sf_dir):
+    """DML surface end-to-end on a scratch clone of the demo lake (rebuilt
+    per call, deterministic): update_where edits one turn, delete_where
+    removes one conversation, upsert inserts a new one — the final state
+    must equal DuckDB applying the same three statements relationally to
+    the replayed base."""
+    import shutil
+
+    from maestro_spark.dml import delete_where, update_where, upsert
+    from maestro_spark.lake import LakeTable
+
+    base = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/dml_lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = base.clone(root)
+    update_where(
+        table,
+        (F.col("conv_id") == "conv_000005") & (F.col("turn_idx") == 0),
+        {"text": F.lit("EDITED")},
+    )
+    delete_where(table, F.col("conv_id") == "conv_000011")
+    upsert(
+        table,
+        spark.createDataFrame(
+            [("dml_new", 0, "inserted-by-dml", "user")],
+            "conv_id string, turn_idx int, text string, role string",
+        ),
+    )
+    return table.read().select("conv_id", "turn_idx", "text", "role")
+
+
 def _ensure_dirty_log() -> str:
     """Deterministic mixed valid/invalid event log (pure pyarrow): every
     4th row is defective in a rotating way — the DLQ oracle fixture."""
@@ -587,7 +636,7 @@ def _finalize_registration_order() -> None:
         # oracle row: lower marginal driver-signal than the schema-evolution
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
-        "q_ingest_json", "q_knn_join", "q_win_firstval",
+        "q_ingest_json", "q_knn_join",
     ]
     secondary = [
         # q_cross / q_win_ntile / q_intersect demoted from the window to
@@ -596,6 +645,11 @@ def _finalize_registration_order() -> None:
         # are the weakest in-window signals (all were driver-green in r1 and
         # stay oracle-checked locally)
         "q_cross", "q_win_ntile", "q_intersect",
+        # q_win_firstval / q_win_last traded out of the window for q_dml and
+        # q_quarantine (new FAMILY rows beat 3rd/4th window-family rows;
+        # E4's last-ignore-nulls machinery is also inside the in-window
+        # q_join_asof oracle)
+        "q_win_firstval", "q_win_last",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
         "q_fn_string2", "q_win_sliding",
