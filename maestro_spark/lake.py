@@ -1037,6 +1037,38 @@ class LakeTable:
         # concurrent exporter of another snapshot may be mid-write in its own
         return meta
 
+    def transaction(self, scratch_dir: str | None = None):
+        """Multi-statement atomic transaction: a context manager yielding a
+        zero-copy branch of the current snapshot. Statements inside the
+        block (DML verbs, merge_batch epochs, purge, compact) apply to the
+        branch; on clean exit the branch fast-forwards into this table as
+        one adopt (all-or-nothing against concurrent writers — a moved main
+        raises CommitConflict and nothing lands); on exception the branch
+        is discarded and main is untouched. Readers of main never observe a
+        partially-applied transaction.
+
+            with table.transaction() as txn:
+                dml.update_where(txn, ..., {...})
+                dml.delete_where(txn, ...)
+            # both visible now, atomically
+        """
+        import contextlib
+        import tempfile
+
+        outer = self
+
+        @contextlib.contextmanager
+        def _txn():
+            d = scratch_dir or tempfile.mkdtemp(prefix="maestro_txn_")
+            branch = outer.clone(os.path.join(d, "branch"))
+            try:
+                yield branch
+                outer.adopt(branch)
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        return _txn()
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,

@@ -100,3 +100,47 @@ def test_failed_audit_discards_branch_only(spark, tmp_path, main):
     shutil.rmtree(branch.root)
     assert main.read().count() == 2
     assert main.read().filter(F.col("conv_id") == "BAD").count() == 0
+
+
+def test_transaction_atomicity(spark, main):
+    """Multi-statement transaction: both statements land atomically on
+    clean exit; an exception inside the block leaves main untouched."""
+    from maestro_spark.dml import delete_where, upsert
+
+    with main.transaction() as txn:
+        upsert(txn, spark.createDataFrame(
+            [("T", 0, "t0")], "conv_id string, turn_idx int, text string"))
+        delete_where(txn, F.col("conv_id") == "A")
+        # mid-transaction: main still shows the old world
+        assert {r["conv_id"] for r in main.read().collect()} == {"A", "B"}
+    assert {r["conv_id"] for r in main.read().collect()} == {"B", "T"}
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with main.transaction() as txn:
+            delete_where(txn, F.col("conv_id") == "B")
+            raise RuntimeError("boom")
+    # nothing from the failed transaction leaked
+    assert {r["conv_id"] for r in main.read().collect()} == {"B", "T"}
+
+
+def test_ivm_view_converges_across_adopt(spark, tmp_path, main):
+    """An incrementally-maintained view refreshed across an adopted branch
+    (staged epochs published as normal commits) equals a full recompute."""
+    from maestro_spark.ivm import ConvStatsView
+
+    view = ConvStatsView(spark, main, str(tmp_path / "view"))
+    view.refresh()
+    branch = main.clone(str(tmp_path / "ivmbranch"))
+    merge_batch(branch, _events(spark, [
+        (3, "insert", "A", 1, "a1"),
+        (4, "insert", "C", 0, "c0"),
+        (5, "delete", "B", 0, None),
+    ]), "q", 1)
+    main.adopt(branch)
+    view.refresh()
+    got = {r["conv_id"]: r["n_turns"] for r in view.read().collect()}
+    want = {
+        r["conv_id"]: r["n"]
+        for r in main.read().groupBy("conv_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and got == {"A": 2, "C": 1}
