@@ -62,6 +62,11 @@ STATS_PAYLOAD_SCHEMA = T.StructType(
 _QUERY_ID = "ivm-conv-stats"
 
 
+# the only payload columns the view aggregate touches — reads prune to these
+# (turn_idx/role are never decoded; see lake.read(columns=...))
+_AGG_COLS = ["conv_id", "tool", "text", "ts"]
+
+
 def _conv_aggs() -> list[F.Column]:
     return [
         F.count(F.lit(1)).alias("n_turns"),
@@ -167,7 +172,9 @@ class ConvStatsView:
             empty = self.spark.createDataFrame([], self._event_schema())
             return merge_batch(self.table, empty, query_id=_QUERY_ID, epoch_id=to)
 
-        current = self.base.read(snapshot_id=to, buckets=buckets)
+        current = self.base.read(
+            snapshot_id=to, buckets=buckets, columns=_AGG_COLS
+        )
         return self._apply(changed, current, to)
 
     def full_refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
@@ -180,7 +187,7 @@ class ConvStatsView:
             if to_snapshot is not None
             else self.base.snapshot().snapshot_id
         )
-        current = self.base.read(snapshot_id=to)
+        current = self.base.read(snapshot_id=to, columns=_AGG_COLS)
         known = self.table.read().select("conv_id")
         changed = current.select("conv_id").union(known).distinct()
         return self._apply(changed, current, to)

@@ -210,7 +210,10 @@ class LakeTable:
         return self.spark.read.schema(snap.schema).parquet(*files)
 
     def read_resolved(
-        self, buckets: list[int] | None = None, snapshot_id: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Merge-on-read resolution: one winning row per ``(conv_id, turn_idx)``
         (max ``_lsn``), tombstones still present, internal columns included.
@@ -227,6 +230,22 @@ class LakeTable:
         resolve covers the hot tail of the table, not the table.
         """
         snap = self.snapshot(snapshot_id)
+        if columns is not None:
+            # projection pushdown by hand: Python DataSources (mor_scan) never
+            # receive Spark's column pruning, so the narrow schema must be
+            # decided here. Keys + _lsn + _deleted always ride along — the
+            # MOR winner rule and tombstone filter need them.
+            need = dict.fromkeys(
+                [*S.KEY_COLS, *columns, S.LSN_COL, S.DELETED_COL]
+            )
+            scan_schema = T.StructType(
+                [f for f in snap.schema.fields if f.name in need]
+            )
+            missing = [c for c in columns if c not in {f.name for f in snap.schema.fields}]
+            if missing:
+                raise ValueError(f"unknown columns {missing}")
+        else:
+            scan_schema = snap.schema
         want = {str(b) for b in buckets} if buckets is not None else None
         single: list[str] = []
         multi_groups: list[list[str]] = []
@@ -237,11 +256,11 @@ class LakeTable:
                 multi_groups.append([os.path.join(self.root, p) for p in ps])
             else:
                 single.extend(ps)
-        cols = [f.name for f in snap.schema.fields]
+        cols = [f.name for f in scan_schema.fields]
         parts: list[DataFrame] = []
         if single:
             parts.append(
-                self.spark.read.schema(snap.schema).parquet(
+                self.spark.read.schema(scan_schema).parquet(
                     *[os.path.join(self.root, p) for p in single]
                 )
             )
@@ -258,7 +277,7 @@ class LakeTable:
                 for j in range(maxlen):
                     fs = [g[j] for g in multi_groups if len(g) > j]
                     part = (
-                        self.spark.read.schema(snap.schema)
+                        self.spark.read.schema(scan_schema)
                         .parquet(*fs)
                         .withColumn("_seq", F.lit(j))
                     )
@@ -280,13 +299,13 @@ class LakeTable:
                 mor_scan.register(self.spark)
                 parts.append(
                     self.spark.read.format(mor_scan.FORMAT_NAME)
-                    .schema(snap.schema)
-                    .option("schema_json", snap.schema_json)
+                    .schema(scan_schema)
+                    .option("schema_json", json.dumps(scan_schema.jsonValue()))
                     .option("groups_json", json.dumps(multi_groups))
                     .load()
                 )
         if not parts:
-            return self.spark.createDataFrame([], snap.schema)
+            return self.spark.createDataFrame([], scan_schema)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -374,13 +393,24 @@ class LakeTable:
         )
         return winners.select(*out_cols)
 
-    def read(self, snapshot_id: int | None = None, buckets: list[int] | None = None) -> DataFrame:
-        """Live rows (tombstones filtered), payload columns only."""
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Live rows (tombstones filtered), payload columns only.
+        ``columns`` prunes the scan to exactly those payload columns (plus
+        the internals resolution needs) — pass it for narrow analytics over
+        wide transcript tables: Python DataSources don't receive Spark's
+        projection pushdown, so ``read().select(few)`` decodes every column
+        while ``read(columns=few)`` decodes only the few."""
         snap = self.snapshot(snapshot_id)
-        resolved = self.read_resolved(buckets, snapshot_id)
-        return resolved.filter(~F.col(S.DELETED_COL)).select(
-            *[f.name for f in snap.payload_schema().fields]
-        )
+        resolved = self.read_resolved(buckets, snapshot_id, columns=columns)
+        out_cols = columns if columns is not None else [
+            f.name for f in snap.payload_schema().fields
+        ]
+        return resolved.filter(~F.col(S.DELETED_COL)).select(*out_cols)
 
     def plan_ts_scan(
         self, lo, hi, snapshot_id: int | None = None

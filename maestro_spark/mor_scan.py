@@ -59,7 +59,13 @@ def resolve_group(files: list[str], schema: StructType):
     arrow_schema = to_arrow_schema(schema)
     tables = []
     for seq, path in enumerate(files):
-        t = conform_arrow_table(pq.read_table(path), arrow_schema)
+        # column pruning: Python DataSources never receive Spark's projection
+        # pushdown, so the PRUNED schema arrives from read_resolved(columns=…)
+        # and only its columns are decoded from each file (footer-only probe
+        # for which of them the file has; evolved-in columns null-fill)
+        present = set(pq.ParquetFile(path).schema_arrow.names)
+        want = [n for n in arrow_schema.names if n in present]
+        t = conform_arrow_table(pq.read_table(path, columns=want), arrow_schema)
         tables.append(
             t.append_column("_seq", pa.array(np.full(len(t), seq, np.int64)))
         )
