@@ -462,25 +462,45 @@ class LakeTable:
         return cand, mask, total
 
     def read_where_ts(
-        self, lo=None, hi=None, snapshot_id: int | None = None
+        self,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Live rows whose ``ts`` falls in [lo, hi] (inclusive, either end
         open), scanning only the files the zone maps admit plus a keys-only
         mask scan — the "yesterday's conversations" query reads yesterday's
         files, not the table. Result equals ``read().filter(ts between)``
         exactly (see plan_ts_scan for why masking preserves MOR semantics).
+        ``columns`` additionally prunes the candidate scans to the given
+        payload columns (time pruning x column pruning compose — the narrow
+        window query over the wide table decodes neither old files nor wide
+        columns).
         """
         snap = self.snapshot(snapshot_id)
         cand, mask, _ = self.plan_ts_scan(lo, hi, snapshot_id)
-        payload = [f.name for f in snap.payload_schema().fields]
+        if columns is None:
+            scan_schema = snap.schema
+            payload = [f.name for f in snap.payload_schema().fields]
+        else:
+            need = dict.fromkeys(
+                [*S.KEY_COLS, *columns, "ts", S.LSN_COL, S.DELETED_COL]
+            )
+            scan_schema = T.StructType(
+                [f for f in snap.schema.fields if f.name in need]
+            )
+            payload = list(columns)
         if not cand:
-            return self.spark.createDataFrame([], snap.payload_schema())
+            return self.spark.createDataFrame(
+                [], T.StructType([f for f in scan_schema.fields if f.name in set(payload)])
+            )
         keys = S.KEY_COLS
-        rest = [f.name for f in snap.schema.fields if f.name not in keys]
+        rest = [f.name for f in scan_schema.fields if f.name not in keys]
         union: DataFrame | None = None
         for j in sorted(cand):
             part = (
-                self.spark.read.schema(snap.schema)
+                self.spark.read.schema(scan_schema)
                 .parquet(*cand[j])
                 .withColumn("_seq", F.lit(j))
             )
@@ -494,7 +514,7 @@ class LakeTable:
         )
         if mask:
             m = (
-                self.spark.read.schema(snap.schema)
+                self.spark.read.schema(scan_schema)
                 .parquet(*mask)
                 .select(
                     F.col("conv_id").alias("_m_conv"),

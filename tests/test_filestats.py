@@ -137,3 +137,26 @@ def test_randomized_against_generator(spark, tmp_path):
     full = t.read()
     full = full.filter((full.ts >= lo) & (full.ts <= hi))
     assert symmetric_diff_empty(pruned, full)
+
+
+def test_read_where_ts_columns_prune(spark, table):
+    """Time pruning x column pruning compose: narrow range read equals the
+    wide one projected, and its scan schema stays narrow."""
+    import contextlib
+    import io
+    import re
+
+    narrow = table.read_where_ts(D2, D2, columns=["conv_id", "text"])
+    wide = (
+        table.read_where_ts(D2, D2)
+        .select("conv_id", "text")
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    got = narrow.orderBy("conv_id").toPandas()
+    assert got.equals(wide) and len(got) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain("formatted")
+    widths = [int(m.group(1)) for m in re.finditer(r"Output \[(\d+)\]", buf.getvalue())]
+    assert max(widths) <= 6  # keys + text + ts + _lsn + _deleted
