@@ -997,23 +997,46 @@ class LakeTable:
         Preconditions: the branch must have been cloned FROM this table's
         current snapshot (strict fast-forward — if main moved, re-stage;
         this is `CommitConflict`, same contract as an overlapping COW race)
-        and must not have been rebucketed.
+        and must not have been rebucketed. Exception: a crash mid-adopt
+        leaves main at fork + a prefix of the branch's epoch commits —
+        re-running adopt(branch) RESUMES (already-adopted epoch keys are
+        skipped), so the publish is exactly-once end to end.
         """
         b0 = branch.snapshot(0)
         fork = b0.stats.get("source_snapshot")
         if b0.stats.get("cloned_from") is None or fork is None:
             raise ValueError("adopt() target must be a clone() of this table")
         cur = self.snapshot()
+        branch_keys = [
+            branch.snapshot(i).epoch_key
+            for i in branch.snapshot_ids()
+            if i > 0 and branch.snapshot(i).epoch_key
+        ]
         if cur.snapshot_id != fork or b0.files != cur.files:
-            raise CommitConflict(
-                f"branch forked at snapshot {fork} but main is at "
-                f"{cur.snapshot_id}; re-stage from the current state"
-            )
+            # crash-resume: a previous adopt of THIS branch may have died
+            # mid-way — main then sits at fork + a prefix of the branch's
+            # epoch commits. Those are re-skipped below (epoch-key dedupe);
+            # anything else in the gap is a real conflict.
+            gap_keys = [
+                self.snapshot(i).epoch_key
+                for i in self.snapshot_ids()
+                if fork is not None and i > fork
+            ]
+            if cur.snapshot_id < fork or any(
+                k is None or k not in set(branch_keys) for k in gap_keys
+            ):
+                raise CommitConflict(
+                    f"branch forked at snapshot {fork} but main is at "
+                    f"{cur.snapshot_id}; re-stage from the current state"
+                )
         out = cur
+        done = self.committed_epoch_keys()
         for sid in branch.snapshot_ids():
             if sid == 0:
                 continue
             s = branch.snapshot(sid)
+            if s.epoch_key is not None and s.epoch_key in done:
+                continue  # already adopted (resume after a mid-adopt crash)
             if s.n_buckets != cur.n_buckets:
                 raise CommitConflict("branch was rebucketed; adopt unsupported")
             sp = branch.snapshot(s.parent_id)

@@ -144,3 +144,35 @@ def test_ivm_view_converges_across_adopt(spark, tmp_path, main):
         for r in main.read().groupBy("conv_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and got == {"A": 2, "C": 1}
+
+
+def test_adopt_resumes_after_midway_crash(spark, tmp_path, main):
+    """A crash between adopt's per-epoch commits leaves main holding a
+    prefix of the branch; re-running adopt resumes (skipping adopted
+    epochs) instead of refusing, and converges to the full branch state —
+    exactly-once across the crash."""
+    branch = main.clone(str(tmp_path / "branch"))
+    merge_batch(branch, _events(spark, [(3, "insert", "C", 0, "c0")]), "q", 1)
+    merge_batch(branch, _events(spark, [(4, "insert", "D", 0, "d0")]), "q", 2)
+
+    real = main.commit
+    calls = {"n": 0}
+
+    def crashing_commit(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-adopt")
+        return real(*a, **kw)
+
+    main.commit = crashing_commit
+    with pytest.raises(RuntimeError, match="mid-adopt"):
+        main.adopt(branch)
+    main.commit = real
+    # main holds epoch 1 only; a fresh handle (new process) resumes
+    main2 = LakeTable(spark, main.root)
+    keys = {main2.snapshot(s).epoch_key for s in main2.snapshot_ids()}
+    assert "q:1" in keys and "q:2" not in keys
+    main2.adopt(branch)
+    keys = [main2.snapshot(s).epoch_key for s in main2.snapshot_ids()]
+    assert keys.count("q:1") == 1 and keys.count("q:2") == 1
+    assert symmetric_diff_empty(main2.read(), branch.read())
