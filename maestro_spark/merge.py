@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from maestro_spark import schema as S
-from maestro_spark.lake import LakeTable, Snapshot, bucket_expr
+from maestro_spark.lake import CommitConflict, LakeTable, Snapshot, bucket_expr
 from maestro_spark.ledger import Ledger
 from maestro_spark.lineage import append_lineage
 
@@ -321,7 +321,14 @@ def merge_batch(
     if mode != "cow" and max_deltas > 0:
         due = table.delta_buckets(max_deltas)
         if due:
-            table.compact(due)
+            try:
+                table.compact(due)
+            except CommitConflict:
+                # multi-writer: a concurrent commit rewrote one of the due
+                # buckets while compaction ran — the EPOCH is already
+                # committed, so losing this maintenance pass costs nothing;
+                # the next epoch re-triggers it against the new state
+                pass
     return snap
 
 

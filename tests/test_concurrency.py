@@ -192,3 +192,32 @@ def test_three_writer_soak_converges(spark, tmp_path):
     a = w[0].read().orderBy("conv_id", "turn_idx").toPandas()
     b = ref.read().orderBy("conv_id", "turn_idx").toPandas()
     assert a.equals(b)
+
+
+def test_epoch_survives_compaction_commit_race(spark, tmp_path):
+    """Auto-compaction losing its commit race must not fail the epoch: the
+    merge's own commit already landed, and maintenance re-triggers later."""
+    root = str(tmp_path / "cr")
+    a = LakeTable.create(spark, root, n_buckets=2)
+    b = LakeTable(spark, root)
+    spark.conf.set("maestro.compact.maxDeltas", "2")
+    try:
+        for e in range(3):  # enough deltas to trigger auto-compaction
+            merge_batch(a, _events(spark, [(e + 1, "insert", "A", e, f"t{e}")]), "q", e)
+        # next epoch triggers compaction; inject a COW race against it:
+        # every publish attempt by `a` (epoch commit AND compaction) is
+        # preceded by b truncating... that would conflict the epoch too.
+        # Instead hook compact specifically.
+        real_compact = a.compact
+
+        def racing_compact(buckets=None, **kw):
+            bkt = str(buckets[0]) if buckets else next(iter(a.snapshot().files))
+            b.commit({bkt: []}, f"race-{bkt}", append=False)
+            return real_compact(buckets, **kw)
+
+        a.compact = racing_compact
+        snap = merge_batch(a, _events(spark, [(9, "insert", "A", 9, "t9")]), "q", 9)
+        assert snap is not None  # the epoch committed despite the lost race
+        assert "q:9" in {a.snapshot(s).epoch_key for s in a.snapshot_ids()}
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
