@@ -105,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
     ad.add_argument("--table", required=True)
     ad.add_argument("--branch", required=True)
 
+    hi = sub.add_parser("history", help="snapshot chain (metadata table)")
+    hi.add_argument("--table", required=True)
+    hi.add_argument("--limit", type=int, default=50)
+
+    fi = sub.add_parser("files", help="live data files + zone-map stats (metadata table)")
+    fi.add_argument("--table", required=True)
+    fi.add_argument("--limit", type=int, default=50)
+
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
     args = p.parse_args(argv)
@@ -219,6 +227,16 @@ def main(argv: list[str] | None = None) -> int:
         out = table.clone(args.dest, snapshot_id=args.snapshot)
         print(json.dumps({"dest": args.dest, "rows": out.read().count(),
                           "stats": out.snapshot().stats}))
+    elif args.cmd == "history":
+        table = LakeTable(spark, args.table)
+        df = table.meta_snapshots().orderBy("snapshot_id", ascending=False)
+        df.show(args.limit, truncate=60)
+        print(json.dumps({"snapshots": df.count()}))
+    elif args.cmd == "files":
+        table = LakeTable(spark, args.table)
+        df = table.meta_files().orderBy("bucket", "commit_seq")
+        df.show(args.limit, truncate=60)
+        print(json.dumps({"files": df.count()}))
     elif args.cmd == "lookup":
         table = LakeTable(spark, args.table)
         df = table.lookup(args.conv_id, turn_idx=args.turn).orderBy("turn_idx")
