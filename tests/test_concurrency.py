@@ -221,3 +221,26 @@ def test_epoch_survives_compaction_commit_race(spark, tmp_path):
         assert "q:9" in {a.snapshot(s).epoch_key for s in a.snapshot_ids()}
     finally:
         spark.conf.set("maestro.compact.maxDeltas", "8")
+
+
+def test_pinned_reader_isolated_from_concurrent_writes(spark, pair):
+    """Snapshot isolation: a DataFrame planned against a pinned snapshot
+    returns identical rows before and after another handle commits epochs
+    and compacts — committed data files are immutable and compaction never
+    deletes them (only vacuum after expiry does)."""
+    a, b = pair
+    sid = a.snapshot().snapshot_id
+    pinned = a.read(snapshot_id=sid)
+    before = pinned.orderBy("conv_id", "turn_idx").toPandas()
+    for e in range(1, 4):
+        merge_batch(b, _events(spark, [
+            (10 * e, "update", "A", 0, f"v{e}"),
+            (10 * e + 1, "insert", f"N{e}", 0, f"n{e}"),
+        ]), "w", e)
+    b.compact()
+    again = pinned.orderBy("conv_id", "turn_idx").toPandas()
+    assert again.equals(before)
+    # while the live read moved on
+    live = a.read().orderBy("conv_id", "turn_idx").toPandas()
+    assert len(live) == len(before) + 3
+    assert live[live["conv_id"] == "A"].iloc[0]["text"] == "v3"
