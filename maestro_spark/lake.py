@@ -60,6 +60,21 @@ def bucket_expr(conv_col: str = "conv_id", n_buckets: int = 64) -> F.Column:
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
 
 
+def _pushdown_ok(spark) -> str:
+    """"true" when the session allows Python-DataSource filter pushdown
+    (set it if settable); else "false" so mor_scan installs the plain
+    reader — a foreign session that locks the flag must not lose reads."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        spark.conf.set(key, "true")
+        return "true"
+    except Exception:  # noqa: BLE001 — conf locked by the session owner
+        try:
+            return str(spark.conf.get(key, "false")).lower()
+        except Exception:  # noqa: BLE001
+            return "false"
+
+
 class CommitConflict(Exception):
     """A concurrent commit made this one unsafe to rebase automatically
     (overlapping copy-on-write buckets, a rebucket, or a rollback landed
@@ -302,6 +317,8 @@ class LakeTable:
                     .schema(scan_schema)
                     .option("schema_json", json.dumps(scan_schema.jsonValue()))
                     .option("groups_json", json.dumps(multi_groups))
+                    .option("n_buckets", str(snap.n_buckets))
+                    .option("pushdown", _pushdown_ok(self.spark))
                     .load()
                 )
         if not parts:

@@ -37,7 +37,7 @@ class BucketGroup(InputPartition):
     files: list[str] = field(default_factory=list)  # commit order == merge seq
 
 
-def resolve_group(files: list[str], schema: StructType):
+def resolve_group(files: list[str], schema: StructType, key_filters=None):
     """Read one bucket's base+delta files and yield resolved Arrow batches.
 
     Winner per (conv_id, turn_idx) = max (_lsn, commit-seq), where seq is
@@ -65,7 +65,13 @@ def resolve_group(files: list[str], schema: StructType):
         # for which of them the file has; evolved-in columns null-fill)
         present = set(pq.ParquetFile(path).schema_arrow.names)
         want = [n for n in arrow_schema.names if n in present]
-        t = conform_arrow_table(pq.read_table(path, columns=want), arrow_schema)
+        # pushed KEY filters are safe pre-resolve (conv_id/turn_idx ARE the
+        # dedup key — dropping other keys' rows cannot change any winner);
+        # pyarrow applies them as row-group statistics pruning + row filter
+        flt = [(c, "=", v) for c, v in (key_filters or []) if c in present] or None
+        t = conform_arrow_table(
+            pq.read_table(path, columns=want, filters=flt), arrow_schema
+        )
         tables.append(
             t.append_column("_seq", pa.array(np.full(len(t), seq, np.int64)))
         )
@@ -88,14 +94,48 @@ class MorScanReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self.groups: list[list[str]] = json.loads(options["groups_json"])
+        self.n_buckets = int(options.get("n_buckets", "0"))
+        self.key_filters: list[tuple[str, object]] = []
 
     def partitions(self):
-        return [BucketGroup(g) for g in self.groups] or [BucketGroup([])]
+        groups = self.groups
+        conv = [v for c, v in self.key_filters if c == "conv_id"]
+        if conv and self.n_buckets:
+            # a conv_id equality pins ONE bucket — drop every other group
+            # (same arithmetic as LakeTable.lookup, via the pure-Python twin)
+            from maestro_spark.keyhash import bucket_of
+
+            tags = {f"pk_bucket={bucket_of(v, self.n_buckets)}/" for v in conv}
+            groups = [
+                g for g in groups if any(tag in g[0] for tag in tags)
+            ]
+        return [BucketGroup(g) for g in groups] or [BucketGroup([])]
 
     def read(self, partition: BucketGroup):
         if not partition.files:
             return iter(())
-        return resolve_group(partition.files, self._schema)
+        return resolve_group(partition.files, self._schema, self.key_filters)
+
+
+class PushdownMorScanReader(MorScanReader):
+    """MorScanReader + Spark 4.1 Python-DataSource filter pushdown. A
+    SEPARATE class because merely implementing pushFilters makes Spark
+    require ``spark.sql.python.filterPushdown.enabled``; read_resolved
+    selects this reader only when the session has (or accepts) the flag,
+    so the engine never hard-depends on a session conf it doesn't own."""
+
+    def pushFilters(self, filters):
+        """Accept equality on the KEY columns only (safe pre-resolve; see
+        resolve_group). All filters are returned so Spark still
+        re-evaluates them — pushdown here is an IO optimization
+        (bucket-group pruning + parquet row-group pruning), never a
+        correctness dependency."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute in (("conv_id",), ("turn_idx",)):
+                self.key_filters.append((f.attribute[0], f.value))
+            yield f
 
 
 class MorScanDataSource(DataSource):
@@ -110,7 +150,12 @@ class MorScanDataSource(DataSource):
         return StructType.fromJson(json.loads(self.options["schema_json"]))
 
     def reader(self, schema: StructType) -> MorScanReader:
-        return MorScanReader(schema, dict(self.options))
+        cls = (
+            PushdownMorScanReader
+            if self.options.get("pushdown") == "true"
+            else MorScanReader
+        )
+        return cls(schema, dict(self.options))
 
 
 def register(spark) -> None:

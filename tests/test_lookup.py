@@ -168,3 +168,49 @@ def test_read_columns_prunes_and_matches(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         t.read(columns=["nope"])
+
+
+def test_key_filter_pushdown_into_mor_scan(spark, tmp_path):
+    """read().filter(conv_id == X) through the Python DataSource: the
+    pushed key-equality prunes bucket groups driver-side (same hash twin as
+    lookup) and rides into pyarrow as a row-group filter — and the result
+    still equals the unpruned read's filter exactly (Spark re-evaluates
+    every filter post-scan, so pushdown is an IO optimization only)."""
+    log = generate(GenConfig(seed=13, n_convs=30, segment_rows=250))
+    write_log(log, str(tmp_path / "log"), segment_rows=250)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, str(tmp_path / "log"), t, query_id="lk")
+    full = t.read().toPandas()
+    cid = sorted(set(full["conv_id"]))[3]
+    got = (
+        t.read()
+        .filter(F.col("conv_id") == cid)
+        .orderBy("turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        full[full["conv_id"] == cid].sort_values("turn_idx").reset_index(drop=True)
+    )
+    assert got.equals(want) and len(got) > 0
+    # the reader's own pruning arithmetic: one bucket's groups survive
+    from maestro_spark.mor_scan import PushdownMorScanReader
+
+    snap = t.snapshot()
+    groups = [
+        [f"{t.root}/{p}" for p in ps] for ps in snap.files.values() if len(ps) > 1
+    ]
+    import json as _json
+
+    r = PushdownMorScanReader(
+        snap.schema,
+        {"groups_json": _json.dumps(groups), "n_buckets": str(snap.n_buckets)},
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    leftover = list(r.pushFilters([EqualTo(("conv_id",), cid)]))
+    assert len(leftover) == 1  # everything handed back for re-evaluation
+    parts = r.partitions()
+    assert 0 < len(parts) < max(len(groups), 2)
+    b = bucket_of(cid, snap.n_buckets)
+    assert all(f"pk_bucket={b}/" in p.files[0] for p in parts if p.files)
