@@ -1159,6 +1159,45 @@ class LakeTable:
 
         return _txn()
 
+    def export_changes(self, dest_root: str) -> dict:
+        """Exactly-once incremental export of the change feed to plain
+        parquet a non-maestro consumer can tail: each call writes the delta
+        since the last exported snapshot as ``changes/<from>-<to>/*.parquet``
+        (rows carry ``op``/``lsn``, tombstones as ``op='delete'``) and
+        advances a CAS-published ``CHANGES_CURSOR``. Re-running with no new
+        commits is a no-op; a crash mid-export leaves an invisible _tmp dir
+        and an unadvanced cursor, so the retry re-exports the same range.
+        Rollbacks in the range raise (as in :meth:`changes`) — the consumer
+        re-syncs from a full :meth:`export`.
+        """
+        os.makedirs(dest_root, exist_ok=True)
+        cursor_path = os.path.join(dest_root, "CHANGES_CURSOR")
+        cur = self.snapshot().snapshot_id
+        frm = 0
+        if os.path.exists(cursor_path):
+            frm = json.load(open(cursor_path))["exported_through"]
+        if cur <= frm:
+            return {"from": frm, "to": frm, "rows": 0, "path": None}
+        marker = os.path.join(dest_root, f"_exported-{frm}-{cur}.json")
+        final = os.path.join(dest_root, "changes", f"{frm:013d}-{cur:013d}")
+        if not os.path.exists(marker):
+            tmp = os.path.join(dest_root, f"_tmp-{uuid.uuid4().hex[:12]}")
+            self.changes(frm, cur).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(final, ignore_errors=True)
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(tmp, final)
+            try:
+                _atomic_write_json(
+                    marker, {"from": frm, "to": cur, "path": final}, exclusive=True
+                )
+            except FileExistsError:
+                pass  # a racer exported the identical range first
+        _atomic_write_json(
+            cursor_path, {"exported_through": cur}, exclusive=False
+        )
+        return {"from": frm, "to": cur, "path": final,
+                "rows": None}
+
     # ----------------------------------------------------------- maintenance
     def compact(
         self,
