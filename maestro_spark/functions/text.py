@@ -88,3 +88,46 @@ def shingles(text: Column, n: int = 3, max_chars: int = 200) -> Column:
     t = F.substring(text, 1, max_chars)
     idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def rep_ngram_fraction(df: DataFrame, n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signal: per document, the fraction
+    of word n-grams that are duplicates of an earlier occurrence in the
+    SAME document (0 = no repetition, →1 = highly repetitive boilerplate).
+
+    Formulation is one explode + one two-level aggregation, all codegen
+    with map-side partial agg: per (doc, ngram) counts, then per doc
+    ``1 - distinct/total``. No cross-document state, so it scales linearly
+    and partitions freely — the standard pre-training corpus filter
+    (drop docs above a duplicate-fraction threshold).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+        lambda g, i: i < F.size(toks) - (n - 1),
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_total"),
+            F.count(F.lit(1)).alias("_distinct"),
+        )
+        .select(
+            id_col,
+            F.floor(
+                (F.col("_total") - F.col("_distinct")) * F.lit(10000)
+                / F.col("_total")
+            ).cast("long").alias("rep_bp"),  # basis points, floor-div: engine-exact
+        )
+    )

@@ -792,6 +792,30 @@ def q_text_stats(spark, sf_dir):
 
 
 @q(
+    "q_rep_filter",
+    """WITH toks AS (
+         SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '') AS a
+         FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+         FROM toks, UNNEST(generate_series(1, len(a) - 2)) AS t(i)),
+       per AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+       SELECT doc_id,
+              CAST((SUM(c) - COUNT(*)) * 10000 // SUM(c) AS BIGINT) AS rep_bp
+       FROM per GROUP BY doc_id""",
+)
+def q_rep_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter: per-doc duplicate word
+    trigram fraction in basis points (floor division — engine-exact
+    integers). One explode + two codegen aggregations with map-side
+    combine, no cross-document state: the standard pre-training boilerplate
+    filter at any corpus size."""
+    return tx.rep_ngram_fraction(_t(spark, sf_dir, "documents"), n=3)
+
+
+@q(
     "q_lang_id",
     """SELECT doc_id, lang,
               (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END

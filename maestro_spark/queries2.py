@@ -624,6 +624,9 @@ def _finalize_registration_order() -> None:
     front = [
         "q_cdc_replay", "q_cdc_changes", "q_ivm_stats", "q_read_tsrange",
         "q_point_lookup",
+        # the training-data curation capstones are first-class per the task
+        # brief — they outrank a 2nd-of-family scalar row for a driver slot
+        "q_curate", "q_dedup_groups", "q_pii_redact", "q_rep_filter",
     ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
@@ -636,7 +639,7 @@ def _finalize_registration_order() -> None:
         # oracle row: lower marginal driver-signal than the schema-evolution
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
-        "q_ingest_json", "q_knn_join",
+        "q_ingest_json",
     ]
     secondary = [
         # q_cross / q_win_ntile / q_intersect demoted from the window to
@@ -650,6 +653,15 @@ def _finalize_registration_order() -> None:
         # E4's last-ignore-nulls machinery is also inside the in-window
         # q_join_asof oracle)
         "q_win_firstval", "q_win_last",
+        # q_knn_join traded out for q_rep_filter: similarity already holds
+        # two in-window oracle rows (ann_bruteforce, embed_neardup); the
+        # repetition filter is a NEW curation family row
+        "q_knn_join",
+        # scalar-family seconds and the B4 twin (q_quarantine now carries
+        # the error-channel signal) yield their slots to the promoted
+        # curation capstones; all four were driver-green in r1 and stay
+        # oracle-checked locally
+        "q_fn_hash", "q_fn_array", "q_fn_json", "q_validate",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
         "q_fn_string2", "q_win_sliding",

@@ -410,3 +410,22 @@ def test_ivf_index_prunes_and_recalls(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         one.explain("formatted")
     assert "PartitionFilters" in buf.getvalue() and "_list" in buf.getvalue()
+
+
+def test_rep_ngram_fraction_flags_boilerplate(spark):
+    """A highly repetitive doc scores near 10000 bp; a unique-text doc
+    scores 0; short docs (< n tokens) drop out."""
+    from maestro_spark.functions.text import rep_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                 # one trigram repeated
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep_bp"] for r in rep_ngram_fraction(df, n=3).collect()}
+    assert got[2] == 0
+    assert got[1] > 9000  # ~98/100 trigrams are repeats
+    assert 3 not in got
