@@ -113,6 +113,15 @@ def main(argv: list[str] | None = None) -> int:
     fi.add_argument("--table", required=True)
     fi.add_argument("--limit", type=int, default=50)
 
+    ex = sub.add_parser("export", help="exactly-once snapshot export to plain parquet")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--dest", required=True)
+    ex.add_argument("--snapshot", type=int, default=None)
+
+    ec = sub.add_parser("export-changes", help="incremental change-feed export (cursor-advanced)")
+    ec.add_argument("--table", required=True)
+    ec.add_argument("--dest", required=True)
+
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
     args = p.parse_args(argv)
@@ -227,6 +236,12 @@ def main(argv: list[str] | None = None) -> int:
         out = table.clone(args.dest, snapshot_id=args.snapshot)
         print(json.dumps({"dest": args.dest, "rows": out.read().count(),
                           "stats": out.snapshot().stats}))
+    elif args.cmd == "export":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.export(args.dest, snapshot_id=args.snapshot)))
+    elif args.cmd == "export-changes":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.export_changes(args.dest)))
     elif args.cmd == "history":
         table = LakeTable(spark, args.table)
         df = table.meta_snapshots().orderBy("snapshot_id", ascending=False)
