@@ -15,24 +15,36 @@ any late re-delivery of older data, while the NEXT statement (max+2 …)
 wins against this one. Per-key ordering is all the merge needs, so one
 shared LSN per statement is sound; the max is read driver-side from the
 zone-map store (per-file lsn_max — no data IO).
+
+Concurrency: the acquired LSN is FENCED at commit time. The statement
+records the snapshot it read the max from, and ``merge_batch`` passes both
+through to ``LakeTable.commit``, which validates that no snapshot committed
+after that read applied an LSN at or above the statement's — two concurrent
+statements (or a statement racing a streaming epoch) can therefore never
+land the SAME LSN for different payloads of one key. The loser raises
+:class:`CommitConflict` internally and this module re-plans it: re-read the
+max (now higher), rebuild the batch from CURRENT state, commit again —
+bounded by ``maestro.dml.retries`` (default 5).
 """
 
 from __future__ import annotations
 
 import time
+from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from maestro_spark import schema as S
-from maestro_spark.lake import LakeTable, Snapshot
+from maestro_spark.lake import CommitConflict, LakeTable, Snapshot
 from maestro_spark.merge import merge_batch
 
 
-def max_live_lsn(table: LakeTable) -> int:
-    """Highest LSN in the current snapshot — driver-side zone-map
-    arithmetic over per-file lsn_max, zero data IO at any table size."""
-    snap = table.snapshot()
+def max_live_lsn(table: LakeTable, snapshot_id: int | None = None) -> int:
+    """Highest LSN in the given (default current) snapshot — driver-side
+    zone-map arithmetic over per-file lsn_max, zero data IO at any table
+    size."""
+    snap = table.snapshot(snapshot_id)
     best = 0
     for ps in snap.files.values():
         for p in ps:
@@ -42,12 +54,40 @@ def max_live_lsn(table: LakeTable) -> int:
     return best
 
 
-def _dml_epoch(table: LakeTable, batch: DataFrame, query_id: str) -> Snapshot | None:
-    # epoch id = microsecond wall clock: unique per statement; exactly-once
-    # for a RETRYING statement comes from the commit CAS, not this id (a
-    # driver that wants replayable DML passes its own query_id/epoch through
-    # merge_batch directly)
-    return merge_batch(table, batch, query_id, epoch_id=int(time.time() * 1e6))
+def _dml_statement(
+    table: LakeTable,
+    build_batch: Callable[[int], DataFrame],
+    query_id: str,
+) -> Snapshot | None:
+    """Acquire a fenced statement LSN, build the batch at it, merge; on an
+    LSN-fence or bucket conflict, re-plan from the new current state.
+
+    epoch id = microsecond wall clock: unique per statement (and per retry —
+    a re-planned statement is a NEW epoch reading newer state); exactly-once
+    for a RETRYING driver comes from the commit CAS + fence, not this id (a
+    driver that wants replayable DML passes its own query_id/epoch through
+    merge_batch directly).
+    """
+    retries = int(table.spark.conf.get("maestro.dml.retries", "5"))
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        base = table.snapshot().snapshot_id
+        lsn = max_live_lsn(table, base) + 1
+        batch = build_batch(lsn)
+        try:
+            return merge_batch(
+                table,
+                batch,
+                query_id,
+                epoch_id=int(time.time() * 1e6),
+                fence_lsn=lsn,
+                base_snapshot=base,
+            )
+        except CommitConflict as e:  # racer raised the LSN / touched buckets
+            last = e
+    raise CommitConflict(
+        f"DML statement lost the LSN fence {retries + 1} times"
+    ) from last
 
 
 def upsert(table: LakeTable, df: DataFrame, query_id: str = "dml") -> Snapshot | None:
@@ -58,11 +98,13 @@ def upsert(table: LakeTable, df: DataFrame, query_id: str = "dml") -> Snapshot |
     dup = df.groupBy(*S.KEY_COLS).count().filter(F.col("count") > 1).head(1)
     if dup:
         raise ValueError(f"upsert input has duplicate keys, e.g. {dup[0][:2]}")
-    lsn = max_live_lsn(table) + 1
-    batch = df.withColumn("op", F.lit("upsert")).withColumn(
-        "op_lsn", F.lit(lsn).cast("long")
-    )
-    return _dml_epoch(table, batch, query_id)
+
+    def build(lsn: int) -> DataFrame:
+        return df.withColumn("op", F.lit("upsert")).withColumn(
+            "op_lsn", F.lit(lsn).cast("long")
+        )
+
+    return _dml_statement(table, build, query_id)
 
 
 def delete_where(
@@ -70,12 +112,15 @@ def delete_where(
 ) -> Snapshot | None:
     """Delete every live row matching ``predicate`` (tombstones, so late
     lower-LSN re-deliveries of the deleted rows stay dead)."""
-    keys = table.read().filter(predicate).select(*S.KEY_COLS)
-    lsn = max_live_lsn(table) + 1
-    batch = keys.withColumn("op", F.lit("delete")).withColumn(
-        "op_lsn", F.lit(lsn).cast("long")
-    )
-    return _dml_epoch(table, batch, query_id)
+
+    def build(lsn: int) -> DataFrame:
+        # re-read per attempt: a re-planned statement must see the racer's rows
+        keys = table.read().filter(predicate).select(*S.KEY_COLS)
+        return keys.withColumn("op", F.lit("delete")).withColumn(
+            "op_lsn", F.lit(lsn).cast("long")
+        )
+
+    return _dml_statement(table, build, query_id)
 
 
 def update_where(
@@ -88,11 +133,13 @@ def update_where(
     reads current values, applies the expressions, re-emits the full rows
     as upserts (the merge is replace-by-key, so unchanged columns must
     ride along)."""
-    rows = table.read().filter(predicate)
-    for col, expr in assignments.items():
-        rows = rows.withColumn(col, expr)
-    lsn = max_live_lsn(table) + 1
-    batch = rows.withColumn("op", F.lit("upsert")).withColumn(
-        "op_lsn", F.lit(lsn).cast("long")
-    )
-    return _dml_epoch(table, batch, query_id)
+
+    def build(lsn: int) -> DataFrame:
+        rows = table.read().filter(predicate)
+        for col, expr in assignments.items():
+            rows = rows.withColumn(col, expr)
+        return rows.withColumn("op", F.lit("upsert")).withColumn(
+            "op_lsn", F.lit(lsn).cast("long")
+        )
+
+    return _dml_statement(table, build, query_id)

@@ -671,11 +671,14 @@ class LakeTable:
             .select("pk_bucket", *S.KEY_COLS, "_w.*")
         )
         new_files = self.write_bucket_files(df.repartition("pk_bucket"))
+        # base = the snapshot this rewrite was planned from: a delta landing
+        # in this bucket while the rewrite job ran must conflict, not vanish
         return self.commit(
             {b: new_files.get(b, [])},
             epoch_key=None,
             stats={"purge_bucket": int(b)},
             append=False,
+            base=snap.snapshot_id,
         )
 
     # ---------------------------------------------------------------- writes
@@ -721,6 +724,62 @@ class LakeTable:
         self.file_stats.add_files([p for ps in out.values() for p in ps])
         return out
 
+    def _validate_gap(
+        self,
+        lo: int,
+        hi: Snapshot,
+        epoch_key: str | None,
+        append: bool,
+        new_files: dict[str, list[str]],
+        base_n_buckets: int,
+        check_lsn: int | None,
+    ) -> Snapshot | None:
+        """Validate every committed snapshot in ``(lo, hi]`` against a commit
+        planned from snapshot ``lo``. Returns ``hi`` when a duplicate
+        delivery of ``epoch_key`` already landed in the gap (idempotence),
+        None when the commit may rebase onto ``hi``, and raises
+        :class:`CommitConflict` when an intervening commit made the rebase
+        unsafe (rebucket, rollback, overlapping copy-on-write bucket, or an
+        LSN at/above the ``check_lsn`` fence)."""
+        for sid in range(lo + 1, hi.snapshot_id + 1):
+            s = self.snapshot(sid)
+            if epoch_key is not None and s.epoch_key == epoch_key:
+                return hi  # duplicate delivery won the race
+            if s.n_buckets != base_n_buckets:
+                raise CommitConflict(
+                    f"concurrent rebucket at snapshot {sid}: files "
+                    f"target a {base_n_buckets}-bucket layout"
+                ) from None
+            if s.stats.get("rollback_to") is not None:
+                raise CommitConflict(
+                    f"concurrent rollback at snapshot {sid}; re-plan "
+                    "from the current state"
+                ) from None
+            if check_lsn is not None:
+                seen = s.stats.get("max_lsn")
+                if seen is not None and seen >= check_lsn:
+                    raise CommitConflict(
+                        f"concurrent commit {sid} applied LSN {seen} >= this "
+                        f"statement's LSN {check_lsn}; re-acquire the LSN and "
+                        "re-plan (one-LSN-one-payload fence)"
+                    ) from None
+            if not append:
+                s_parent = self.snapshot(s.parent_id)
+                touched = {
+                    b for b, ps in s.files.items()
+                    if ps != s_parent.files.get(b)
+                }
+                touched |= {b for b in s_parent.files if b not in s.files}
+                overlap = touched & set(new_files)
+                if overlap:
+                    raise CommitConflict(
+                        f"concurrent commit {sid} rewrote buckets "
+                        f"{sorted(overlap)[:8]} this copy-on-write "
+                        "commit also replaces; re-plan from the "
+                        "current state"
+                    ) from None
+        return None
+
     def commit(
         self,
         new_files: dict[str, list[str]],
@@ -729,11 +788,27 @@ class LakeTable:
         stats: dict | None = None,
         append: bool = False,
         retries: int | None = None,
+        base: int | None = None,
+        check_lsn: int | None = None,
     ) -> Snapshot:
         """Commit new bucket files; untouched buckets carried forward by
         reference. ``append=False`` (copy-on-write / compaction) replaces each
         listed bucket's file set; ``append=True`` (merge-on-read delta commit)
         appends the new files after the bucket's existing ones.
+
+        ``base`` is the snapshot id the caller PLANNED from (read its file
+        lists / schema / max LSN). The whole window between that planning
+        read and this commit is validated — every snapshot committed in
+        ``(base, tip]`` runs through the same validate-and-rebase rules
+        BEFORE the first publish attempt, so a delta landing while a
+        compaction/purge/COW job runs raises :class:`CommitConflict` instead
+        of being silently dropped by the rewrite. Omitting ``base`` (the
+        pre-round-3 behavior) protects only the CAS window itself.
+
+        ``check_lsn`` is the statement-LSN fence for DML: if any snapshot in
+        the validated gap applied an LSN >= ``check_lsn``, the commit raises
+        so the statement can re-acquire a fresh LSN — preserving the
+        one-LSN-one-payload invariant under concurrent statements.
 
         Concurrent writers are handled with optimistic concurrency (the
         Iceberg model): the snapshot-id hard-link publish is the CAS, and a
@@ -754,15 +829,24 @@ class LakeTable:
           folded *older* files, so appending after it stays correct.
         - ``append=False`` (COW / compaction): rebasable only when the
           intervening commits touched DISJOINT buckets — our replacement
-          content was computed from the parent's bucket state, so an
-          overlapping touch means lost updates → :class:`CommitConflict`
-          (caller re-plans from the new tip).
+          content was computed from the planning snapshot's bucket state, so
+          an overlapping touch (or drop) means lost updates →
+          :class:`CommitConflict` (caller re-plans from the new tip).
         The published schema is re-merged against the tip's on every rebase,
         so a concurrent schema evolution is never silently narrowed.
         """
         if retries is None:
             retries = int(self.spark.conf.get("maestro.commit.retries", "5"))
         parent = self.snapshot()
+        base_n_buckets = (
+            parent.n_buckets if base is None else self.snapshot(base).n_buckets
+        )
+        if base is not None and parent.snapshot_id > base:
+            dup = self._validate_gap(
+                base, parent, epoch_key, append, new_files, base_n_buckets, check_lsn
+            )
+            if dup is not None:
+                return dup
         my_schema = schema or parent.schema
         for _ in range(retries + 1):
             files = dict(parent.files)
@@ -789,34 +873,12 @@ class LakeTable:
                 if retries == 0:
                     raise
                 current = self.snapshot()
-                for sid in range(parent.snapshot_id + 1, current.snapshot_id + 1):
-                    s = self.snapshot(sid)
-                    if epoch_key is not None and s.epoch_key == epoch_key:
-                        return current  # duplicate delivery won the race
-                    if s.n_buckets != parent.n_buckets:
-                        raise CommitConflict(
-                            f"concurrent rebucket at snapshot {sid}: files "
-                            f"target a {parent.n_buckets}-bucket layout"
-                        ) from None
-                    if s.stats.get("rollback_to") is not None:
-                        raise CommitConflict(
-                            f"concurrent rollback at snapshot {sid}; re-plan "
-                            "from the current state"
-                        ) from None
-                    if not append:
-                        s_parent = self.snapshot(s.parent_id)
-                        touched = {
-                            b for b, ps in s.files.items()
-                            if ps != s_parent.files.get(b)
-                        }
-                        overlap = touched & set(new_files)
-                        if overlap:
-                            raise CommitConflict(
-                                f"concurrent commit {sid} rewrote buckets "
-                                f"{sorted(overlap)[:8]} this copy-on-write "
-                                "commit also replaces; re-plan from the "
-                                "current state"
-                            ) from None
+                dup = self._validate_gap(
+                    parent.snapshot_id, current, epoch_key, append,
+                    new_files, base_n_buckets, check_lsn,
+                )
+                if dup is not None:
+                    return dup
                 parent = current
         raise CommitConflict(f"commit lost the publish race {retries + 1} times")
 
@@ -930,7 +992,15 @@ class LakeTable:
                 schema_json=snap.schema_json,
                 files={b: list(ps) for b, ps in snap.files.items()},
                 n_buckets=snap.n_buckets,
-                stats={"cloned_from": self.root, "source_snapshot": snap.snapshot_id},
+                stats={
+                    "cloned_from": self.root,
+                    "source_snapshot": snap.snapshot_id,
+                    # stable branch identity: adopt() dedupes re-published
+                    # branch commits on (branch_id, branch snapshot id), so
+                    # crash-resume works for commits with NO epoch key too
+                    # (purge / compact / rollback inside a transaction)
+                    "branch_id": uuid.uuid4().hex,
+                },
             )
         )
         return out
@@ -1015,32 +1085,38 @@ class LakeTable:
         current snapshot (strict fast-forward — if main moved, re-stage;
         this is `CommitConflict`, same contract as an overlapping COW race)
         and must not have been rebucketed. Exception: a crash mid-adopt
-        leaves main at fork + a prefix of the branch's epoch commits —
-        re-running adopt(branch) RESUMES (already-adopted epoch keys are
-        skipped), so the publish is exactly-once end to end.
+        leaves main at fork + a prefix of the branch's commits —
+        re-running adopt(branch) RESUMES: every adopted commit is stamped
+        with the branch's identity + branch snapshot id
+        (``adopted_branch`` / ``adopted_branch_snapshot`` in stats), and
+        resume dedupes on that pair — which covers commits with NO epoch
+        key (purge, compact, rollback inside a transaction) exactly like
+        epoch commits, so the publish is exactly-once end to end.
         """
         b0 = branch.snapshot(0)
         fork = b0.stats.get("source_snapshot")
+        branch_id = b0.stats.get("branch_id")
         if b0.stats.get("cloned_from") is None or fork is None:
             raise ValueError("adopt() target must be a clone() of this table")
         cur = self.snapshot()
-        branch_keys = [
-            branch.snapshot(i).epoch_key
-            for i in branch.snapshot_ids()
-            if i > 0 and branch.snapshot(i).epoch_key
-        ]
         if cur.snapshot_id != fork or b0.files != cur.files:
             # crash-resume: a previous adopt of THIS branch may have died
             # mid-way — main then sits at fork + a prefix of the branch's
-            # epoch commits. Those are re-skipped below (epoch-key dedupe);
-            # anything else in the gap is a real conflict.
-            gap_keys = [
-                self.snapshot(i).epoch_key
-                for i in self.snapshot_ids()
-                if fork is not None and i > fork
-            ]
+            # commits (each stamped with this branch's identity). Those are
+            # re-skipped below; anything else in the gap is a real conflict.
+            branch_sids = set(branch.snapshot_ids()) - {0}
+
+            def _resumable(s: Snapshot) -> bool:
+                return (
+                    branch_id is not None
+                    and s.stats.get("adopted_branch") == branch_id
+                    and s.stats.get("adopted_branch_snapshot") in branch_sids
+                )
+
             if cur.snapshot_id < fork or any(
-                k is None or k not in set(branch_keys) for k in gap_keys
+                not _resumable(self.snapshot(i))
+                for i in self.snapshot_ids()
+                if i > fork
             ):
                 raise CommitConflict(
                     f"branch forked at snapshot {fork} but main is at "
@@ -1048,11 +1124,19 @@ class LakeTable:
                 )
         out = cur
         done = self.committed_epoch_keys()
+        adopted: set[int] = set()
+        if branch_id is not None:
+            for i in self.snapshot_ids():
+                if i <= (fork or 0):
+                    continue
+                st = self.snapshot(i).stats
+                if st.get("adopted_branch") == branch_id:
+                    adopted.add(st.get("adopted_branch_snapshot"))
         for sid in branch.snapshot_ids():
             if sid == 0:
                 continue
             s = branch.snapshot(sid)
-            if s.epoch_key is not None and s.epoch_key in done:
+            if sid in adopted or (s.epoch_key is not None and s.epoch_key in done):
                 continue  # already adopted (resume after a mid-adopt crash)
             if s.n_buckets != cur.n_buckets:
                 raise CommitConflict("branch was rebucketed; adopt unsupported")
@@ -1077,7 +1161,11 @@ class LakeTable:
                 changed,
                 epoch_key=s.epoch_key,
                 schema=s.schema,
-                stats={**s.stats, "adopted_branch_snapshot": sid},
+                stats={
+                    **s.stats,
+                    "adopted_branch_snapshot": sid,
+                    "adopted_branch": branch_id,
+                },
                 append=False,
                 retries=0,
             )
@@ -1238,6 +1326,7 @@ class LakeTable:
                 "buckets": todo,
                 "compact_s": round(time.time() - t0, 3),
             },
+            base=snap.snapshot_id,
         )
 
     def delta_buckets(self, max_deltas: int) -> list[int]:

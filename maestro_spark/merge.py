@@ -89,11 +89,19 @@ def merge_batch(
     query_id: str = "replay",
     epoch_id: int = 0,
     offsets: dict | None = None,
+    fence_lsn: int | None = None,
+    base_snapshot: int | None = None,
 ) -> Snapshot | None:
     """Apply one epoch's change events to the table (K2+K4+K5+K6+K7+K8).
 
     Returns the committed Snapshot, or None when the epoch was already
     committed (idempotent re-delivery).
+
+    ``fence_lsn`` / ``base_snapshot``: the DML path plans its statement LSN
+    from a snapshot read; passing both makes the commit raise
+    :class:`CommitConflict` if any snapshot committed after ``base_snapshot``
+    applied an LSN at or above the fence — the statement then re-acquires a
+    fresh LSN instead of landing an LSN tie (one-LSN-one-payload invariant).
     """
     epoch_key = f"{query_id}:{epoch_id}"
     ledger = Ledger(table.root, query_id)
@@ -296,7 +304,14 @@ def merge_batch(
     }
 
     snap = table.commit(  # commit point
-        new_files, epoch_key, schema=full_schema, stats=stats, append=(mode != "cow")
+        new_files, epoch_key, schema=full_schema, stats=stats,
+        append=(mode != "cow"),
+        # the planning window starts where the caller's plan read happened
+        # (DML passes its LSN-acquisition snapshot); by default at this
+        # epoch's own parent read above — either way a rebucket/rollback
+        # landing while the job ran is validated, not raced past
+        base=base_snapshot if base_snapshot is not None else parent.snapshot_id,
+        check_lsn=fence_lsn,
     )
     # lineage BEFORE the ledger record so its timing lands in the persisted
     # stats (a crash between commit and ledger is already covered: the

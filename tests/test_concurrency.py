@@ -244,3 +244,59 @@ def test_pinned_reader_isolated_from_concurrent_writes(spark, pair):
     live = a.read().orderBy("conv_id", "turn_idx").toPandas()
     assert len(live) == len(before) + 3
     assert live[live["conv_id"] == "A"].iloc[0]["text"] == "v3"
+
+
+def test_planning_window_delta_not_dropped(spark, pair):
+    """r2 advice (high): a MOR delta committed between a rewrite job's
+    PLANNING read and its commit() call must conflict, not vanish. The CAS
+    alone can't catch this — commit() reads the tip at entry, so its first
+    hard-link succeeds; only the caller-supplied ``base`` exposes the gap."""
+    a, b = pair
+    ka, _ = _two_bucket_ids()
+    from maestro_spark.keyhash import bucket_of
+
+    bucket = str(bucket_of(ka, 4))
+    snap = a.snapshot()  # a's planning read
+    # delta lands AFTER a planned, BEFORE a enters commit(): previously a
+    # silent lost update, now a validated conflict
+    merge_batch(b, _events(spark, [(10, "update", ka, 0, "late-delta")]), "qb", 1)
+    with pytest.raises(CommitConflict, match="rewrote buckets"):
+        a.commit({bucket: snap.files[bucket]}, "cow-a", append=False,
+                 base=snap.snapshot_id)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in a.read().collect()}
+    assert got[(ka, 0)] == "late-delta"  # the racing delta survived
+
+
+def test_compact_racing_delta_conflicts_then_replans(spark, pair):
+    """compact() plans from a snapshot, runs a long rewrite job, commits;
+    a delta landing mid-job must surface CommitConflict (compact passes its
+    planning snapshot as base) and a re-planned compact preserves it."""
+    a, b = pair
+    ka, _ = _two_bucket_ids()
+    real = a.write_bucket_files
+
+    def hooked(df):
+        out = real(df)  # the compaction job runs on pre-delta state
+        merge_batch(b, _events(spark, [(11, "update", ka, 0, "mid-job")]), "qb", 2)
+        return out
+
+    a.write_bucket_files = hooked
+    with pytest.raises(CommitConflict):
+        a.compact()
+    a.write_bucket_files = real
+    snap = a.compact()  # re-plan from the new tip succeeds
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in a.read().collect()}
+    assert got[(ka, 0)] == "mid-job"
+    assert snap.stats.get("maintenance") == "compact"
+
+
+def test_lsn_fence_validated_before_first_publish(spark, pair):
+    """The DML LSN fence must fire even when the racing commit lands before
+    commit() entry (no CAS failure): the (base, tip] gap is validated for
+    an LSN at/above the statement's fence."""
+    a, b = pair
+    _, kb = _two_bucket_ids()
+    base = a.snapshot().snapshot_id  # statement acquired LSN 3 here
+    merge_batch(b, _events(spark, [(3, "update", kb, 0, "racer")]), "qb", 3)
+    with pytest.raises(CommitConflict, match="LSN"):
+        a.commit({}, "stmt", append=True, base=base, check_lsn=3)

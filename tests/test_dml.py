@@ -97,3 +97,35 @@ def test_upsert_schema_evolution(spark, table):
     assert got["rating"] == "rated-5"
     # pre-existing rows read the evolved column as null
     assert table.read().filter(F.col("conv_id") == "A").head()["rating"] is None
+
+
+def test_concurrent_dml_statements_never_tie_lsn(spark, table):
+    """r2 advice: two concurrent statements acquiring the same max+1 LSN
+    must not both land it for different payloads — the loser hits the LSN
+    fence, re-acquires a fresh LSN, and re-plans from current state."""
+    b = LakeTable(spark, table.root)
+    df_a = spark.createDataFrame(
+        [("A", 0, "from-a")], "conv_id string, turn_idx int, text string")
+    df_b = spark.createDataFrame(
+        [("A", 0, "from-b")], "conv_id string, turn_idx int, text string")
+    real = table._publish
+    state = {"fired": False}
+
+    def hooked(snap):
+        if not state["fired"]:  # b's whole statement wins the race
+            state["fired"] = True
+            upsert(b, df_b, query_id="dml-b")
+        real(snap)
+
+    table._publish = hooked
+    upsert(table, df_a, query_id="dml-a")
+    table._publish = real
+    # the re-planned statement strictly dominates: distinct LSNs, a wins
+    assert _rows(table)[("A", 0)] == "from-a"
+    lsns = [
+        table.snapshot(s).stats.get("max_lsn")
+        for s in table.snapshot_ids()
+        if table.snapshot(s).epoch_key and
+        table.snapshot(s).epoch_key.startswith("dml-")
+    ]
+    assert sorted(lsns) == [8, 9]  # seed max was 7; no tie

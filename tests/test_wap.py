@@ -176,3 +176,39 @@ def test_adopt_resumes_after_midway_crash(spark, tmp_path, main):
     keys = [main2.snapshot(s).epoch_key for s in main2.snapshot_ids()]
     assert keys.count("q:1") == 1 and keys.count("q:2") == 1
     assert symmetric_diff_empty(main2.read(), branch.read())
+
+
+def test_adopt_resumes_across_maintenance_commits(spark, tmp_path, main):
+    """r2 advice: a branch containing epoch_key=None commits (compact /
+    purge inside a transaction) must crash-resume exactly-once too — resume
+    dedupes on the branch identity stamp, not the epoch key."""
+    branch = main.clone(str(tmp_path / "branch"))
+    merge_batch(branch, _events(spark, [(3, "insert", "C", 0, "c0")]), "q", 1)
+    branch.compact()  # epoch_key=None maintenance commit on the branch
+    merge_batch(branch, _events(spark, [(4, "insert", "D", 0, "d0")]), "q", 2)
+
+    real = main.commit
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # q:1 + the None-key compact landed, then crash
+            raise RuntimeError("simulated crash mid-adopt")
+        return real(*a, **kw)
+
+    main.commit = crashing
+    with pytest.raises(RuntimeError, match="mid-adopt"):
+        main.adopt(branch)
+    main.commit = real
+
+    main2 = LakeTable(spark, main.root)  # fresh process resumes
+    main2.adopt(branch)
+    keys = [main2.snapshot(s).epoch_key for s in main2.snapshot_ids()]
+    assert keys.count("q:1") == 1 and keys.count("q:2") == 1
+    n_compacts = sum(
+        1 for s in main2.snapshot_ids()
+        if main2.snapshot(s).stats.get("maintenance") == "compact"
+        and main2.snapshot(s).stats.get("adopted_branch") is not None
+    )
+    assert n_compacts == 1  # the None-key commit adopted exactly once
+    assert symmetric_diff_empty(main2.read(), branch.read())
