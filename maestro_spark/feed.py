@@ -20,9 +20,10 @@ from a full read (same contract as the batch feed).
 
 Scale posture: planning is driver-side manifest JSON only; each data file
 becomes one InputPartition, so a microbatch's read parallelism equals its
-file count. Older files are conformed (null-filled) to the table's
-current schema Arrow-side, so a feed spanning a schema evolution stays a
-single well-typed stream.
+file count. Files are conformed (null-filled) Arrow-side to the schema
+the stream STARTED with, so a feed spanning a schema evolution stays a
+single well-typed stream; columns added mid-stream are picked up on
+restart (the documented contract), never a mid-stream batch failure.
 """
 
 from __future__ import annotations
@@ -81,6 +82,19 @@ class TableChangesStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("table_changes requires option 'path' (the table root)")
         self.start_snapshot = int(options.get("startingsnapshot", 0))
+        # Pin the conform target to the schema the stream STARTED with
+        # (derived from the declared schema so the two can never diverge):
+        # a schema-evolving commit mid-stream must degrade to "new columns
+        # picked up on restart", not fail the microbatch with Arrow batches
+        # wider than the declared schema.
+        from pyspark.sql.types import BooleanType, LongType, StructField
+
+        payload = [f for f in schema.fields if f.name not in ("op", "lsn")]
+        self._pinned_full_json = StructType(
+            [*payload,
+             StructField(S.LSN_COL, LongType(), True),
+             StructField(S.DELETED_COL, BooleanType(), True)]
+        ).json()
 
     def initialOffset(self) -> dict:
         return {"snapshot": self.start_snapshot}
@@ -90,7 +104,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
-        full_json = _snap(self.root, hi)["schema_json"] if hi > lo else ""
+        full_json = self._pinned_full_json if hi > lo else ""
         parts: list[FeedFilePartition] = []
         for sid in range(lo + 1, hi + 1):
             snap = _snap(self.root, sid)

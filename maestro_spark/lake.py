@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -1247,44 +1248,108 @@ class LakeTable:
 
         return _txn()
 
+    @staticmethod
+    def _export_cursor(dest_root: str) -> int:
+        """The change-export high-water mark, derived from the immutable
+        exclusively-created range markers (``_exported-<from13>-<to13>.json``)
+        rather than a mutable last-write-wins file — append-only markers
+        make cursor regression structurally impossible."""
+        best = 0
+        if not os.path.isdir(dest_root):
+            return best
+        for f in os.listdir(dest_root):
+            m = re.fullmatch(r"_exported-(\d{13})-(\d{13})\.json", f)
+            if m:
+                best = max(best, int(m.group(2)))
+        return best
+
     def export_changes(self, dest_root: str) -> dict:
         """Exactly-once incremental export of the change feed to plain
         parquet a non-maestro consumer can tail: each call writes the delta
         since the last exported snapshot as ``changes/<from>-<to>/*.parquet``
-        (rows carry ``op``/``lsn``, tombstones as ``op='delete'``) and
-        advances a CAS-published ``CHANGES_CURSOR``. Re-running with no new
-        commits is a no-op; a crash mid-export leaves an invisible _tmp dir
-        and an unadvanced cursor, so the retry re-exports the same range.
-        Rollbacks in the range raise (as in :meth:`changes`) — the consumer
-        re-syncs from a full :meth:`export`.
-        """
+        (rows carry ``op``/``lsn``, tombstones as ``op='delete'``).
+
+        Exactly-once under concurrent exporters and crashes:
+
+        - The cursor is DERIVED from the append-only range markers (see
+          :meth:`_export_cursor`), never from a rewritable file, so it can
+          only move forward; ``CHANGES_CURSOR`` is kept as a best-effort
+          convenience cache for consumers.
+        - The range's upper bound is pinned by an exclusively-created CLAIM
+          (``_claim-<from>.json``): racers that read different tips still
+          export the IDENTICAL range (the loser joins the winner's claim),
+          so ``changes/*`` dirs never overlap.
+        - A crash after the claim but before the marker is resumed by the
+          next call (same claim → same range → same dir); the rename is
+          atomic and a racer's already-renamed identical dir is kept.
+
+        Rollbacks in the range make :meth:`changes` raise; recover with
+        :meth:`reset_export_cursor` (consumer re-syncs from a full
+        :meth:`export`)."""
         os.makedirs(dest_root, exist_ok=True)
-        cursor_path = os.path.join(dest_root, "CHANGES_CURSOR")
         cur = self.snapshot().snapshot_id
-        frm = 0
-        if os.path.exists(cursor_path):
-            frm = json.load(open(cursor_path))["exported_through"]
+        frm = self._export_cursor(dest_root)
         if cur <= frm:
             return {"from": frm, "to": frm, "rows": 0, "path": None}
-        marker = os.path.join(dest_root, f"_exported-{frm}-{cur}.json")
-        final = os.path.join(dest_root, "changes", f"{frm:013d}-{cur:013d}")
+        claim = os.path.join(dest_root, f"_claim-{frm:013d}.json")
+        try:
+            _atomic_write_json(claim, {"from": frm, "to": cur}, exclusive=True)
+            to = cur
+        except FileExistsError:  # join/resume the range a racer claimed
+            to = json.load(open(claim))["to"]
+        marker = os.path.join(dest_root, f"_exported-{frm:013d}-{to:013d}.json")
+        final = os.path.join(dest_root, "changes", f"{frm:013d}-{to:013d}")
         if not os.path.exists(marker):
             tmp = os.path.join(dest_root, f"_tmp-{uuid.uuid4().hex[:12]}")
-            self.changes(frm, cur).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(final, ignore_errors=True)
+            self.changes(frm, to).write.mode("overwrite").parquet(tmp)
             os.makedirs(os.path.dirname(final), exist_ok=True)
-            os.rename(tmp, final)
+            try:
+                os.rename(tmp, final)
+            except OSError:  # a racer on the same claim renamed the
+                shutil.rmtree(tmp, ignore_errors=True)  # identical range
             try:
                 _atomic_write_json(
-                    marker, {"from": frm, "to": cur, "path": final}, exclusive=True
+                    marker, {"from": frm, "to": to, "path": final}, exclusive=True
                 )
             except FileExistsError:
-                pass  # a racer exported the identical range first
-        _atomic_write_json(
-            cursor_path, {"exported_through": cur}, exclusive=False
+                pass  # a racer published the identical marker first
+        _atomic_write_json(  # cache only; truth is the marker set
+            os.path.join(dest_root, "CHANGES_CURSOR"),
+            {"exported_through": self._export_cursor(dest_root)},
+            exclusive=False,
         )
-        return {"from": frm, "to": cur, "path": final,
+        return {"from": frm, "to": to, "path": final,
                 "rows": None}
+
+    def reset_export_cursor(
+        self, dest_root: str, to_snapshot: int | None = None
+    ) -> dict:
+        """Re-baseline a wedged change export (e.g. a rollback landed above
+        the cursor, making :meth:`changes` raise for every future range):
+        publish a data-less range marker advancing the cursor to
+        ``to_snapshot`` (default: current tip). The consumer must re-sync
+        from a full :meth:`export` of that snapshot — the skipped range is
+        deliberately NOT exported as deltas."""
+        os.makedirs(dest_root, exist_ok=True)
+        frm = self._export_cursor(dest_root)
+        to = self.snapshot(to_snapshot).snapshot_id if to_snapshot is not None \
+            else self.snapshot().snapshot_id
+        if to <= frm:
+            return {"from": frm, "to": frm, "rebaseline": False}
+        marker = os.path.join(dest_root, f"_exported-{frm:013d}-{to:013d}.json")
+        try:
+            _atomic_write_json(
+                marker, {"from": frm, "to": to, "path": None, "rebaseline": True},
+                exclusive=True,
+            )
+        except FileExistsError:
+            pass  # racer re-baselined (or exported) the same range
+        _atomic_write_json(
+            os.path.join(dest_root, "CHANGES_CURSOR"),
+            {"exported_through": self._export_cursor(dest_root)},
+            exclusive=False,
+        )
+        return {"from": frm, "to": to, "rebaseline": True}
 
     # ----------------------------------------------------------- maintenance
     def compact(

@@ -85,3 +85,42 @@ def test_feed_raises_on_rollback(spark, tmp_path):
         stream_replicate(
             spark, src.root, str(tmp_path / "replica"), query_id="rep"
         )
+
+
+def test_feed_schema_pinned_across_midstream_evolution(spark, tmp_path):
+    """r2 advice: a schema-evolving commit MID-STREAM must not fail the
+    microbatch — batches are conformed to the schema the stream started
+    with (new columns dropped until restart), per the documented contract."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.feed import TableChangesStreamReader, feed_schema
+    from maestro_spark.merge import merge_batch
+
+    src = LakeTable.create(spark, str(tmp_path / "evo_lake"), n_buckets=4)
+    merge_batch(src, spark.createDataFrame(
+        [(1, "insert", "A", 0, None, "a0", None, dt.datetime(2025, 1, 1))],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+
+    declared = feed_schema(src.root)  # stream starts HERE
+    reader = TableChangesStreamReader(declared, {"path": src.root})
+    reader.initialOffset()
+
+    # schema evolves mid-stream (tool_calls + metadata columns appear)
+    merge_batch(src, spark.createDataFrame(
+        [(2, "insert", "A", 1, None, "a1", None, dt.datetime(2025, 1, 1),
+          None, {"model": "m1"})],
+        S.CHANGE_EVENT_SCHEMA_V2), "q", 1)
+
+    parts = reader.partitions(
+        {"snapshot": 0}, {"snapshot": src.snapshot().snapshot_id})
+    want = [f.name for f in declared.fields]
+    rows = 0
+    for p in parts:
+        for rb in reader.read(p):
+            got = list(rb.schema.names)
+            assert got == want  # no wider-than-declared Arrow batches
+            rows += rb.num_rows
+    assert rows == 2  # both epochs readable despite the evolution
+    # a RESTARTED stream picks the new columns up
+    assert "metadata" in [f.name for f in feed_schema(src.root).fields]

@@ -358,3 +358,90 @@ def test_export_changes_incremental(spark, tmp_path):
         for r in t.read().orderBy("conv_id", "turn_idx").collect()
     ]
     assert got == want == [("A", 0, "a1")]
+
+
+def test_export_changes_racers_never_overlap_or_regress(spark, tmp_path):
+    """r2 advice: two exporters reading different tips must export the
+    IDENTICAL claimed range (no overlapping changes/* dirs a tailing
+    consumer would double-read), and the cursor — derived from append-only
+    markers — can never regress below an exported range."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "race_lake"), n_buckets=4)
+    dest = str(tmp_path / "race_out")
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(lsn, op, cid, ti, None, txt, None, dt.datetime(2025, 1, 1))
+             for (lsn, op, cid, ti, txt) in rows],
+            S.CHANGE_EVENT_SCHEMA,
+        )
+
+    merge_batch(t, ev([(1, "insert", "A", 0, "a0")]), "q", 0)
+    # exporter 1 reads the tip and CLAIMS 0->sid1 — then stalls before
+    # writing anything (simulated by doing nothing further with it)
+    sid1 = t.snapshot().snapshot_id
+    os.makedirs(dest, exist_ok=True)
+    from maestro_spark.lake import _atomic_write_json
+
+    _atomic_write_json(os.path.join(dest, f"_claim-{0:013d}.json"),
+                       {"from": 0, "to": sid1}, exclusive=True)
+    # the table moves on; exporter 2 reads a LATER tip but must join the
+    # stalled claim, exporting exactly 0->sid1
+    merge_batch(t, ev([(2, "insert", "B", 0, "b0")]), "q", 1)
+    r = t.export_changes(dest)
+    assert (r["from"], r["to"]) == (0, sid1)
+    # the next call exports the remainder; ranges tile with no overlap
+    r2 = t.export_changes(dest)
+    assert r2["from"] == sid1 and r2["to"] == t.snapshot().snapshot_id
+    dirs = sorted(os.path.basename(d) for d in glob.glob(f"{dest}/changes/*"))
+    spans = [tuple(int(x) for x in d.split("-")) for d in dirs]
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi == b_lo  # contiguous, non-overlapping
+    # a re-run is a no-op and the cursor never moved backward
+    r3 = t.export_changes(dest)
+    assert r3["rows"] == 0
+    cursor = json.load(open(os.path.join(dest, "CHANGES_CURSOR")))
+    assert cursor["exported_through"] == t.snapshot().snapshot_id
+
+
+def test_export_changes_rebaseline_after_rollback(spark, tmp_path):
+    """r2 advice: a rollback above the cursor used to wedge the export
+    forever; reset_export_cursor re-baselines it and the next incremental
+    export resumes from the reset point."""
+    import datetime as dt
+    import pytest as _pytest
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "rb_lake"), n_buckets=4)
+    dest = str(tmp_path / "rb_out")
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(lsn, op, cid, ti, None, txt, None, dt.datetime(2025, 1, 1))
+             for (lsn, op, cid, ti, txt) in rows],
+            S.CHANGE_EVENT_SCHEMA,
+        )
+
+    merge_batch(t, ev([(1, "insert", "A", 0, "a0")]), "q", 0)
+    t.export_changes(dest)
+    merge_batch(t, ev([(2, "insert", "B", 0, "b0")]), "q", 1)
+    good = t.snapshot().snapshot_id
+    merge_batch(t, ev([(3, "insert", "C", 0, "c0")]), "q", 2)
+    t.rollback(good)  # rollback lands ABOVE the cursor
+    with _pytest.raises(ValueError):
+        t.export_changes(dest)
+    r = t.reset_export_cursor(dest)  # documented recovery
+    assert r["rebaseline"] is True
+    # consumer re-syncs via full export; incremental resumes cleanly after
+    merge_batch(t, ev([(4, "insert", "D", 0, "d0")]), "q", 3)
+    r2 = t.export_changes(dest)
+    assert r2["from"] == r["to"] and r2["to"] == t.snapshot().snapshot_id
