@@ -122,6 +122,18 @@ def main(argv: list[str] | None = None) -> int:
     ec.add_argument("--table", required=True)
     ec.add_argument("--dest", required=True)
 
+    sq = sub.add_parser(
+        "sql", help="ANSI SQL over lake tables (MOR-resolved temp views)"
+    )
+    sq.add_argument("query", help="SQL text; FROM names come from --table")
+    sq.add_argument(
+        "--table", action="append", required=True, metavar="ROOT[=NAME]",
+        help="lake root to expose, optionally as view NAME (default: basename); repeatable",
+    )
+    sq.add_argument("--snapshot", type=int, default=None,
+                    help="pin every view to this snapshot id (time travel)")
+    sq.add_argument("--limit", type=int, default=20)
+
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
     args = p.parse_args(argv)
@@ -271,6 +283,17 @@ def main(argv: list[str] | None = None) -> int:
         snap = table.adopt(branch)
         print(json.dumps({"snapshot": snap.snapshot_id,
                           "rows": table.read().count()}))
+    elif args.cmd == "sql":
+        import os
+
+        for spec in args.table:
+            root, _, name = spec.partition("=")
+            view = name or os.path.basename(os.path.normpath(root))
+            LakeTable(spark, root).create_view(view, snapshot_id=args.snapshot)
+        df = spark.sql(args.query)
+        df.show(args.limit, truncate=40)
+        print(json.dumps({"rows": df.count(),
+                          "views": [s.partition("=")[0] for s in args.table]}))
     elif args.cmd == "ivm":
         from maestro_spark.ivm import ConvStatsView
 

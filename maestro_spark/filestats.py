@@ -10,7 +10,9 @@ commit), so commit cost never grows with table size; a reader loads shards
 once per process and incrementally afterwards (same pattern as the
 epoch-key index).
 
-Tracked per file: ``rows, lsn_min, lsn_max, ts_min_us, ts_max_us``. LSN
+Tracked per file: ``rows, bytes, lsn_min, lsn_max, ts_min_us, ts_max_us``.
+Byte sizes feed the size-tiered compaction planner (fold small delta tiers,
+never rewrite settled base files — see ``LakeTable.compact_tiered``). LSN
 bounds double as the lineage source (maestro_spark.lineage) and drive the
 superseder "mask scan" that keeps time-range pruning EXACT under
 merge-on-read (see ``LakeTable.read_where_ts``); ts bounds are the zone map
@@ -52,7 +54,8 @@ def collect_file(path: str) -> dict:
     bounds None when the column is absent or all-null)."""
     md = pq.ParquetFile(path).metadata
     names = [md.schema.column(i).name for i in range(md.num_columns)]
-    out = {"rows": md.num_rows, "lsn_min": None, "lsn_max": None,
+    out = {"rows": md.num_rows, "bytes": os.path.getsize(path),
+           "lsn_min": None, "lsn_max": None,
            "ts_min": None, "ts_max": None}
     for col, lo_key, hi_key, conv in (
         (S.LSN_COL, "lsn_min", "lsn_max", int),

@@ -430,6 +430,47 @@ class LakeTable:
         ]
         return resolved.filter(~F.col(S.DELETED_COL)).select(*out_cols)
 
+    # ------------------------------------------------------- SQL front door
+    def create_view(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        ts=None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Register this table's MOR-resolved live rows as a session temp
+        view so analysts can ``spark.sql("SELECT … FROM <name>")`` without
+        touching the engine API — with optional time travel by snapshot id
+        or wall-clock ``ts`` (resolved via :meth:`snapshot_id_at`).
+
+        The view is a logical plan over the resolved snapshot's immutable
+        file manifest: committed data files are never deleted while
+        referenced (only vacuum after expiry drops them), so the view keeps
+        reading a stable state while writers commit — snapshot isolation
+        for SQL readers. A view created with no pin is plan-time-pinned to
+        the CURRENT snapshot; call again to pick up newer commits.
+        ``columns`` prunes the scan like :meth:`read` (Python DataSources
+        receive no projection pushdown, so pass it for narrow analytics)."""
+        if ts is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or ts, not both")
+            snapshot_id = self.snapshot_id_at(ts)
+        df = self.read(snapshot_id=snapshot_id, columns=columns)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def sql(
+        self,
+        query: str,
+        name: str = "t",
+        snapshot_id: int | None = None,
+        ts=None,
+    ) -> DataFrame:
+        """One-shot SQL over this table: register it as view ``name``
+        (default ``t``) and run ``query`` through the session."""
+        self.create_view(name, snapshot_id=snapshot_id, ts=ts)
+        return self.spark.sql(query)
+
     def plan_ts_scan(
         self, lo, hi, snapshot_id: int | None = None
     ) -> tuple[dict[int, list[str]], list[str], int]:
@@ -1399,6 +1440,111 @@ class LakeTable:
         threshold — the LSM levelling trigger. Pure manifest arithmetic."""
         snap = self.snapshot()
         return sorted(int(b) for b, ps in snap.files.items() if len(ps) >= max_deltas)
+
+    def _file_bytes(self, rel: str) -> int:
+        """On-disk size of a committed data file — zone-map lookup first
+        (harvested at write time), getsize fallback for pre-upgrade files."""
+        st = self.file_stats.get(rel)
+        if st is not None and st.get("bytes") is not None:
+            return int(st["bytes"])
+        return os.path.getsize(os.path.join(self.root, rel))
+
+    @staticmethod
+    def _fold_suffix(sizes: list[int], min_fold: int, factor: float) -> int:
+        """Size-tier selection: how many files of the commit-ordered SUFFIX
+        to fold. Walk newest→oldest, including a file while it is at most
+        ``factor``× the largest file already included; fold only when at
+        least ``min_fold`` files qualify (so a [base, tier] pair whose sizes
+        differ by more than ``factor`` is a stable no-op, not a re-fold).
+        Equal-size tiers merge wholesale; a settled base file more than
+        ``factor``× the accumulated delta tier is never touched — each byte
+        is therefore rewritten O(log_factor(table/delta)) times instead of
+        once per cadence. The fold set being a CONTIGUOUS suffix preserves
+        the (_lsn, commit-seq) resolution order exactly: the folded file
+        takes the suffix's position in the bucket list."""
+        k, biggest = 0, 0
+        for b in reversed(sizes):
+            if k == 0 or b <= factor * biggest:
+                k += 1
+                biggest = max(biggest, b)
+            else:
+                break
+        return k if k >= min_fold else 0
+
+    def compact_tiered(
+        self,
+        buckets: list[int] | None = None,
+        min_fold: int = 2,
+        factor: float | None = None,
+    ) -> Snapshot | None:
+        """Size-tiered compaction: fold each bucket's small recent delta tier
+        into one file — work proportional to DELTA bytes, never a cadence
+        rewrite of settled base files (the r2 measured scale-killer: at
+        thousands of epochs, full-bucket folds cost O(table) per trigger).
+
+        Zero-shuffle by construction: the fold set is read by the mor_scan
+        source (one task per bucket, bucket-local resolve) with ``pk_bucket``
+        parsed from the partition path, so the partitionBy write emits one
+        folded file per bucket without an exchange — read + resolve + write
+        of just the tier bytes.
+
+        Tombstones are NEVER GC'd here: a fold reads a subset of the bucket,
+        and dropping a tombstone while an older live version of its key
+        still sits in an unread base file would resurrect the row. Horizon
+        GC stays in :meth:`compact` (full-bucket rewrite) only.
+
+        Returns the maintenance snapshot, or None when no bucket had a
+        foldable tier."""
+        t0 = time.time()
+        snap = self.snapshot()
+        if factor is None:
+            factor = float(self.spark.conf.get("maestro.compact.tierFactor", "4.0"))
+        todo = [int(b) for b in snap.files] if buckets is None else buckets
+        keep: dict[str, list[str]] = {}
+        groups: list[list[str]] = []
+        fold_bytes = 0
+        n_fold_files = 0
+        for b in todo:
+            ps = snap.files.get(str(b), [])
+            sizes = [self._file_bytes(p) for p in ps]
+            k = self._fold_suffix(sizes, min_fold, factor)
+            if not k:
+                continue
+            keep[str(b)] = ps[: len(ps) - k]
+            groups.append([os.path.join(self.root, p) for p in ps[len(ps) - k:]])
+            fold_bytes += sum(sizes[len(ps) - k:])
+            n_fold_files += k
+        if not groups:
+            return None
+        from maestro_spark import mor_scan
+
+        mor_scan.register(self.spark)
+        scan_schema = T.StructType(
+            [T.StructField("pk_bucket", T.IntegerType(), True), *snap.schema.fields]
+        )
+        df = (
+            self.spark.read.format(mor_scan.FORMAT_NAME)
+            .schema(scan_schema)
+            .option("schema_json", json.dumps(scan_schema.jsonValue()))
+            .option("groups_json", json.dumps(groups))
+            .option("n_buckets", str(snap.n_buckets))
+            .option("pushdown", "false")
+            .load()
+        )
+        new_files = self.write_bucket_files(df)
+        return self.commit(
+            {b: keep[b] + new_files.get(b, []) for b in keep},
+            epoch_key=None,
+            stats={
+                "maintenance": "compact-tiered",
+                "buckets": sorted(int(b) for b in keep),
+                "fold_files": n_fold_files,
+                "fold_bytes": fold_bytes,
+                "compact_s": round(time.time() - t0, 3),
+            },
+            append=False,
+            base=snap.snapshot_id,
+        )
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop old snapshot manifests (time-travel horizon); their data

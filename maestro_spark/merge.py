@@ -327,9 +327,13 @@ def merge_batch(
         stats=stats,
     )
 
-    # LSM levelling: fold delta-heavy buckets back to one resolved file each.
-    # Amortized cost ~= table/(maxDeltas·batch) extra writes per epoch; the
-    # resolve shuffle at read time stays bounded by maxDeltas files/bucket.
+    # LSM levelling: fold delta-heavy buckets. Default policy is SIZE-TIERED
+    # (compact_tiered): work per trigger is O(delta-tier bytes), settled base
+    # files are never rewritten on cadence, so amortized compaction cost is
+    # O(log) rewrites per byte instead of one full-bucket rewrite per
+    # maxDeltas epochs — the r2 epoch-size sweep's measured scale-killer.
+    # maestro.compact.policy=full restores the full-bucket fold (which also
+    # GC's nothing here; horizon GC is an explicit compact() call).
     # Timing is recorded in the compaction snapshot's own stats (this epoch's
     # ledger entry is already durable).
     max_deltas = int(table.spark.conf.get("maestro.compact.maxDeltas", "8"))
@@ -337,7 +341,10 @@ def merge_batch(
         due = table.delta_buckets(max_deltas)
         if due:
             try:
-                table.compact(due)
+                if table.spark.conf.get("maestro.compact.policy", "tiered") == "tiered":
+                    table.compact_tiered(due)
+                else:
+                    table.compact(due)
             except CommitConflict:
                 # multi-writer: a concurrent commit rewrote one of the due
                 # buckets while compaction ran — the EPOCH is already

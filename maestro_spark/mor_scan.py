@@ -57,6 +57,17 @@ def resolve_group(files: list[str], schema: StructType, key_filters=None):
     from maestro_spark.schema import conform_arrow_table
 
     arrow_schema = to_arrow_schema(schema)
+    # pk_bucket lives in the partition DIRECTORY name, not the file; when the
+    # requested schema asks for it (the zero-shuffle compaction path), parse
+    # it from the path instead of null-filling it like an absent column
+    want_bucket = "pk_bucket" in arrow_schema.names
+
+    def _bucket_from(path: str) -> int:
+        for part in path.split("/"):
+            if part.startswith("pk_bucket="):
+                return int(part.split("=", 1)[1])
+        raise ValueError(f"no pk_bucket= segment in {path}")
+
     tables = []
     for seq, path in enumerate(files):
         # column pruning: Python DataSources never receive Spark's projection
@@ -69,9 +80,13 @@ def resolve_group(files: list[str], schema: StructType, key_filters=None):
         # dedup key — dropping other keys' rows cannot change any winner);
         # pyarrow applies them as row-group statistics pruning + row filter
         flt = [(c, "=", v) for c, v in (key_filters or []) if c in present] or None
-        t = conform_arrow_table(
-            pq.read_table(path, columns=want, filters=flt), arrow_schema
-        )
+        raw = pq.read_table(path, columns=want, filters=flt)
+        if want_bucket and "pk_bucket" not in raw.column_names:
+            raw = raw.append_column(
+                "pk_bucket",
+                pa.array(np.full(len(raw), _bucket_from(path), np.int32)),
+            )
+        t = conform_arrow_table(raw, arrow_schema)
         tables.append(
             t.append_column("_seq", pa.array(np.full(len(t), seq, np.int64)))
         )

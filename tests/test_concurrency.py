@@ -208,14 +208,14 @@ def test_epoch_survives_compaction_commit_race(spark, tmp_path):
         # every publish attempt by `a` (epoch commit AND compaction) is
         # preceded by b truncating... that would conflict the epoch too.
         # Instead hook compact specifically.
-        real_compact = a.compact
+        real_compact = a.compact_tiered  # the default auto-trigger policy
 
         def racing_compact(buckets=None, **kw):
             bkt = str(buckets[0]) if buckets else next(iter(a.snapshot().files))
             b.commit({bkt: []}, f"race-{bkt}", append=False)
             return real_compact(buckets, **kw)
 
-        a.compact = racing_compact
+        a.compact_tiered = racing_compact
         snap = merge_batch(a, _events(spark, [(9, "insert", "A", 9, "t9")]), "q", 9)
         assert snap is not None  # the epoch committed despite the lost race
         assert "q:9" in {a.snapshot(s).epoch_key for s in a.snapshot_ids()}

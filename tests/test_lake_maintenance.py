@@ -445,3 +445,136 @@ def test_export_changes_rebaseline_after_rollback(spark, tmp_path):
     merge_batch(t, ev([(4, "insert", "D", 0, "d0")]), "q", 3)
     r2 = t.export_changes(dest)
     assert r2["from"] == r["to"] and r2["to"] == t.snapshot().snapshot_id
+
+
+def test_fold_suffix_tier_selection():
+    """Pure tier arithmetic: equal tiers merge wholesale, settled base files
+    more than factor× the accumulated tier are never included, and the
+    unconditional min_fold keeps the trigger productive."""
+    fold = LakeTable._fold_suffix
+    # 8 equal deltas -> fold all
+    assert fold([10] * 8, 2, 4.0) == 8
+    # big settled base + 7 small deltas -> base untouched
+    assert fold([1000, 10, 10, 10, 10, 10, 10, 10], 2, 4.0) == 7
+    # intermediate tier included only once within factor of the tier max
+    assert fold([1000, 35, 10, 10, 10, 10, 10], 2, 4.0) == 6  # 35 <= 4*10
+    assert fold([1000, 45, 10, 10, 10, 10, 10], 2, 4.0) == 5  # 45 > 4*10
+    # same tier (within factor) merges even when it's base-sized
+    assert fold([1000, 500], 2, 4.0) == 2
+    # a [base, small-tier] pair out of factor is a STABLE no-op (no re-fold)
+    assert fold([1000, 50], 2, 4.0) == 0
+    # fewer than min_fold qualifying files -> nothing to fold
+    assert fold([1000], 2, 4.0) == 0
+    assert fold([], 2, 4.0) == 0
+
+
+def test_compact_tiered_folds_deltas_not_base(spark, tmp_path):
+    """Size-tiered compaction rewrites only the delta tier: content is
+    preserved, the settled base file's path survives in the manifest
+    untouched, and compaction bytes ~ delta bytes (the r2 scale-killer)."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    spark.conf.set("maestro.compact.maxDeltas", "0")  # manual control
+    try:
+        t = LakeTable.create(spark, str(tmp_path / "tier_lake"), n_buckets=2)
+        # big base: 2000 rows, then fold it settled
+        base_ev = spark.createDataFrame(
+            [(i, "insert", f"c{i % 97}", i // 97, None, f"t{i}", None,
+              dt.datetime(2025, 1, 1)) for i in range(2000)],
+            S.CHANGE_EVENT_SCHEMA)
+        merge_batch(t, base_ev, "q", 0)
+        t.compact()  # one settled base file per bucket
+        base_files = {b: list(ps) for b, ps in t.snapshot().files.items()}
+        # five small delta epochs (~20 rows each)
+        for e in range(1, 6):
+            ev = spark.createDataFrame(
+                [(2000 * e + i, "update", f"c{i}", 0, None, f"u{e}-{i}", None,
+                  dt.datetime(2025, 1, 2)) for i in range(20)],
+                S.CHANGE_EVENT_SCHEMA)
+            merge_batch(t, ev, "q", e)
+        before = t.read().orderBy("conv_id", "turn_idx")
+
+        snap = t.compact_tiered()
+        assert snap is not None and snap.stats["maintenance"] == "compact-tiered"
+        after_files = t.snapshot().files
+        for b, ps in base_files.items():
+            # the settled base file was NOT rewritten — same path, position 0
+            assert after_files[b][0] == ps[0]
+            # the five deltas folded into one tier file
+            assert len(after_files[b]) == 2
+        after = t.read().orderBy("conv_id", "turn_idx")
+        assert symmetric_diff_empty(before, after)
+        # fold bytes == exactly the delta files' bytes; the base contributed 0
+        pre = t.snapshot(snap.parent_id).files
+        delta_bytes = sum(
+            t._file_bytes(p) for b, ps in pre.items() for p in ps[1:]
+        )
+        assert snap.stats["fold_bytes"] == delta_bytes
+        # repeated call with nothing foldable below the factor is a no-op
+        assert t.compact_tiered() is None
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+
+
+def test_compact_tiered_never_resurrects_tombstoned_rows(spark, tmp_path):
+    """A tombstone living in the delta tier must survive the fold (no GC in
+    tiered mode): the key's older live version in the unread base file must
+    stay dead."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    spark.conf.set("maestro.compact.maxDeltas", "0")
+    try:
+        t = LakeTable.create(spark, str(tmp_path / "ts_lake"), n_buckets=2)
+        merge_batch(t, spark.createDataFrame(
+            [(1, "insert", "A", 0, None, "a0", None, dt.datetime(2025, 1, 1)),
+             (2, "insert", "B", 0, None, "b0", None, dt.datetime(2025, 1, 1))],
+            S.CHANGE_EVENT_SCHEMA), "q", 0)
+        t.compact()  # settle the base (A and B live)
+        for e, (lsn, op, cid, txt) in enumerate(
+            [(3, "delete", "A", None), (4, "update", "B", "b1"),
+             (5, "insert", "C", "c0")], start=1,
+        ):
+            merge_batch(t, spark.createDataFrame(
+                [(lsn, op, cid, 0, None, txt, None, dt.datetime(2025, 1, 2))],
+                S.CHANGE_EVENT_SCHEMA), "q", e)
+        snap = t.compact_tiered()
+        assert snap is not None
+        got = {r["conv_id"]: r["text"] for r in t.read().collect()}
+        assert got == {"B": "b1", "C": "c0"}  # A stays dead
+        # the tombstone row itself is still present in the folded tier
+        resolved = t.read_resolved()
+        assert resolved.filter(
+            (F.col("conv_id") == "A") & F.col("_deleted")).count() == 1
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+
+
+def test_auto_trigger_uses_tiered_policy(spark, tmp_path):
+    """The merge auto-trigger folds via compact_tiered by default; file
+    counts stay bounded and replayed content matches a compaction-free
+    replay exactly."""
+    log = generate(GenConfig(seed=77, n_convs=40, segment_rows=150))
+    write_log(log, str(tmp_path / "log2"), segment_rows=150)
+    spark.conf.set("maestro.compact.maxDeltas", "3")
+    try:
+        t = LakeTable.create(spark, str(tmp_path / "auto_lake"), n_buckets=4)
+        replay(spark, str(tmp_path / "log2"), t, query_id="a")
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+    kinds = {t.snapshot(s).stats.get("maintenance") for s in t.snapshot_ids()}
+    assert "compact-tiered" in kinds
+    ref = LakeTable.create(spark, str(tmp_path / "ref_lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log2"), ref, query_id="r")
+    assert symmetric_diff_empty(
+        t.read().orderBy("conv_id", "turn_idx"),
+        ref.read().orderBy("conv_id", "turn_idx"),
+    )
+    assert max(len(ps) for ps in t.snapshot().files.values()) <= 6

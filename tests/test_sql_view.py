@@ -1,0 +1,134 @@
+"""SQL front door: `spark.sql` over lake tables via MOR-resolved temp
+views — equality with lake.read(), time travel, snapshot isolation, and
+the CLI `sql` subcommand (VERDICT r2 next-round #3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark import schema as S
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch
+from maestro_spark.verify import symmetric_diff_empty
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(lsn, op, cid, ti, None, txt, None, TS) for (lsn, op, cid, ti, txt) in rows],
+        S.CHANGE_EVENT_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "sql_lake"), n_buckets=4)
+    merge_batch(t, _events(spark, [
+        (1, "insert", "A", 0, "a0"),
+        (2, "insert", "A", 1, "a1"),
+        (3, "insert", "B", 0, "b0"),
+    ]), "q", 0)
+    return t
+
+
+def test_sql_view_equals_read(spark, table):
+    table.create_view("conv")
+    got = spark.sql("SELECT conv_id, turn_idx, text FROM conv")
+    assert symmetric_diff_empty(
+        got, table.read().select("conv_id", "turn_idx", "text"))
+    # aggregates route through the same resolved scan
+    n = spark.sql(
+        "SELECT conv_id, count(*) AS n FROM conv GROUP BY conv_id "
+        "ORDER BY conv_id").collect()
+    assert [(r["conv_id"], r["n"]) for r in n] == [("A", 2), ("B", 1)]
+
+
+def test_sql_view_is_mor_resolved(spark, table):
+    """The view must show merged winners (not raw delta rows) and honour
+    tombstones."""
+    merge_batch(table, _events(spark, [
+        (4, "update", "A", 0, "a0-v2"),
+        (5, "delete", "B", 0, None),
+    ]), "q", 1)
+    table.create_view("conv")
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in spark.sql("SELECT * FROM conv").collect()}
+    assert rows == {("A", 0): "a0-v2", ("A", 1): "a1"}
+
+
+def test_sql_view_time_travel(spark, table):
+    sid0 = table.snapshot().snapshot_id
+    t_mid = time.time()
+    time.sleep(0.05)
+    merge_batch(table, _events(spark, [(6, "update", "A", 0, "late")]), "q", 2)
+    # pin by snapshot id
+    table.create_view("conv_v0", snapshot_id=sid0)
+    assert spark.sql(
+        "SELECT text FROM conv_v0 WHERE conv_id='A' AND turn_idx=0"
+    ).head()["text"] == "a0"
+    # pin by wall-clock ts
+    table.create_view("conv_ts", ts=t_mid)
+    assert spark.sql(
+        "SELECT text FROM conv_ts WHERE conv_id='A' AND turn_idx=0"
+    ).head()["text"] == "a0"
+    with pytest.raises(ValueError, match="not both"):
+        table.create_view("x", snapshot_id=sid0, ts=t_mid)
+
+
+def test_sql_view_snapshot_isolation(spark, table):
+    """A registered view keeps reading its plan-time snapshot while commits
+    land (committed files are immutable; vacuum keeps referenced files)."""
+    table.create_view("pinned")
+    before = spark.sql("SELECT * FROM pinned ORDER BY conv_id, turn_idx").collect()
+    merge_batch(table, _events(spark, [(7, "delete", "A", 0, None)]), "q", 3)
+    table.compact()
+    table.vacuum()
+    after = spark.sql("SELECT * FROM pinned ORDER BY conv_id, turn_idx").collect()
+    assert after == before
+    # re-registering picks the new world up
+    table.create_view("pinned")
+    assert spark.sql(
+        "SELECT count(*) AS n FROM pinned WHERE conv_id='A' AND turn_idx=0"
+    ).head()["n"] == 0
+
+
+def test_sql_joins_two_lake_tables(spark, table, tmp_path):
+    other = LakeTable.create(spark, str(tmp_path / "sql_lake2"), n_buckets=2)
+    merge_batch(other, _events(spark, [
+        (1, "insert", "A", 0, "meta-A"),
+        (2, "insert", "C", 0, "meta-C"),
+    ]), "q", 0)
+    table.create_view("conv")
+    other.create_view("meta")
+    got = spark.sql("""
+        SELECT c.conv_id, c.turn_idx, m.text AS meta_text
+        FROM conv c JOIN meta m
+          ON c.conv_id = m.conv_id AND m.turn_idx = 0
+        ORDER BY c.conv_id, c.turn_idx
+    """).collect()
+    assert [(r["conv_id"], r["turn_idx"], r["meta_text"]) for r in got] == [
+        ("A", 0, "meta-A"), ("A", 1, "meta-A")]
+
+
+def test_table_sql_shorthand(spark, table):
+    df = table.sql("SELECT count(*) AS n FROM t WHERE conv_id = 'A'")
+    assert df.head()["n"] == 2
+
+
+def test_cli_sql_subcommand(spark, table, capsys, monkeypatch):
+    from maestro_spark.__main__ import main
+
+    # the CLI stops its session on exit; the test session must survive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    rc = main(["sql", "SELECT conv_id, count(*) AS n FROM sql_lake "
+               "GROUP BY conv_id ORDER BY conv_id",
+               "--table", table.root])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"rows": 2' in out
