@@ -179,18 +179,28 @@ class ConvStatsView:
 
     def full_refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
         """Rebuild every conversation's row from base state at ``to_snapshot``
-        (used when the incremental feed horizon is gone). Conversations that
-        vanished from the base since the last refresh are tombstoned via the
-        same anti-join the incremental path uses."""
+        (used when the incremental feed horizon is gone, and by the
+        crossover rule when the unapplied range outweighs the table).
+
+        Unlike the incremental path there is no changed-set join at all:
+        every conversation is trivially "changed", so the plan is one
+        resolved column-pruned scan → one aggregate (map-side partial) →
+        merge. Vanished conversations are tombstoned by anti-joining the
+        view's own (one-row-per-conv, much smaller) key set against the
+        fresh aggregate."""
         to = (
             to_snapshot
             if to_snapshot is not None
             else self.base.snapshot().snapshot_id
         )
         current = self.base.read(snapshot_id=to, columns=_AGG_COLS)
-        known = self.table.read().select("conv_id")
-        changed = current.select("conv_id").union(known).distinct()
-        return self._apply(changed, current, to)
+        agg = (
+            current.groupBy("conv_id").agg(*_conv_aggs()).localCheckpoint(eager=True)
+        )
+        gone = self.table.read().select("conv_id").join(
+            agg.select("conv_id"), "conv_id", "left_anti"
+        )
+        return self._merge(agg, gone, to)
 
     # -------------------------------------------- crossover cost estimate
     def _range_bytes(self, frm: int, to: int) -> int:
@@ -248,16 +258,34 @@ class ConvStatsView:
         """Re-aggregate ``changed`` conv_ids from ``current`` rows and merge
         upserts + tombstones into the view at LSN ``to`` (monotone per
         refresh, so later refreshes always dominate earlier rows)."""
+        # The changed set is small by construction (convs touched in the
+        # range; checkpointed) — broadcast it so the semi-join runs in the
+        # SCAN stage instead of shuffling the re-read buckets. Guarded by a
+        # count (cheap on the checkpoint) against degenerate huge ranges.
+        n_changed = changed.count()
+        probe = (
+            F.broadcast(changed)
+            if n_changed <= int(
+                self.spark.conf.get("maestro.ivm.broadcastChangedMax", "2000000")
+            )
+            else changed
+        )
         # materialize the (small: one row per changed conv) aggregate once —
         # it feeds BOTH union branches below (upserts and the anti-join that
         # finds vanished convs), and without the checkpoint each branch would
         # re-execute the whole bucket-read + join + aggregate DAG
         agg = (
-            current.join(changed, "conv_id")
+            current.join(probe, "conv_id")
             .groupBy("conv_id")
             .agg(*_conv_aggs())
             .localCheckpoint(eager=True)
         )
+        gone = changed.join(agg.select("conv_id"), "conv_id", "left_anti")
+        return self._merge(agg, gone, to)
+
+    def _merge(self, agg: DataFrame, gone_ids: DataFrame, to: int) -> Snapshot | None:
+        """Merge the re-aggregated rows (upserts) + vanished conv_ids
+        (tombstones) into the view at LSN ``to``."""
         upserts = agg.select(
             F.lit(to).cast("long").alias("op_lsn"),
             F.lit("upsert").alias("op"),
@@ -268,8 +296,8 @@ class ConvStatsView:
             "total_chars",
             "last_ts",
         )
-        # changed convs with zero surviving turns no longer exist in base
-        gone = changed.join(agg.select("conv_id"), "conv_id", "left_anti").select(
+        # convs with zero surviving turns no longer exist in base
+        gone = gone_ids.select(
             F.lit(to).cast("long").alias("op_lsn"),
             F.lit("delete").alias("op"),
             "conv_id",
