@@ -48,30 +48,57 @@ def _micros(v) -> int | None:
     return int(v)
 
 
+_MAX_STR_BOUND = 64  # longer string bounds bloat the shard; mark unknown
+
+
+def _bound_safe(v):
+    """Parquet statistic value → JSON-safe zone bound, or None (= unknown,
+    never prune). Strings longer than the cap are dropped BOTH ways (a
+    one-sided bound could prune wrongly). Truncated parquet stats are still
+    valid bounds by spec (min truncated down, max incremented), so using
+    them as-is is prune-safe."""
+    if isinstance(v, bool):
+        return None  # boolean bounds carry no range-pruning signal
+    if isinstance(v, _dt.datetime):
+        return _micros(v)
+    if isinstance(v, int) or isinstance(v, float):
+        return v
+    if isinstance(v, str) and len(v) <= _MAX_STR_BOUND:
+        return v
+    return None
+
+
 def collect_file(path: str) -> dict:
     """Footer-only stats for one parquet file:
-    ``{rows, lsn_min, lsn_max, ts_min, ts_max}`` (ts in epoch micros,
-    bounds None when the column is absent or all-null)."""
+    ``{rows, bytes, lsn_min, lsn_max, ts_min, ts_max, cols}`` where ``cols``
+    maps every scalar leaf column to ``[min, max]`` (timestamps in epoch
+    micros; bounds absent when the column is missing, all-null, non-scalar,
+    or its string bounds exceed the size cap — absent = never pruned)."""
     md = pq.ParquetFile(path).metadata
     names = [md.schema.column(i).name for i in range(md.num_columns)]
     out = {"rows": md.num_rows, "bytes": os.path.getsize(path),
            "lsn_min": None, "lsn_max": None,
-           "ts_min": None, "ts_max": None}
-    for col, lo_key, hi_key, conv in (
-        (S.LSN_COL, "lsn_min", "lsn_max", int),
-        (_TS_COL, "ts_min", "ts_max", _micros),
-    ):
-        if col not in names:
-            continue
-        ci = names.index(col)
+           "ts_min": None, "ts_max": None, "cols": {}}
+    for ci, col in enumerate(names):
+        if "." in col:
+            continue  # nested leaf (list/struct path): not a scalar column
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st and st.has_min_max:
                 mins.append(st.min)
                 maxs.append(st.max)
-        if mins:
-            out[lo_key], out[hi_key] = conv(min(mins)), conv(max(maxs))
+        if not mins:
+            continue
+        lo, hi = _bound_safe(min(mins)), _bound_safe(max(maxs))
+        if lo is None or hi is None:
+            continue
+        out["cols"][col] = [lo, hi]
+    # legacy top-level keys (lineage + pre-upgrade readers use them)
+    if S.LSN_COL in out["cols"]:
+        out["lsn_min"], out["lsn_max"] = (int(v) for v in out["cols"][S.LSN_COL])
+    if _TS_COL in out["cols"]:
+        out["ts_min"], out["ts_max"] = out["cols"][_TS_COL]
     return out
 
 
@@ -152,5 +179,21 @@ def ts_overlaps(st: dict | None, lo_us: int | None, hi_us: int | None) -> bool:
     if lo_us is not None and st["ts_max"] < lo_us:
         return False
     if hi_us is not None and st["ts_min"] > hi_us:
+        return False
+    return True
+
+
+def col_overlaps(st: dict | None, col: str, lo, hi) -> bool:
+    """Generic zone test over the per-column bounds map: could a file with
+    these stats hold a row with ``col`` in [lo, hi]? Unknown bounds (no
+    stats shard, pre-upgrade shard without ``cols``, absent/all-null/
+    uncapped column) → True — never prune blind."""
+    bounds = (st or {}).get("cols", {}).get(col)
+    if bounds is None:
+        return True
+    cmin, cmax = bounds
+    if lo is not None and cmax < lo:
+        return False
+    if hi is not None and cmin > hi:
         return False
     return True

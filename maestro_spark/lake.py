@@ -477,27 +477,35 @@ class LakeTable:
         """Zone-map planning for an event-time range read (driver-side
         manifest + fstats arithmetic, no data IO).
 
+        Thin wrapper over :meth:`plan_col_scan` for the ``ts`` column (kept
+        for its established callers; see there for semantics)."""
+        return self.plan_col_scan("ts", lo, hi, snapshot_id)
+
+    def plan_col_scan(
+        self, col: str, lo, hi, snapshot_id: int | None = None
+    ) -> tuple[dict[int, list[str]], list[str], int]:
+        """Zone-map planning for a range read on ANY scalar column
+        (driver-side manifest + fstats arithmetic, no data IO).
+
         Returns ``(candidates, mask, total_files)`` where ``candidates`` maps
-        commit position → absolute paths of files whose ts bounds overlap
-        [lo, hi] (position is the max-LSN tie-break, as in read_resolved),
-        and ``mask`` is the absolute paths of files that cannot hold a row in
-        range but CAN hold a higher-LSN version of a candidate row (per-file
-        lsn_max ≥ the bucket's minimum candidate lsn_min). Scanning the mask
-        with keys+_lsn only (columnar projection) keeps the pruned read EXACT
-        under merge-on-read: a candidate winner superseded by an out-of-range
-        update is knocked out instead of resurrected. Files with unknown
-        bounds are never pruned and always masked.
+        commit position → absolute paths of files whose ``col`` bounds
+        overlap [lo, hi] (position is the max-LSN tie-break, as in
+        read_resolved), and ``mask`` is the absolute paths of files that
+        cannot hold a row in range but CAN hold a higher-LSN version of a
+        candidate row (per-file lsn_max ≥ the bucket's minimum candidate
+        lsn_min). Scanning the mask with keys+_lsn only (columnar
+        projection) keeps the pruned read EXACT under merge-on-read: a
+        candidate winner superseded by an out-of-range update is knocked out
+        instead of resurrected. Files with unknown bounds (pre-upgrade
+        shards, evolved-in or uncapped columns) are never pruned and always
+        masked.
         """
-        from maestro_spark.filestats import ts_overlaps
+        from maestro_spark.filestats import _micros, col_overlaps
 
-        def _us(v):
-            if v is None:
-                return None
-            import datetime as _dt
+        import datetime as _dt
 
-            return int((v - _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)).total_seconds() * 1e6)
-
-        lo_us, hi_us = _us(lo), _us(hi)
+        lo_v = _micros(lo) if isinstance(lo, _dt.datetime) else lo
+        hi_v = _micros(hi) if isinstance(hi, _dt.datetime) else hi
         snap = self.snapshot(snapshot_id)
         cand: dict[int, list[str]] = {}
         mask: list[str] = []
@@ -505,7 +513,9 @@ class LakeTable:
         for ps in snap.files.values():
             total += len(ps)
             stats = [self.file_stats.get_or_read(p) for p in ps]
-            hits = [j for j, st in enumerate(stats) if ts_overlaps(st, lo_us, hi_us)]
+            hits = [
+                j for j, st in enumerate(stats) if col_overlaps(st, col, lo_v, hi_v)
+            ]
             if not hits:
                 continue  # no row of this bucket can be in range
             floor = min(
@@ -527,24 +537,40 @@ class LakeTable:
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
     ) -> DataFrame:
-        """Live rows whose ``ts`` falls in [lo, hi] (inclusive, either end
-        open), scanning only the files the zone maps admit plus a keys-only
-        mask scan — the "yesterday's conversations" query reads yesterday's
-        files, not the table. Result equals ``read().filter(ts between)``
-        exactly (see plan_ts_scan for why masking preserves MOR semantics).
-        ``columns`` additionally prunes the candidate scans to the given
-        payload columns (time pruning x column pruning compose — the narrow
-        window query over the wide table decodes neither old files nor wide
-        columns).
+        """Live rows whose ``ts`` falls in [lo, hi] — the "yesterday's
+        conversations" query reads yesterday's files, not the table. Thin
+        wrapper over :meth:`read_where` for the event-time column."""
+        return self.read_where("ts", lo, hi, snapshot_id, columns)
+
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Live rows whose scalar ``col`` falls in [lo, hi] (inclusive,
+        either end open), scanning only the files the per-column zone maps
+        admit plus a keys-only mask scan. Result equals
+        ``read().filter(col between)`` exactly (see plan_col_scan for why
+        masking preserves MOR semantics) — an analytics predicate on
+        ``role``, ``tool``, or an evolved payload column prunes like a ts
+        range instead of scanning every live file. ``columns`` additionally
+        prunes the candidate scans to the given payload columns (zone
+        pruning × column pruning compose — the narrow range query over the
+        wide table decodes neither out-of-range files nor wide columns).
         """
         snap = self.snapshot(snapshot_id)
-        cand, mask, _ = self.plan_ts_scan(lo, hi, snapshot_id)
+        if col not in {f.name for f in snap.schema.fields}:
+            raise ValueError(f"unknown column {col!r}")
+        cand, mask, _ = self.plan_col_scan(col, lo, hi, snapshot_id)
         if columns is None:
             scan_schema = snap.schema
             payload = [f.name for f in snap.payload_schema().fields]
         else:
             need = dict.fromkeys(
-                [*S.KEY_COLS, *columns, "ts", S.LSN_COL, S.DELETED_COL]
+                [*S.KEY_COLS, *columns, col, S.LSN_COL, S.DELETED_COL]
             )
             scan_schema = T.StructType(
                 [f for f in snap.schema.fields if f.name in need]
@@ -592,9 +618,9 @@ class LakeTable:
             )
         out = winners.filter(~F.col(S.DELETED_COL))
         if lo is not None:
-            out = out.filter(F.col("ts") >= F.lit(lo))
+            out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
-            out = out.filter(F.col("ts") <= F.lit(hi))
+            out = out.filter(F.col(col) <= F.lit(hi))
         return out.select(*payload)
 
     def lookup(

@@ -343,6 +343,30 @@ def q_read_tsrange(spark, sf_dir):
 
 
 @q(
+    "q_read_colrange",
+    f"""SELECT conv_id, turn_idx, text, role FROM (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx)
+        WHERE op <> 'delete' AND turn_idx BETWEEN 3 AND 5""",
+)
+def q_read_colrange(spark, sf_dir):
+    """Generalized zone maps (M10 extended, r2 verdict #4): a range
+    predicate on ANY scalar column prunes files via per-column min/max
+    bounds harvested in the same footer pass as ts/lsn
+    (filestats.collect_file's cols map), with the keys-only mask scan
+    keeping the pruned read EXACT under merge-on-read. Must equal DuckDB's
+    unpruned arg_max + filter over the same log."""
+    table = _ensure_cdc_demo_lake(spark)
+    return table.read_where("turn_idx", 3, 5).select(
+        "conv_id", "turn_idx", "text", "role"
+    )
+
+
+@q(
     "q_point_lookup",
     f"""SELECT conv_id, turn_idx, text, role, tool FROM (
           SELECT conv_id, turn_idx,
@@ -623,7 +647,7 @@ def _finalize_registration_order() -> None:
     registration in queries.py and queries2.py."""
     front = [
         "q_cdc_replay", "q_cdc_changes", "q_ivm_stats", "q_read_tsrange",
-        "q_point_lookup",
+        "q_read_colrange", "q_point_lookup",
         # the training-data curation capstones are first-class per the task
         # brief — they outrank a 2nd-of-family scalar row for a driver slot
         "q_curate", "q_dedup_groups", "q_pii_redact", "q_rep_filter",
@@ -642,6 +666,11 @@ def _finalize_registration_order() -> None:
         "q_ingest_json",
     ]
     secondary = [
+        # q_scan_events demoted for q_read_colrange (round 3): the raw
+        # event-log scan's machinery is already exercised in-window by the
+        # flagship replay (same log reader) and by q_project/q_filter on the
+        # same table; a NEW pruning-capability row beats a bare scan row
+        "q_scan_events",
         # q_cross / q_win_ntile / q_intersect demoted from the window to
         # make room for q_read_tsrange / q_point_lookup / q_quarantine: a
         # 1-row cross join, a 5th window-family row, and a second set-op row
