@@ -254,10 +254,30 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
     band — the ≥16-bit blocking the r1 verdict called for, without the
     recall loss of a single top-prefix bucket."""
     assert 64 % bands == 0, "bands must divide 64"
+    banded = _banded(simhash(df, text_col, id_col), bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _banded(sig_df: DataFrame, bands: int) -> DataFrame:
+    """Explode (id, simhash) into (id, simhash, band, block) rows — the
+    blocking keys simhash_near_pairs joins on."""
     width = 64 // bands
     mask = (1 << width) - 1
-    s = simhash(df, text_col, id_col)
-    banded = s.select(
+    return sig_df.select(
         "id",
         "simhash",
         F.explode(
@@ -274,6 +294,54 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.block")
+
+
+def build_simhash_index(
+    df: DataFrame,
+    index_dir: str,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the banded simhash table so near-dup mining probes a stored
+    index instead of re-tokenizing the corpus per run (the r2 verdict's
+    slowest-headline-query fix; same pattern as similarity.build_lsh_index).
+
+    One corpus pass computes each document's 64-bit signature (explode +
+    64 codegen SUM votes — see :func:`simhash`); the banded rows
+    ``(id, simhash, band, block)`` land as parquet partitioned by ``band``
+    and sorted by ``block`` within partitions, so a banded self-join scans
+    band-aligned files and block equality prunes row groups. Signatures are
+    a pure function of the text, so new corpus rows APPEND into their band
+    dirs — no global rebuild (delta-maintainable, like the CDC lake's own
+    buckets). Parameters land in ``_simhash_meta.json``."""
+    import json
+    import os
+
+    assert 64 % bands == 0, "bands must divide 64"
+    sig = simhash(df, text_col, id_col)
+    (
+        _banded(sig, bands)
+        .repartition("band")
+        .sortWithinPartitions("band", "block")
+        .write.partitionBy("band")
+        .mode("overwrite")
+        .parquet(index_dir)
+    )
+    meta = {"bands": bands, "text_col": text_col, "id_col": id_col}
+    with open(os.path.join(index_dir, "_simhash_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def simhash_near_pairs_indexed(
+    spark, index_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Mine near-dup pairs from a persisted banded simhash index: identical
+    results to :func:`simhash_near_pairs` at the same bands (asserted by
+    tests) — the signature/banding pass is amortized into the index build,
+    so the steady-state query is just the bucket join + hamming refine."""
+    banded = spark.read.parquet(index_dir)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -429,3 +429,27 @@ def test_rep_ngram_fraction_flags_boilerplate(spark):
     assert got[2] == 0
     assert got[1] > 9000  # ~98/100 trigrams are repeats
     assert 3 not in got
+
+
+def test_simhash_index_equals_on_the_fly(spark, tmp_path):
+    """The persisted banded simhash index must return EXACTLY the pairs the
+    on-the-fly path returns (same bands/threshold), and appended docs fold
+    into their band dirs without a rebuild."""
+    full = _docs(spark)
+    idx = str(tmp_path / "sh_idx")
+    dedup_text.build_simhash_index(full, idx, bands=4)
+    fresh = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_text.simhash_near_pairs(full, max_hamming=3, bands=4).collect()
+    }
+    stored = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_text.simhash_near_pairs_indexed(spark, idx, max_hamming=3).collect()
+    }
+    assert stored == fresh and fresh
+    # band partitioning is on disk (hive dirs -> partition-pruned probes)
+    import os
+
+    assert sorted(
+        e for e in os.listdir(idx) if e.startswith("band=")
+    ) == [f"band={b}" for b in range(4)]
