@@ -1,0 +1,156 @@
+"""Change-feed-maintained LSH index (r2 verdict #5): after N incremental
+epochs the maintained index answers probes identically to a FRESH rebuild
+over the base's current state — updates re-bucket, deletes disappear, and
+the probe stays partition-pruned."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+
+import pytest
+from pyspark.sql import types as T
+
+from maestro_spark import schema as S
+from maestro_spark.index_maint import MaintainedLshIndex
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+PAYLOAD = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+])
+
+EVENT = T.StructType([
+    T.StructField("op_lsn", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    *PAYLOAD.fields,
+])
+
+
+def _vec(seed: int, dim: int = 8) -> list[float]:
+    # deterministic pseudo-vector, no RNG (replay-equality rules)
+    return [((seed * 31 + i * 17) % 97) / 97.0 - 0.5 for i in range(dim)]
+
+
+def _events(spark, rows):
+    """rows: (lsn, op, conv_id, vec_or_None)."""
+    return spark.createDataFrame(
+        [(lsn, op, cid, 0, v) for (lsn, op, cid, v) in rows], EVENT
+    )
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "vec_lake"), n_buckets=4,
+                         payload_schema=PAYLOAD)
+    merge_batch(t, _events(spark, [
+        (i + 1, "insert", f"c{i}", _vec(i)) for i in range(40)
+    ]), "q", 0)
+    return t
+
+
+def _probe_rows(idx, q, k=5):
+    return [(r["conv_id"], round(r["score"], 9)) for r in idx.topk(q, k).collect()]
+
+
+def test_maintained_equals_fresh_rebuild_across_epochs(spark, tmp_path, base):
+    idx = MaintainedLshIndex(spark, base, str(tmp_path / "idx"))
+    idx.refresh()  # bootstrap (rebuild path)
+
+    # epoch 1: inserts + an update that MOVES a vector (likely re-buckets)
+    merge_batch(base, _events(spark, [
+        (100, "insert", "c90", _vec(90)),
+        (101, "update", "c3", _vec(300)),
+    ]), "q", 1)
+    # epoch 2: a delete and another update
+    merge_batch(base, _events(spark, [
+        (102, "delete", "c7", None),
+        (103, "update", "c11", _vec(1100)),
+    ]), "q", 2)
+    r1 = idx.refresh()
+    assert r1 is not None and r1["to"] == base.snapshot().snapshot_id
+    assert idx.refresh() is None  # current -> no-op
+
+    fresh = MaintainedLshIndex(spark, base, str(tmp_path / "fresh"))
+    fresh.rebuild()
+    for qseed in (0, 3, 7, 11, 90):
+        q = _vec(qseed)
+        assert _probe_rows(idx, q) == _probe_rows(fresh, q), qseed
+
+    # the deleted key can never surface, the updated key scores by its NEW
+    # vector (its own old vector as query must no longer rank it first)
+    got = {r["conv_id"] for r in idx.topk(_vec(7), 40).collect()}
+    assert "c7" not in got
+    top_new = idx.topk(_vec(300), 1).head()
+    assert top_new["conv_id"] == "c3" and top_new["score"] > 0.99
+
+
+def test_maintained_probe_is_partition_pruned(spark, tmp_path, base):
+    import contextlib
+
+    idx = MaintainedLshIndex(spark, base, str(tmp_path / "idx2"))
+    idx.refresh()
+    plan = idx.topk(_vec(5), 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain(True)
+    s = buf.getvalue()
+    assert "PartitionFilters" in s and "_bucket" in s
+
+
+def test_refresh_is_crash_idempotent(spark, tmp_path, base):
+    """A crash after the data appends but before the range marker re-applies
+    the same range; (key, lsn)-idempotent rows collapse in the probe."""
+    idx = MaintainedLshIndex(spark, base, str(tmp_path / "idx3"))
+    idx.refresh()
+    merge_batch(base, _events(spark, [(200, "update", "c5", _vec(500))]), "q", 1)
+
+    real = idx._mark
+    idx._mark = lambda frm, to: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        idx.refresh()
+    idx._mark = real
+    idx.refresh()  # resume: re-applies the same range, then marks
+
+    fresh = MaintainedLshIndex(spark, base, str(tmp_path / "fresh3"))
+    fresh.rebuild()
+    for qseed in (5, 500, 9):
+        assert _probe_rows(idx, _vec(qseed)) == _probe_rows(fresh, _vec(qseed))
+
+
+def test_update_append_paths_for_static_indexes(spark, tmp_path):
+    """similarity.update_lsh_index / update_ivf_index: build-on-half +
+    delta-append equals a fresh rebuild over the union (LSH exactly; IVF
+    with pinned centroids), with partition layouts intact."""
+    from maestro_spark.functions import similarity as sim
+
+    rows = [(i, _vec(i, 16)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    half1, half2 = df.filter("vec_id < 30"), df.filter("vec_id >= 30")
+
+    lsh_m = str(tmp_path / "lsh_m")
+    sim.build_lsh_index(half1, lsh_m, n_bits=10, prefix_bits=6)
+    sim.update_lsh_index(half2, lsh_m)
+    lsh_f = str(tmp_path / "lsh_f")
+    sim.build_lsh_index(df, lsh_f, n_bits=10, prefix_bits=6)
+    q = _vec(7, 16)
+    got = [(r["vec_id"], round(r["score"], 9)) for r in
+           sim.ann_lsh_topk_indexed(spark, lsh_m, q, k=5, multiprobe_hamming=2).collect()]
+    want = [(r["vec_id"], round(r["score"], 9)) for r in
+            sim.ann_lsh_topk_indexed(spark, lsh_f, q, k=5, multiprobe_hamming=2).collect()]
+    assert got == want and got
+
+    ivf_m = str(tmp_path / "ivf_m")
+    meta = sim.build_ivf_index(half1, ivf_m, k=4, iters=3)
+    sim.update_ivf_index(half2, ivf_m)
+    ivf_f = str(tmp_path / "ivf_f")
+    sim.build_ivf_index(df, ivf_f, k=4, centroids=meta["centroids"])
+    got = [(r["vec_id"], round(r["score"], 9)) for r in
+           sim.ann_ivf_topk_indexed(spark, ivf_m, q, k=5, nprobe=4).collect()]
+    want = [(r["vec_id"], round(r["score"], 9)) for r in
+            sim.ann_ivf_topk_indexed(spark, ivf_f, q, k=5, nprobe=4).collect()]
+    assert got == want and got
