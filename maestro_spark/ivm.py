@@ -112,6 +112,21 @@ class ConvStatsView:
         ]
         return max(sids, default=0)
 
+    def _id_offset(self) -> int:
+        """Snapshot-id translation for branch (clone) bases: a branch's ids
+        restart at 0 from its fork, but adopt() replays branch commit i as
+        main id fork+i — so the refresh cursor (epoch keys) and the view
+        LSNs are stored in MAIN-equivalent coordinates (fork + branch id).
+        Without this, a view refreshed inside transaction_multi would reuse
+        an epoch key main's view already consumed and be silently dropped
+        by adopt's idempotence. 0 for ordinary (non-clone) tables."""
+        try:
+            return int(self.base.snapshot(0).stats.get("source_snapshot") or 0)
+        except FileNotFoundError:
+            # snapshot 0 expired: a long-lived main table (branches live
+            # only inside a transaction's scratch and are never expired)
+            return 0
+
     # ------------------------------------------------------------ refresh
     def refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
         """Fold base changes ``(applied_through, to_snapshot]`` into the view.
@@ -124,7 +139,9 @@ class ConvStatsView:
         expired away (same degradation any lake change-feed consumer
         implements).
         """
-        frm = self.applied_through()
+        off = self._id_offset()
+        # cursor is stored in main-equivalent ids; translate to base coords
+        frm = max(0, self.applied_through() - off)
         to = (
             to_snapshot
             if to_snapshot is not None
@@ -170,12 +187,14 @@ class ConvStatsView:
             # content-free range (e.g. maintenance-only): record the cursor
             # advance with an empty upsert batch so applied_through moves
             empty = self.spark.createDataFrame([], self._event_schema())
-            return merge_batch(self.table, empty, query_id=_QUERY_ID, epoch_id=to)
+            return merge_batch(
+                self.table, empty, query_id=_QUERY_ID, epoch_id=off + to
+            )
 
         current = self.base.read(
             snapshot_id=to, buckets=buckets, columns=_AGG_COLS
         )
-        return self._apply(changed, current, to)
+        return self._apply(changed, current, off + to)
 
     def full_refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
         """Rebuild every conversation's row from base state at ``to_snapshot``
@@ -200,7 +219,7 @@ class ConvStatsView:
         gone = self.table.read().select("conv_id").join(
             agg.select("conv_id"), "conv_id", "left_anti"
         )
-        return self._merge(agg, gone, to)
+        return self._merge(agg, gone, self._id_offset() + to)
 
     # -------------------------------------------- crossover cost estimate
     def _range_bytes(self, frm: int, to: int) -> int:

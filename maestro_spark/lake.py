@@ -1330,6 +1330,106 @@ class LakeTable:
                 best = max(best, int(m.group(2)))
         return best
 
+    # -------------------------------------------------- cross-table txn
+    def transaction_multi(self, *others: "LakeTable", scratch_dir: str | None = None):
+        """Cross-table atomic transaction (r2 verdict #7): a context manager
+        yielding zero-copy branches of this table and ``others``; on clean
+        exit ALL branches publish, on exception or crash-while-staging NONE
+        do. The single-CAS ordering rule: this table is the COORDINATOR —
+        the durable commit point is one exclusively-created intent record
+        (``txn-<id>.json``) in the coordinator's snapshot dir, written only
+        after every branch is staged and every main is re-validated at its
+        fork. Before the intent exists nothing is visible and a crash
+        discards only scratch; after it, completion ROLLS FORWARD — each
+        per-table adopt is itself crash-resumable, and
+        :meth:`resume_transactions` (run automatically at the next
+        transaction, or explicitly) finishes a half-published transaction,
+        so readers can transiently observe table A published before table B
+        but the system always converges to both-or-neither.
+
+        Concurrent FOREIGN writers to a member table between the intent and
+        its adopt surface as the documented :class:`CommitConflict` (same
+        strict fast-forward contract as single-table adopt); the intent file
+        stays behind recording the partial state for retry/operator
+        resolution — atomicity here is against crashes, not against racing
+        writers that the OCC contract already rejects.
+
+            with base.transaction_multi(view_table) as (b, v):
+                merge_batch(b, events, ...)
+                ConvStatsView(spark, b, v.root).refresh()
+            # base and its view land atomically
+        """
+        import contextlib
+
+        coordinator = self
+        tables = [self, *others]
+
+        @contextlib.contextmanager
+        def _txn():
+            coordinator.resume_transactions()  # finish any prior half-publish
+            tid = uuid.uuid4().hex[:12]
+            d = scratch_dir or os.path.join(coordinator.root, f"_txnwork-{tid}")
+            branches = [
+                t.clone(os.path.join(d, f"b{i}")) for i, t in enumerate(tables)
+            ]
+            try:
+                yield branches
+            except BaseException:
+                shutil.rmtree(d, ignore_errors=True)
+                raise
+            # pre-flight: every main still at its branch's fork (narrow the
+            # window; the authoritative check is inside each adopt)
+            for t, b in zip(tables, branches):
+                fork = b.snapshot(0).stats.get("source_snapshot")
+                if t.snapshot().snapshot_id != fork:
+                    shutil.rmtree(d, ignore_errors=True)
+                    raise CommitConflict(
+                        f"table {t.root} moved past fork {fork}; re-stage"
+                    )
+            intent = {
+                "txn": tid,
+                "tables": [t.root for t in tables],
+                "branches": [b.root for b in branches],
+                "workdir": d,
+            }
+            ipath = os.path.join(coordinator.root, SNAP_DIR, f"txn-{tid}.json")
+            _atomic_write_json(ipath, intent, exclusive=True)  # COMMIT POINT
+            coordinator._complete_txn(intent, ipath)
+
+        return _txn()
+
+    def _complete_txn(self, intent: dict, ipath: str) -> None:
+        """Roll a committed transaction forward: adopt every branch (each
+        adopt is resume-safe), then retire the intent + scratch."""
+        for troot, broot in zip(intent["tables"], intent["branches"]):
+            t = self if troot == self.root else LakeTable(self.spark, troot)
+            t.adopt(LakeTable(self.spark, broot))
+        os.unlink(ipath)
+        shutil.rmtree(intent["workdir"], ignore_errors=True)
+
+    def resume_transactions(self) -> int:
+        """Finish transactions whose intent record exists but whose adopts
+        were interrupted (crash between the commit point and completion).
+        Returns the number of transactions rolled forward. Intents whose
+        scratch branches are gone (completed + already-retired races) are
+        dropped."""
+        done = 0
+        sdir = os.path.join(self.root, SNAP_DIR)
+        for fn in sorted(os.listdir(sdir)):
+            if not (fn.startswith("txn-") and fn.endswith(".json")):
+                continue
+            ipath = os.path.join(sdir, fn)
+            try:
+                intent = json.load(open(ipath))
+            except (OSError, ValueError):
+                continue  # racing completion unlinked it
+            if not all(os.path.isdir(b) for b in intent["branches"]):
+                os.unlink(ipath)  # branches retired: transaction finished
+                continue
+            self._complete_txn(intent, ipath)
+            done += 1
+        return done
+
     def export_changes(self, dest_root: str) -> dict:
         """Exactly-once incremental export of the change feed to plain
         parquet a non-maestro consumer can tail: each call writes the delta

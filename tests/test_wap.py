@@ -212,3 +212,59 @@ def test_adopt_resumes_across_maintenance_commits(spark, tmp_path, main):
     )
     assert n_compacts == 1  # the None-key commit adopted exactly once
     assert symmetric_diff_empty(main2.read(), branch.read())
+
+
+def test_cross_table_transaction_atomic(spark, tmp_path, main):
+    """r2 verdict #7: a table + its IVM view land atomically. Crash while
+    STAGING leaves neither visible; crash BETWEEN the per-table adopts rolls
+    forward via resume_transactions — both-or-neither, never a lasting
+    half-publish."""
+    from maestro_spark.ivm import ConvStatsView
+    from maestro_spark.lake import CommitConflict  # noqa: F401
+
+    view = ConvStatsView(spark, main, str(tmp_path / "view"))
+    view.refresh()
+    base_rows = main.read().count()
+    view_rows = view.read().count()
+
+    # clean path: epoch + view refresh land together
+    with main.transaction_multi(view.table) as (b, v):
+        merge_batch(b, _events(spark, [(10, "insert", "Z", 0, "z0")]), "q", 9)
+        ConvStatsView(spark, b, v.root).refresh()
+        assert main.read().count() == base_rows  # invisible mid-txn
+        assert view.read().count() == view_rows
+    assert main.read().filter(F.col("conv_id") == "Z").count() == 1
+    assert view.read().filter(F.col("conv_id") == "Z").head()["n_turns"] == 1
+
+    # crash while staging (before the intent): neither table moves
+    with pytest.raises(RuntimeError, match="boom"):
+        with main.transaction_multi(view.table) as (b, v):
+            merge_batch(b, _events(spark, [(11, "insert", "W", 0, "w0")]), "q", 10)
+            raise RuntimeError("boom")
+    assert main.read().filter(F.col("conv_id") == "W").count() == 0
+
+    # crash BETWEEN adopts (after the intent): roll-forward recovery
+    import maestro_spark.lake as lake_mod
+
+    real_adopt = lake_mod.LakeTable.adopt
+    calls = {"n": 0}
+
+    def crashing_adopt(self, branch):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first table adopted, second not yet
+            raise RuntimeError("crash mid-txn")
+        return real_adopt(self, branch)
+
+    lake_mod.LakeTable.adopt = crashing_adopt
+    try:
+        with pytest.raises(RuntimeError, match="mid-txn"):
+            with main.transaction_multi(view.table) as (b, v):
+                merge_batch(b, _events(spark, [(12, "insert", "Y", 0, "y0")]), "q", 11)
+                ConvStatsView(spark, b, v.root).refresh()
+    finally:
+        lake_mod.LakeTable.adopt = real_adopt
+    # half-published: base has Y, view does not — converge via resume
+    assert main.read().filter(F.col("conv_id") == "Y").count() == 1
+    assert main.resume_transactions() == 1
+    assert view.read().filter(F.col("conv_id") == "Y").head()["n_turns"] == 1
+    assert main.resume_transactions() == 0  # idempotent
