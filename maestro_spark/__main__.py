@@ -9,7 +9,9 @@ Subcommands:
   stream  --log DIR --table DIR [--continuous INTERVAL]
   show    --table DIR [--limit N] [--snapshot ID]
   changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N]
-  compact --table DIR [--tombstone-horizon LSN]
+  compact --table DIR [--tombstone-horizon LSN] [--policy tiered|full]
+  sql     "SELECT …" --table ROOT[=NAME] [--table …] [--snapshot N]
+  resume-txns --table DIR
   ivm     --table DIR --view DIR [--to-snapshot N]
   lineage --table DIR [--limit N]
   rollback --table DIR --to-snapshot N
@@ -67,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="compact data files / GC tombstones")
     c.add_argument("--table", required=True)
     c.add_argument("--tombstone-horizon", type=int, default=None)
+    c.add_argument("--policy", choices=["tiered", "full"], default="full",
+                   help="tiered = fold only the delta tier (no horizon GC); "
+                        "full = whole-bucket rewrite (required for GC)")
+
+    rt = sub.add_parser(
+        "resume-txns",
+        help="roll forward crash-interrupted cross-table transactions",
+    )
+    rt.add_argument("--table", required=True, help="the coordinator table")
 
     iv = sub.add_parser(
         "ivm", help="refresh the per-conversation stats view off the change feed"
@@ -224,8 +235,20 @@ def main(argv: list[str] | None = None) -> int:
         }))
     elif args.cmd == "compact":
         table = LakeTable(spark, args.table)
-        snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)
-        print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+        if args.policy == "tiered":
+            if args.tombstone_horizon is not None:
+                raise SystemExit("tombstone GC requires --policy full "
+                                 "(a partial fold could resurrect rows)")
+            snap = table.compact_tiered()
+        else:
+            snap = table.compact(tombstone_horizon_lsn=args.tombstone_horizon)
+        if snap is None:
+            print(json.dumps({"snapshot": None, "note": "no foldable tier"}))
+        else:
+            print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+    elif args.cmd == "resume-txns":
+        table = LakeTable(spark, args.table)
+        print(json.dumps({"resumed": table.resume_transactions()}))
     elif args.cmd == "lineage":
         from maestro_spark.lineage import lineage_summary
 
