@@ -578,3 +578,32 @@ def test_auto_trigger_uses_tiered_policy(spark, tmp_path):
         ref.read().orderBy("conv_id", "turn_idx"),
     )
     assert max(len(ps) for ps in t.snapshot().files.values()) <= 6
+
+
+def test_fold_suffix_properties():
+    """Property-based invariants of the tier selector: the fold is always a
+    contiguous suffix of length 0 or >=min_fold; every included file is
+    within factor x the largest NEWER included file (except the newest);
+    equal-size file runs >= min_fold always make progress."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fold = LakeTable._fold_suffix
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=10**12), max_size=30),
+           st.floats(min_value=1.0, max_value=16.0))
+    def check(sizes, factor):
+        k = fold(sizes, 2, factor)
+        assert k == 0 or 2 <= k <= len(sizes)
+        if k:
+            suffix = sizes[len(sizes) - k:]
+            biggest = 0
+            for b in reversed(suffix):  # newest -> oldest, as selected
+                assert biggest == 0 or b <= factor * biggest
+                biggest = max(biggest, b)
+        # progress guarantee on an equal-size tier
+        if len(sizes) >= 2 and len(set(sizes)) == 1:
+            assert k == len(sizes)
+
+    check()
