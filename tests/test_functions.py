@@ -453,3 +453,18 @@ def test_simhash_index_equals_on_the_fly(spark, tmp_path):
     assert sorted(
         e for e in os.listdir(idx) if e.startswith("band=")
     ) == [f"band={b}" for b in range(4)]
+
+
+def test_minhash_index_equals_on_the_fly(spark, tmp_path):
+    full = _docs(spark)
+    idx = str(tmp_path / "mh_idx")
+    dedup_text.build_minhash_index(full, idx, k=16, bands=4)
+    fresh = {
+        (r.id_a, r.id_b): round(r.est_jaccard, 9)
+        for r in dedup_text.minhash_lsh_pairs(full, k=16, bands=4).collect()
+    }
+    stored = {
+        (r.id_a, r.id_b): round(r.est_jaccard, 9)
+        for r in dedup_text.minhash_lsh_pairs_indexed(spark, idx).collect()
+    }
+    assert stored == fresh and fresh
