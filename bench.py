@@ -39,6 +39,7 @@ HEADLINE = [
     "q_simhash",        # document near-dup (banded simhash, codegen votes)
     "q_ann_bruteforce", # embedding similarity top-k
     "q_read_tsrange",   # zone-map pruned event-time range read (lake)
+    "q_read_colrange",  # generalized zone maps: payload-column range read
     "q_point_lookup",   # one-bucket point read, driver-side bucket pick
 ]
 
