@@ -57,6 +57,7 @@ from maestro_spark.lake import LakeTable
 
 _META = "_maint_lsh_meta.json"
 _TOMBS = "_tombstones"
+_SH_META = "_maint_simhash_meta.json"
 
 
 class MaintainedLshIndex:
@@ -234,4 +235,162 @@ class MaintainedLshIndex:
             )
             .orderBy(F.col("score").desc(), *S.KEY_COLS)
             .limit(k)
+        )
+
+
+class MaintainedSimhashIndex:
+    """Feed-maintained TEXT near-dup index over ``base``'s ``text_col`` --
+    the dedup twin of :class:`MaintainedLshIndex`: banded 64-bit simhash
+    rows ``(conv_id, turn_idx, simhash, band, block, _lsn)`` partitioned by
+    band (the layout of ``dedup_text.build_simhash_index``), kept in sync
+    O(delta) off :meth:`LakeTable.changes` with the same marker-chain
+    cursor, LSN-dominance tombstones, and rebuild-as-compaction story.
+
+    :meth:`near_pairs` mines candidate pairs from the stored table --
+    equal to ``simhash_near_pairs`` over the base's CURRENT live rows
+    (asserted by tests): per-key max-LSN dedupe and the tombstone
+    anti-join run on the (8-byte-signature) index rows, never re-tokenizing
+    the corpus.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: LakeTable,
+        index_dir: str,
+        text_col: str = "text",
+        bands: int = 4,
+    ):
+        assert 64 % bands == 0, "bands must divide 64"
+        self.spark = spark
+        self.base = base
+        self.dir = index_dir
+        self.text_col = text_col
+        self.bands = bands
+        os.makedirs(index_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- plumbing
+    applied_through = MaintainedLshIndex.applied_through
+    _mark = MaintainedLshIndex._mark
+
+    def _banded_rows(self, rows: DataFrame) -> DataFrame:
+        """(conv_id, turn_idx, text, _lsn) -> banded signature rows."""
+        from maestro_spark.functions.dedup_text import _banded, simhash
+
+        keyed = rows.withColumn("_key", F.struct(*S.KEY_COLS, S.LSN_COL))
+        sig = simhash(keyed, self.text_col, "_key")
+        return _banded(sig, self.bands).select(
+            F.col("id.conv_id").alias("conv_id"),
+            F.col("id.turn_idx").alias("turn_idx"),
+            F.col(f"id.{S.LSN_COL}").alias(S.LSN_COL),
+            "simhash", "band", "block",
+        )
+
+    def _append(self, banded: DataFrame, mode: str) -> None:
+        (
+            banded.repartition("band")
+            .sortWithinPartitions("band", "block")
+            .write.partitionBy("band")
+            .mode(mode)
+            .parquet(self.dir)
+        )
+
+    # -------------------------------------------------------------- refresh
+    def refresh(self) -> dict | None:
+        frm = self.applied_through()
+        to = self.base.snapshot().snapshot_id
+        if to <= frm:
+            return None
+        if not os.path.exists(os.path.join(self.dir, _SH_META)):
+            return self.rebuild()
+        try:
+            feed = self.base.changes(frm, to)
+        except (FileNotFoundError, ValueError):
+            return self.rebuild()
+        ups = feed.filter(
+            (F.col("op") == "upsert") & F.col(self.text_col).isNotNull()
+        ).select(*S.KEY_COLS, self.text_col, F.col("lsn").alias(S.LSN_COL))
+        self._append(self._banded_rows(ups), mode="append")
+        (
+            feed.select(*S.KEY_COLS, F.col("lsn").alias("t_lsn"))
+            .write.mode("append")
+            .parquet(os.path.join(self.dir, _TOMBS))
+        )
+        self._mark(frm, to)
+        return {"from": frm, "to": to}
+
+    def rebuild(self) -> dict:
+        import shutil
+
+        to = self.base.snapshot().snapshot_id
+        live = self.base.read_resolved(columns=[self.text_col]).filter(
+            ~F.col(S.DELETED_COL) & F.col(self.text_col).isNotNull()
+        ).select(*S.KEY_COLS, self.text_col, S.LSN_COL)
+        shutil.rmtree(os.path.join(self.dir, _TOMBS), ignore_errors=True)
+        self._append(self._banded_rows(live), mode="overwrite")
+        json.dump({"bands": self.bands, "text_col": self.text_col},
+                  open(os.path.join(self.dir, _SH_META), "w"))
+        self._mark(self.applied_through(), to)
+        return {"from": 0, "to": to, "rebuild": True}
+
+    # ----------------------------------------------------------------- mine
+    def _live_banded(self) -> DataFrame:
+        """Stored banded rows resolved to current state: per-(key, band)
+        max-LSN winner minus tombstone-dominated rows. Index rows are tiny
+        (key + 3 longs), so this groupBy moves signatures, not text."""
+        banded = self.spark.read.parquet(self.dir)
+        latest = (
+            banded.groupBy(*S.KEY_COLS, "band")
+            .agg(
+                F.max_by(
+                    F.struct("simhash", "block", S.LSN_COL), F.col(S.LSN_COL)
+                ).alias("_w")
+            )
+            .select(*S.KEY_COLS, "band", "_w.*")
+        )
+        tdir = os.path.join(self.dir, _TOMBS)
+        if os.path.isdir(tdir):
+            tombs = (
+                self.spark.read.parquet(tdir)
+                .groupBy(*S.KEY_COLS)
+                .agg(F.max("t_lsn").alias("t_lsn"))
+                .withColumnRenamed("conv_id", "_t_conv")
+                .withColumnRenamed("turn_idx", "_t_turn")
+            )
+            latest = latest.join(
+                F.broadcast(tombs),
+                on=(
+                    (F.col("conv_id") == F.col("_t_conv"))
+                    & (F.col("turn_idx") == F.col("_t_turn"))
+                    & (F.col("t_lsn") > F.col(S.LSN_COL))
+                ),
+                how="left_anti",
+            )
+        return latest
+
+    def near_pairs(self, max_hamming: int = 3) -> DataFrame:
+        """Near-dup key pairs by banded blocking over the maintained index --
+        full recall for hamming < bands (pigeonhole), identical to the
+        on-the-fly ``simhash_near_pairs`` over base current state."""
+        from maestro_spark.functions.dedup_text import hamming64
+
+        live = self._live_banded().withColumn(
+            "_id", F.concat_ws(" ", "conv_id", F.col("turn_idx").cast("string"))
+        )
+        a, b = live.alias("a"), live.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.block") == F.col("b.block"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
         )

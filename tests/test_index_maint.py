@@ -154,3 +154,56 @@ def test_update_append_paths_for_static_indexes(spark, tmp_path):
     want = [(r["vec_id"], round(r["score"], 9)) for r in
             sim.ann_ivf_topk_indexed(spark, ivf_f, q, k=5, nprobe=4).collect()]
     assert got == want and got
+
+
+def test_maintained_simhash_equals_on_the_fly(spark, tmp_path):
+    """The feed-maintained TEXT near-dup index mines the same pairs as the
+    on-the-fly simhash_near_pairs over the base's CURRENT live rows, across
+    insert / update / delete epochs."""
+    import pyspark.sql.functions as F
+
+    from maestro_spark.functions.dedup_text import simhash_near_pairs
+    from maestro_spark.index_maint import MaintainedSimhashIndex
+
+    TXT = {
+        0: "the quick brown fox jumps over the lazy dog in the yard",
+        1: "the quick brown fox jumps over the lazy dog in the barn",
+        2: "completely different content about spark shuffle exchanges",
+        3: "the quick brown fox jumps over the lazy dog in the yard",
+        4: "unrelated text concerning parquet footers and zone maps",
+    }
+    base = LakeTable.create(spark, str(tmp_path / "txt_lake"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(i + 1, "insert", f"d{i}", 0, None, TXT[i], None,
+          __import__("datetime").datetime(2025, 1, 1)) for i in TXT],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+
+    idx = MaintainedSimhashIndex(spark, base, str(tmp_path / "sh_idx"))
+    idx.refresh()  # bootstrap
+
+    # epoch 1: update a doc's text (re-bands), delete another, insert a dup
+    merge_batch(base, spark.createDataFrame(
+        [(10, "update", "d2", 0, None, TXT[0], None,
+          __import__("datetime").datetime(2025, 1, 2)),
+         (11, "delete", "d3", 0, None, None, None,
+          __import__("datetime").datetime(2025, 1, 2)),
+         (12, "insert", "d9", 0, None, TXT[1], None,
+          __import__("datetime").datetime(2025, 1, 2))],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    r = idx.refresh()
+    assert r is not None and idx.refresh() is None
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in idx.near_pairs(max_hamming=3).collect()
+    }
+    fly_df = base.read().withColumn(
+        "_id", F.concat_ws(" ", "conv_id", F.col("turn_idx").cast("string"))
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            fly_df, max_hamming=3, id_col="_id").collect()
+    }
+    assert got == want and want  # non-empty: the planted dups must pair
+    assert not any("d3" in a or "d3" in b for a, b in got)  # deleted gone
