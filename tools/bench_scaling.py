@@ -222,8 +222,20 @@ Honesty notes:
   sizes. Efficiency rises with events/epoch — the 10^10-event target runs
   orders of magnitude more rows per epoch than this sandbox can hold.
 """
-    with open("/root/repo/BENCH/BASELINE.md", "w") as fh:
-        fh.write(md)
+    # APPEND a dated re-measurement section when the file already exists —
+    # the file accumulates per-round addenda (tiered-compaction sweeps, bench
+    # snapshots) that a wholesale rewrite would destroy.
+    path = "/root/repo/BENCH/BASELINE.md"
+    if os.path.exists(path):
+        import datetime as _dt
+
+        stamp = _dt.datetime.now().strftime("%Y-%m-%d %H:%M")
+        body = md.split("\n", 1)[1]
+        with open(path, "a") as fh:
+            fh.write(f"\n\n## Scaling re-measurement ({stamp})\n" + body)
+    else:
+        with open(path, "w") as fh:
+            fh.write(md)
 
 
 if __name__ == "__main__":
