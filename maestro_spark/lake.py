@@ -1019,7 +1019,17 @@ class LakeTable:
                 "rebucket_s": round(time.time() - t0, 3),
             },
         )
-        self._publish(out)
+        try:
+            # publishing at the PLANNED parent+1 id is itself the race guard:
+            # any commit landing after the planning read steals that id and
+            # the hard-link CAS fails here — surfaced as the documented
+            # conflict (re-plan from the new tip), never a silent drop
+            self._publish(out)
+        except FileExistsError:
+            raise CommitConflict(
+                "concurrent commit landed while rebucket ran; re-plan from "
+                "the current state"
+            ) from None
         return out
 
     def clone(self, dest_root: str, snapshot_id: int | None = None) -> "LakeTable":

@@ -300,3 +300,29 @@ def test_lsn_fence_validated_before_first_publish(spark, pair):
     merge_batch(b, _events(spark, [(3, "update", kb, 0, "racer")]), "qb", 3)
     with pytest.raises(CommitConflict, match="LSN"):
         a.commit({}, "stmt", append=True, base=base, check_lsn=3)
+
+
+def test_rebucket_racing_delta_conflicts_cleanly(spark, pair):
+    """rebucket publishes at its PLANNED parent+1 id, so a delta landing
+    mid-job steals the id and the publish must surface CommitConflict (not
+    a raw FileExistsError) with the delta intact; a re-plan succeeds."""
+    a, b = pair
+    ka, _ = _two_bucket_ids()
+    real = a.write_bucket_files
+
+    def hooked(df):
+        out = real(df)
+        merge_batch(b, _events(spark, [(12, "update", ka, 0, "mid-rb")]), "qb", 5)
+        return out
+
+    a.write_bucket_files = hooked
+    with pytest.raises(CommitConflict, match="rebucket"):
+        a.rebucket(8)
+    a.write_bucket_files = real
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in a.read().collect()}
+    assert got[(ka, 0)] == "mid-rb"  # the racing delta survived
+    snap = a.rebucket(8)
+    assert snap.n_buckets == 8
+    assert a.read().filter(
+        (F.col("conv_id") == ka) & (F.col("turn_idx") == 0)
+    ).head()["text"] == "mid-rb"
