@@ -978,7 +978,16 @@ class LakeTable:
             n_buckets=parent.n_buckets,
             stats={"rollback_to": to_snapshot},
         )
-        self._publish(snap)
+        try:
+            # pinned parent+1 publish = the race guard (see rebucket): a
+            # commit landing after the planning read steals the id, and the
+            # operator must re-decide against the new tip
+            self._publish(snap)
+        except FileExistsError:
+            raise CommitConflict(
+                "concurrent commit landed while rollback was staged; "
+                "re-examine the new tip and re-issue"
+            ) from None
         return snap
 
     def rebucket(self, new_n_buckets: int) -> Snapshot:

@@ -326,3 +326,22 @@ def test_rebucket_racing_delta_conflicts_cleanly(spark, pair):
     assert a.read().filter(
         (F.col("conv_id") == ka) & (F.col("turn_idx") == 0)
     ).head()["text"] == "mid-rb"
+
+
+def test_rollback_racing_commit_conflicts_cleanly(spark, pair):
+    """rollback also publishes at its planned parent+1 id: a racing commit
+    must surface CommitConflict (operator re-decides), never a raw
+    FileExistsError or a silent overwrite of the racer."""
+    a, b = pair
+    _, kb = _two_bucket_ids()
+    target = a.snapshot().snapshot_id
+    merge_batch(a, _events(spark, [(20, "insert", "R", 0, "r0")]), "qa", 8)
+    _race(a, lambda: merge_batch(b, _events(spark, [
+        (21, "update", kb, 0, "race"),
+    ]), "qb", 9))
+    with pytest.raises(CommitConflict, match="rollback"):
+        a.rollback(target)
+    # racer intact; a re-issued rollback from the new tip succeeds
+    assert a.read().filter(F.col("text") == "race").count() == 1
+    a.rollback(target)
+    assert a.read().filter(F.col("conv_id") == "R").count() == 0
