@@ -1244,18 +1244,28 @@ class LakeTable:
                             os.link(src, dst)
                         except OSError:  # cross-device
                             shutil.copy2(src, dst)
-            out = self.commit(
-                changed,
-                epoch_key=s.epoch_key,
-                schema=s.schema,
-                stats={
-                    **s.stats,
-                    "adopted_branch_snapshot": sid,
-                    "adopted_branch": branch_id,
-                },
-                append=False,
-                retries=0,
-            )
+            try:
+                out = self.commit(
+                    changed,
+                    epoch_key=s.epoch_key,
+                    schema=s.schema,
+                    stats={
+                        **s.stats,
+                        "adopted_branch_snapshot": sid,
+                        "adopted_branch": branch_id,
+                    },
+                    append=False,
+                    retries=0,
+                )
+            except FileExistsError:
+                # a foreign writer landed mid-adopt: surface the documented
+                # conflict. The already-published prefix stays (stamped with
+                # the branch identity); the operator re-stages against the
+                # new tip — same strict fast-forward contract as adopt entry.
+                raise CommitConflict(
+                    "concurrent commit landed mid-adopt; the adopted prefix "
+                    "is stamped — re-stage/re-adopt against the new tip"
+                ) from None
         # zone-map shards for the adopted files ride along
         from maestro_spark.filestats import SHARD_PREFIX
 
