@@ -108,6 +108,12 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument("--conv-id", required=True, dest="conv_id")
     lk.add_argument("--turn", type=int, default=None)
 
+    bi = sub.add_parser(
+        "bloom-index",
+        help="backfill per-file key blooms for point-lookup pruning (serving prep)",
+    )
+    bi.add_argument("--table", required=True)
+
     pg = sub.add_parser("purge", help="right-to-be-forgotten: erase a conversation's content")
     pg.add_argument("--table", required=True)
     pg.add_argument("--conv-id", required=True, dest="conv_id")
@@ -291,7 +297,15 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         df = table.lookup(args.conv_id, turn_idx=args.turn).orderBy("turn_idx")
         df.show(100, truncate=40)
-        print(json.dumps({"rows": df.count(), "conv_id": args.conv_id}))
+        _, cand, total = table.plan_lookup(args.conv_id)
+        print(json.dumps({
+            "rows": df.count(), "conv_id": args.conv_id,
+            "files_scanned": len(cand), "bucket_files": total,
+        }))
+    elif args.cmd == "bloom-index":
+        table = LakeTable(spark, args.table)
+        built = table.build_key_blooms()
+        print(json.dumps({"blooms_built": built}))
     elif args.cmd == "purge":
         table = LakeTable(spark, args.table)
         snap = table.purge(args.conv_id)

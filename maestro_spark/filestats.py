@@ -25,6 +25,7 @@ the planner treats its bounds as unknown → never pruned, always masked.
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import json
 import os
@@ -36,6 +37,87 @@ from maestro_spark import schema as S
 
 SHARD_PREFIX = "fstats-"
 _TS_COL = "ts"
+
+# ---------------------------------------------------------------- key blooms
+# Per-file membership filters over the primary key column (conv_id): zone
+# maps answer RANGE predicates, blooms answer EQUALITY — the point-lookup
+# planner needs "could this delta file contain conversation X?", which
+# min/max bounds on a high-cardinality uuid-ish key can never answer.
+# The two Kirsch-Mitzenmacher base hashes are h1 = xxhash64(key) and
+# h2 = xxhash64(key, seed=h1) — both JVM-computable as ``F.xxhash64(c)`` /
+# ``F.xxhash64(c, c)`` (Spark chains multi-arg xxhash64 through the seed),
+# so the BUILD is a plain codegen aggregation with map-side partial
+# collect_set (no Python workers, shuffle carries only distinct hash pairs)
+# while the PROBE uses the pure-Python XXH64 twin (maestro_spark.keyhash)
+# on the driver. Sized at ~12 bits/distinct key, k=4 → ~0.6% false
+# positives; capped at 2^18 bits (32 KiB) per file — a saturated bloom on a
+# huge base file just stops pruning (false positives only), never breaks
+# correctness.
+BLOOM_K = 4
+BLOOM_BITS_PER_KEY = 12
+BLOOM_MAX_BITS = 1 << 18
+BLOOM_FIELD = "key_bloom"
+
+_U64 = (1 << 64) - 1
+
+
+def _hash_pair(value: str) -> tuple[int, int]:
+    """(h1, h2) for ``value`` — bit-identical (mod 2^64) to the JVM pair
+    ``xxhash64(value)`` / ``xxhash64(value, value)`` used at build time."""
+    from maestro_spark.keyhash import xxh64
+
+    b = value.encode("utf-8")
+    h1 = xxh64(b, 42)
+    return h1, xxh64(b, h1)
+
+
+def _bloom_size(n_distinct: int) -> int:
+    m = 1024
+    while m < BLOOM_BITS_PER_KEY * n_distinct and m < BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def bloom_from_pairs(pairs) -> dict | None:
+    """Bloom dict ``{m, k, b64}`` from an iterable of DISTINCT (h1, h2)
+    hash pairs (signed or unsigned 64-bit ints; None for an empty set)."""
+    ps = list(pairs)
+    if not ps:
+        return None
+    m = _bloom_size(len(ps))
+    bits = bytearray(m // 8)
+    for h1, h2 in ps:
+        h1 &= _U64
+        h2 &= _U64
+        for i in range(BLOOM_K):
+            p = (h1 + i * h2) % m
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def build_bloom(values) -> dict | None:
+    """Bloom dict over an iterable of DISTINCT key strings — the driver-side
+    twin of the JVM build in ``LakeTable._build_key_blooms`` (parity is
+    asserted in tests/test_lookup.py). Used by tests and self-heal paths;
+    the hot path builds from JVM-aggregated hash pairs instead."""
+    return bloom_from_pairs(_hash_pair(v) for v in set(values))
+
+
+def bloom_maybe_contains(st: dict | None, value: str) -> bool:
+    """Membership probe against a file's key bloom. Missing stats entry,
+    pre-bloom shard, or empty file → True (never prune blind — absence of
+    evidence is not evidence of absence)."""
+    bl = (st or {}).get(BLOOM_FIELD)
+    if not bl:
+        return True
+    m, k = bl["m"], bl["k"]
+    bits = base64.b64decode(bl["b64"])
+    h1, h2 = _hash_pair(value)
+    for i in range(k):
+        p = (h1 + i * h2) % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
 
 
 def _micros(v) -> int | None:
@@ -139,11 +221,7 @@ class FileStatsStore:
         return st
 
     # ---------------------------------------------------------------- write
-    def add_files(self, rels: list[str]) -> None:
-        """Harvest footer stats for freshly-written files; one shard."""
-        if not rels:
-            return
-        shard = {rel: collect_file(os.path.join(self.root, rel)) for rel in rels}
+    def _write_shard(self, shard: dict[str, dict]) -> None:
         self._stats.update(shard)
         fn = f"{SHARD_PREFIX}{uuid.uuid4().hex[:12]}.json"
         tmp = os.path.join(self.dir, f".{fn}.tmp")
@@ -151,6 +229,33 @@ class FileStatsStore:
             json.dump(shard, fh)
         os.rename(tmp, os.path.join(self.dir, fn))
         self._loaded.add(fn)
+
+    def add_files(self, rels: list[str], extra: dict[str, dict] | None = None) -> None:
+        """Harvest footer stats for freshly-written files; one shard.
+        ``extra`` merges additional per-file metadata (e.g. the JVM-built
+        ``key_bloom``) into the same entry — shards replace whole entries on
+        load, so bloom and footer stats must travel together."""
+        if not rels:
+            return
+        shard = {rel: collect_file(os.path.join(self.root, rel)) for rel in rels}
+        for rel, add in (extra or {}).items():
+            if rel in shard:
+                shard[rel].update(add)
+        self._write_shard(shard)
+
+    def merge_extra(self, extra: dict[str, dict]) -> None:
+        """Merge per-file metadata (e.g. backfilled blooms) into existing
+        entries and persist one shard of the COMPLETE updated entries —
+        loaders replace whole entries, so a partial shard would erase the
+        footer stats it rode in on."""
+        if not extra:
+            return
+        shard = {}
+        for rel, add in extra.items():
+            entry = dict(self.get_or_read(rel))
+            entry.update(add)
+            shard[rel] = entry
+        self._write_shard(shard)
 
     # ------------------------------------------------------------------- gc
     def compact_shards(self, live_rels: set[str]) -> None:

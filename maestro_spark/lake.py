@@ -623,6 +623,33 @@ class LakeTable:
             out = out.filter(F.col(col) <= F.lit(hi))
         return out.select(*payload)
 
+    def plan_lookup(
+        self, conv_id: str, snapshot_id: int | None = None
+    ) -> tuple[int, list[tuple[int, str]], int]:
+        """Driver-side point-lookup plan: ``(bucket, candidates, total)``
+        where ``candidates`` is the bucket's file list pruned by the
+        per-file key blooms, as ``(original_commit_seq, rel_path)`` pairs
+        (the preserved seq keeps LSN-tie resolution commit-ordered), and
+        ``total`` is the bucket's unpruned file count. Files without a
+        bloom (pre-upgrade shards, keyBloom=false writers) are kept —
+        pruning is only ever evidence-based. maestro.lookup.bloom=false
+        disables pruning (the A/B path the equality tests use)."""
+        from maestro_spark import filestats as FS
+        from maestro_spark.keyhash import bucket_of
+
+        snap = self.snapshot(snapshot_id)
+        b = bucket_of(conv_id, snap.n_buckets)
+        ps = snap.files.get(str(b), [])
+        if self.spark.conf.get("maestro.lookup.bloom", "true") == "true":
+            cand = [
+                (j, p)
+                for j, p in enumerate(ps)
+                if FS.bloom_maybe_contains(self.file_stats.get(p), conv_id)
+            ]
+        else:
+            cand = list(enumerate(ps))
+        return b, cand, len(ps)
+
     def lookup(
         self,
         conv_id: str,
@@ -636,20 +663,24 @@ class LakeTable:
         ``bucket_expr`` (maestro_spark.keyhash — parity property-tested
         against ``F.xxhash64``), so planning launches no job and the scan
         reads 1/n_buckets of the table's files regardless of table size.
-        Inside those files the key predicate is pushed to parquet, where
-        ``write_bucket_files``'s (conv_id, turn_idx) sort-within-partitions
-        makes row-group min/max stats prune to the few pages actually
-        holding the key — at 100 TB this is an index-lookup-shaped read,
-        not a scan. Per-file ``_seq`` tags keep the max-(_lsn, commit)
-        winner rule identical to read_resolved's; result equals
+        Within the bucket, per-file KEY BLOOMS (filestats) drop the delta
+        files that never saw this conversation — at 100 TB a bucket holds
+        hundreds of settled tier files and a given conversation lives in a
+        handful, so the scan is per-conversation-sized, not bucket-sized.
+        Inside the surviving files the key predicate is pushed to parquet,
+        where ``write_bucket_files``'s (conv_id, turn_idx)
+        sort-within-partitions makes row-group min/max stats prune to the
+        few pages actually holding the key — an index-lookup-shaped read,
+        not a scan. Per-file ``_seq`` tags carry each file's ORIGINAL
+        commit position (bloom pruning preserves them), keeping the
+        max-(_lsn, commit) winner rule identical to read_resolved's; blooms
+        have no false negatives, so the result equals
         ``read().filter(conv_id = ...)`` exactly.
         """
-        from maestro_spark.keyhash import bucket_of
-
         snap = self.snapshot(snapshot_id)
         payload = [f.name for f in snap.payload_schema().fields]
-        ps = snap.files.get(str(bucket_of(conv_id, snap.n_buckets)), [])
-        if not ps:
+        _, cand, _ = self.plan_lookup(conv_id, snapshot_id=snapshot_id)
+        if not cand:
             return self.spark.createDataFrame([], snap.payload_schema())
         pred = F.col("conv_id") == F.lit(conv_id)
         if turn_idx is not None:
@@ -657,7 +688,7 @@ class LakeTable:
         keys = S.KEY_COLS
         rest = [f.name for f in snap.schema.fields if f.name not in keys]
         union: DataFrame | None = None
-        for j, p in enumerate(ps):
+        for j, p in cand:
             part = (
                 self.spark.read.schema(snap.schema)
                 .parquet(os.path.join(self.root, p))
@@ -788,9 +819,89 @@ class LakeTable:
                 out[b] = rels
         shutil.rmtree(staging, ignore_errors=True)
         # zone maps: footer stats for the files just born (metadata-only;
-        # also feeds lineage, which therefore never re-opens these footers)
-        self.file_stats.add_files([p for ps in out.values() for p in ps])
+        # also feeds lineage, which therefore never re-opens these footers).
+        # Key blooms (maestro.stats.keyBloom): "commit" builds them inline
+        # here (one extra key-column job per commit — measured ~0.6s/epoch
+        # at bench scale, a deliberate ingest-throughput trade); the default
+        # "maintenance" keeps the ingest hot path untouched and backfills
+        # blooms on the compaction cadence / build_key_blooms(); "off"
+        # disables them (lookups scan the whole bucket, still exact).
+        rels_all = [p for ps in out.values() for p in ps]
+        extra = None
+        mode = self.spark.conf.get("maestro.stats.keyBloom", "maintenance")
+        if rels_all and mode in ("commit", "true"):
+            extra = self._build_key_blooms(rels_all)
+        self.file_stats.add_files(rels_all, extra=extra)
         return out
+
+    def build_key_blooms(self, snapshot_id: int | None = None) -> int:
+        """Backfill per-file key blooms for every live file lacking one
+        (idempotent; returns the number built). The serving-side prep call:
+        run it once before opening a table to point-lookup traffic, or let
+        the compaction cadence invoke it. Cost is one column-pruned scan of
+        the UNBLOOMED files only — already-indexed files are never re-read,
+        so steady-state cadence cost tracks the new-delta byte rate."""
+        from maestro_spark import filestats as FS
+
+        if self.spark.conf.get("maestro.stats.keyBloom", "maintenance") in ("off", "false"):
+            return 0
+        snap = self.snapshot(snapshot_id)
+        missing = [
+            p
+            for ps in snap.files.values()
+            for p in ps
+            if FS.BLOOM_FIELD not in (self.file_stats.get(p) or {})
+        ]
+        if not missing:
+            return 0
+        extra = self._build_key_blooms(missing)
+        self.file_stats.merge_extra(extra)
+        return len(extra)
+
+    def _build_key_blooms(self, rels: list[str]) -> dict[str, dict]:
+        """Per-file conv_id bloom filters for freshly-written files — pure
+        JVM data path: one column-pruned scan of the new (page-cache-warm)
+        files computing the two base hashes with codegen ``xxhash64``
+        (``h2`` chains the key through its own hash, the form the driver's
+        pure-Python twin replicates for probing), then a per-file
+        ``collect_set`` whose MAP-SIDE partials dedupe before the shuffle —
+        the exchange and the collect carry only distinct 16-byte hash pairs
+        per file (metadata-scale), never key strings. Bitsets are assembled
+        on the driver by filestats.bloom_from_pairs; parity with the
+        all-driver filestats.build_bloom twin is property-tested in
+        tests/test_lookup.py."""
+        from urllib.parse import unquote, urlparse
+
+        from maestro_spark import filestats as FS
+
+        paths = [os.path.join(self.root, r) for r in rels]
+        rows = (
+            self.spark.read.parquet(*paths)
+            .select(
+                F.input_file_name().alias("_file"),
+                F.xxhash64("conv_id").alias("_h1"),
+                F.xxhash64("conv_id", "conv_id").alias("_h2"),
+            )
+            .groupBy("_file")
+            .agg(F.collect_set(F.struct("_h1", "_h2")).alias("_pairs"))
+            .collect()
+        )
+        by_path = {}
+        for r in rows:
+            p = (
+                unquote(urlparse(r["_file"]).path)
+                if "://" in r["_file"] or r["_file"].startswith("file:")
+                else r["_file"]
+            )
+            bl = FS.bloom_from_pairs((pr["_h1"], pr["_h2"]) for pr in r["_pairs"])
+            if bl is not None:
+                by_path[os.path.abspath(p)] = bl
+        extra = {}
+        for rel in rels:
+            bl = by_path.get(os.path.abspath(os.path.join(self.root, rel)))
+            if bl is not None:
+                extra[rel] = {FS.BLOOM_FIELD: bl}
+        return extra
 
     def _validate_gap(
         self,
@@ -1738,7 +1849,7 @@ class LakeTable:
                 .load()
             )
         new_files = self.write_bucket_files(df)
-        return self.commit(
+        out = self.commit(
             {b: keep[b] + new_files.get(b, []) for b in keep},
             epoch_key=None,
             stats={
@@ -1751,6 +1862,12 @@ class LakeTable:
             append=False,
             base=snap.snapshot_id,
         )
+        # key-bloom maintenance rides the compaction cadence (default mode):
+        # index the freshly folded files plus any deltas that landed since
+        # the last fold — off the ingest hot path, O(unbloomed bytes) only
+        if self.spark.conf.get("maestro.stats.keyBloom", "maintenance") == "maintenance":
+            self.build_key_blooms(snapshot_id=out.snapshot_id)
+        return out
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop old snapshot manifests (time-travel horizon); their data

@@ -289,6 +289,10 @@ def _ensure_cdc_demo_lake(spark):
         shutil.rmtree(lake_dir, ignore_errors=True)
         table = LakeTable.create(spark, lake_dir, n_buckets=8)
     replay(spark, log_dir, table, query_id="demo")  # idempotent re-runs skip
+    # serving prep: backfill per-file key blooms (maintenance mode keeps the
+    # replay hot path clean; this one-time call indexes the settled table so
+    # q_point_lookup probes the bloom-pruned plan). No-op when already built.
+    table.build_key_blooms()
     return table
 
 

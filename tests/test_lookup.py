@@ -214,3 +214,113 @@ def test_key_filter_pushdown_into_mor_scan(spark, tmp_path):
     assert 0 < len(parts) < max(len(groups), 2)
     b = bucket_of(cid, snap.n_buckets)
     assert all(f"pk_bucket={b}/" in p.files[0] for p in parts if p.files)
+
+
+# --------------------------------------------------------------- key blooms
+def _same_bucket_keys(n_buckets: int, want: int) -> list[str]:
+    """First ``want`` keys of the form k-<i> landing in bucket 0."""
+    out, i = [], 0
+    while len(out) < want:
+        if bucket_of(f"k-{i}", n_buckets) == 0:
+            out.append(f"k-{i}")
+        i += 1
+    return out
+
+
+def test_key_bloom_prunes_delta_files_exactly(spark, tmp_path):
+    """Three keys forced into ONE bucket; epoch 2 updates only the first.
+    The untouched keys' lookups must bloom-prune the epoch-2 delta file
+    (cand < total) while every lookup stays byte-equal to the unpruned
+    path — blooms are an IO plan change, never a semantics change."""
+    k1, k2, k3 = _same_bucket_keys(4, 3)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    spark.conf.set("maestro.stats.keyBloom", "commit")  # inline-build mode
+    try:
+        merge_batch(t, _events(spark, [
+            (1, "insert", k1, 0, "one"),
+            (2, "insert", k2, 0, "two"),
+            (3, "insert", k3, 0, "three"),
+        ]), "q", 0)
+        merge_batch(t, _events(spark, [(9, "update", k1, 0, "one-v2")]), "q", 1)
+    finally:
+        spark.conf.set("maestro.stats.keyBloom", "maintenance")
+
+    _, cand1, total1 = t.plan_lookup(k1)
+    assert total1 == 2 and len(cand1) == 2  # k1 is in both files
+    for k in (k2, k3):
+        _, cand, total = t.plan_lookup(k)
+        assert total == 2
+        assert len(cand) == 1, f"{k}: epoch-2 delta not pruned"
+        assert cand[0][0] == 0  # original commit seq preserved
+    # equality pruned vs unpruned, incl. a missing key
+    for k in (k1, k2, k3, "absent-key"):
+        pruned = sorted(map(tuple, t.lookup(k).collect()))
+        spark.conf.set("maestro.lookup.bloom", "false")
+        try:
+            plain = sorted(map(tuple, t.lookup(k).collect()))
+        finally:
+            spark.conf.set("maestro.lookup.bloom", "true")
+        assert pruned == plain, k
+    assert [r.text for r in t.lookup(k1).collect()] == ["one-v2"]
+
+
+def test_key_bloom_no_false_negatives_and_parity(spark, tmp_path):
+    """Over a replayed generated log: (a) every stored bloom admits every
+    conv_id physically present in its file (no-false-negative invariant —
+    the one that guards correctness), and (b) the executor-built bitset is
+    byte-identical to the driver-side filestats.build_bloom twin."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from maestro_spark import filestats as FS
+
+    log = generate(GenConfig(seed=21, n_convs=40, segment_rows=400))
+    write_log(log, str(tmp_path / "log"), segment_rows=400)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, str(tmp_path / "log"), t, query_id="lk")
+    # default mode is "maintenance": ingest wrote no blooms; the backfill
+    # call indexes every live file once and is then a no-op
+    assert t.build_key_blooms() > 4
+    assert t.build_key_blooms() == 0
+    snap = t.snapshot()
+    checked = 0
+    for ps in snap.files.values():
+        for rel in ps:
+            st = t.file_stats.get(rel)
+            assert st is not None and FS.BLOOM_FIELD in st, rel
+            vals = set(
+                pq.read_table(os.path.join(t.root, rel), columns=["conv_id"])
+                .column(0)
+                .to_pylist()
+            )
+            for v in vals:
+                assert FS.bloom_maybe_contains(st, v), (rel, v)
+            assert FS.build_bloom(vals) == st[FS.BLOOM_FIELD], rel
+            checked += 1
+    assert checked > 4
+
+
+def test_lookup_degrades_without_blooms_then_backfills(spark, tmp_path):
+    """Writer ran with keyBloom=off (pre-upgrade table): plan_lookup keeps
+    every file (evidence-based pruning only) and lookup stays exact. A
+    maintenance backfill then indexes the table and pruning kicks in —
+    with results unchanged."""
+    kA, kB, _ = _same_bucket_keys(4, 3)
+    spark.conf.set("maestro.stats.keyBloom", "off")
+    try:
+        t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+        merge_batch(t, _events(spark, [
+            (1, "insert", kA, 0, "a0"), (2, "insert", kB, 0, "b0"),
+        ]), "q", 0)
+        merge_batch(t, _events(spark, [(3, "update", kA, 0, "a0v2")]), "q", 1)
+        _, cand, total = t.plan_lookup(kB)
+        assert total == 2 and len(cand) == total  # nothing pruned blind
+        assert t.build_key_blooms() == 0  # off-mode backfill is a no-op too
+    finally:
+        spark.conf.set("maestro.stats.keyBloom", "maintenance")
+    assert t.build_key_blooms() == 2
+    _, cand, total = t.plan_lookup(kB)
+    assert total == 2 and len(cand) == 1  # epoch-2 delta now pruned
+    assert [r.text for r in t.lookup(kA).collect()] == ["a0v2"]
+    assert [r.text for r in t.lookup(kB).collect()] == ["b0"]
