@@ -36,14 +36,17 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 from pyspark.sql.types import StructType
 
 from maestro_spark import schema as S
-from maestro_spark.lake import SNAP_DIR
+from maestro_spark.lake import SNAP_DIR, load_snapshot
 
 FORMAT_NAME = "table_changes"
 
+# immutable-manifest cache shared by every reader in this process (the
+# stream planner re-reads the same snapshots once per microbatch)
+_MANIFEST_CACHE: dict[str, dict] = {}
 
-def _snap(root: str, sid: int) -> dict:
-    with open(os.path.join(root, SNAP_DIR, f"s-{sid:013d}.json")) as fh:
-        return json.load(fh)
+
+def _snap(root: str, sid: int):
+    return load_snapshot(root, sid, cache=_MANIFEST_CACHE)
 
 
 def _current_sid(root: str) -> int:
@@ -55,7 +58,7 @@ def _current_sid(root: str) -> int:
 
 
 def _full_schema(root: str) -> StructType:
-    return StructType.fromJson(json.loads(_snap(root, _current_sid(root))["schema_json"]))
+    return StructType.fromJson(json.loads(_snap(root, _current_sid(root)).schema_json))
 
 
 def feed_schema(root: str) -> StructType:
@@ -108,7 +111,7 @@ class TableChangesStreamReader(DataSourceStreamReader):
         parts: list[FeedFilePartition] = []
         for sid in range(lo + 1, hi + 1):
             snap = _snap(self.root, sid)
-            stats = snap.get("stats") or {}
+            stats = snap.stats or {}
             if stats.get("rollback_to") is not None:
                 raise ValueError(
                     f"table_changes stream hit rollback snapshot {sid}; "
@@ -117,9 +120,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
                 )
             if stats.get("maintenance"):
                 continue
-            parent = _snap(self.root, snap["parent_id"]) if snap["parent_id"] is not None else None
-            for b, ps in snap["files"].items():
-                prev = set(parent["files"].get(b, [])) if parent else set()
+            parent = _snap(self.root, snap.parent_id) if snap.parent_id is not None else None
+            for b, ps in snap.files.items():
+                prev = set(parent.files.get(b, [])) if parent else set()
                 for p in ps:
                     if p not in prev:
                         parts.append(

@@ -54,6 +54,49 @@ SNAP_DIR = "_snapshots"
 LEDGER_DIR = "_ledger"
 LINEAGE_DIR = "_lineage"
 DATA_DIR = "data"
+MANIFEST_PREFIX = "m-"
+
+
+def load_snapshot(root: str, sid: int, cache: dict | None = None) -> "Snapshot":
+    """Load a snapshot, resolving the manifest-list form to inline files.
+
+    On disk, a modern snapshot stores ``files = {"_manifests": [names]}``
+    where each ``_snapshots/m-*.json`` manifest maps bucket → the file paths
+    that commit contributed; a bucket's live file list is the concatenation
+    over the list in order, which preserves the commit-order ``_seq``
+    resolution contract exactly. The Iceberg manifest-list idea, applied to
+    the per-epoch hot path: an APPEND commit persists only its own new
+    files plus a ~1-line name list, so per-commit metadata is O(files added
+    by that commit) instead of O(all live files) — at 10^10 events with
+    thousands of epochs over tens of thousands of buckets, that is the
+    difference between ~1 KB and tens of MB of JSON per epoch. COW-style
+    commits (compaction, purge, DML, rollback, rebucket) consolidate back
+    to a single manifest, which bounds the list length by the compaction
+    cadence. Legacy snapshots with inline ``files`` load unchanged
+    (``manifest_list = None``).
+
+    Manifests are immutable once written; ``cache`` (name → content) makes
+    repeated snapshot loads O(new manifests), shared safely across table
+    instances.
+    """
+    with open(os.path.join(root, SNAP_DIR, f"s-{sid:013d}.json")) as fh:
+        d = json.load(fh)
+    files = d.get("files")
+    if isinstance(files, dict) and "_manifests" in files:
+        names = files["_manifests"]
+        resolved: dict[str, list[str]] = {}
+        for name in names:
+            m = cache.get(name) if cache is not None else None
+            if m is None:
+                with open(os.path.join(root, SNAP_DIR, name)) as mf:
+                    m = json.load(mf)
+                if cache is not None:
+                    cache[name] = m
+            for b, ps in m.items():
+                resolved.setdefault(b, []).extend(ps)
+        d["files"] = resolved
+        d["manifest_list"] = list(names)
+    return Snapshot(**d)
 
 
 def bucket_expr(conv_col: str = "conv_id", n_buckets: int = 64) -> F.Column:
@@ -108,6 +151,10 @@ class Snapshot:
     n_buckets: int
     committed_at: float = 0.0
     stats: dict = field(default_factory=dict)
+    # On-disk manifest names whose per-bucket concatenation (in list order)
+    # equals ``files`` — set by the loader/publisher, never serialized
+    # directly. None = legacy inline snapshot (files stored in the JSON).
+    manifest_list: list[str] | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -130,6 +177,9 @@ class LakeTable:
         # driver-side JSON reads over a long-running stream.
         self._epoch_keys: set[str] = set()
         self._epoch_keys_upto: int = -1
+        # immutable manifest-content cache (name → {bucket: [paths]}):
+        # repeated snapshot loads cost O(new manifests), not O(history)
+        self._manifest_cache: dict[str, dict] = {}
         from maestro_spark.filestats import FileStatsStore
 
         self.file_stats = FileStatsStore(root, SNAP_DIR)
@@ -165,9 +215,34 @@ class LakeTable:
     def _snap_path(self, sid: int) -> str:
         return os.path.join(self.root, SNAP_DIR, f"s-{sid:013d}.json")
 
-    def _publish(self, snap: Snapshot) -> None:
+    def _write_manifest(self, content: dict[str, list[str]]) -> str:
+        """Persist one immutable manifest (bucket → paths); returns its name.
+        Names are writer-unique (uuid), so two racers publishing the same
+        snapshot id can never cross-reference each other's manifests — the
+        CAS loser's manifest becomes an orphan vacuum() GCs."""
+        content = {b: list(ps) for b, ps in content.items()}  # freeze vs caller
+        name = f"{MANIFEST_PREFIX}{uuid.uuid4().hex[:16]}.json"
+        _atomic_write_json(os.path.join(self.root, SNAP_DIR, name), content, exclusive=False)
+        self._manifest_cache[name] = content
+        return name
+
+    def _publish(self, snap: Snapshot, manifest_names: list[str] | None = None) -> None:
+        """Publish a snapshot. ``manifest_names`` is the append fast path:
+        a precomputed on-disk manifest list whose per-bucket concatenation
+        equals ``snap.files`` (commit() builds it as parent's list + one
+        manifest of just this commit's new files — O(new files) metadata).
+        Without it, the full state consolidates into a single manifest
+        (create/clone/rollback/rebucket/COW/compaction — the cadence that
+        bounds list length)."""
         snap.committed_at = time.time()
-        _atomic_write_json(self._snap_path(snap.snapshot_id), snap.__dict__, exclusive=True)
+        if manifest_names is None:
+            manifest_names = [
+                self._write_manifest({b: list(ps) for b, ps in snap.files.items()})
+            ]
+        snap.manifest_list = list(manifest_names)
+        d = {k: v for k, v in snap.__dict__.items() if k != "manifest_list"}
+        d["files"] = {"_manifests": snap.manifest_list}
+        _atomic_write_json(self._snap_path(snap.snapshot_id), d, exclusive=True)
         # CURRENT is a recoverable hint, not the commit point
         cur = os.path.join(self.root, SNAP_DIR, "CURRENT")
         _atomic_write_json(cur, {"snapshot_id": snap.snapshot_id}, exclusive=False)
@@ -182,8 +257,7 @@ class LakeTable:
         if sid is None:
             # roll forward past a stale CURRENT (crash between publish steps)
             sid = self.snapshot_ids()[-1]
-        with open(self._snap_path(sid)) as fh:
-            return Snapshot(**json.load(fh))
+        return load_snapshot(self.root, sid, cache=self._manifest_cache)
 
     def committed_epoch_keys(self) -> set[str]:
         """Authoritative idempotence index: epoch keys in the snapshot chain.
@@ -820,15 +894,17 @@ class LakeTable:
         shutil.rmtree(staging, ignore_errors=True)
         # zone maps: footer stats for the files just born (metadata-only;
         # also feeds lineage, which therefore never re-opens these footers).
-        # Key blooms (maestro.stats.keyBloom): "commit" builds them inline
-        # here (one extra key-column job per commit — measured ~0.6s/epoch
-        # at bench scale, a deliberate ingest-throughput trade); the default
-        # "maintenance" keeps the ingest hot path untouched and backfills
-        # blooms on the compaction cadence / build_key_blooms(); "off"
-        # disables them (lookups scan the whole bucket, still exact).
+        # Key blooms (maestro.stats.keyBloom): the default "explicit" keeps
+        # the ENTIRE ingest path untouched (events/sec is the north-star
+        # metric; the A/B measured ~5-7% replay cost for auto modes) —
+        # blooms are built by the serving-prep call build_key_blooms() /
+        # CLI bloom-index. Opt-ins: "maintenance" backfills on the
+        # compaction cadence, "commit" builds inline here (~0.6s/epoch at
+        # bench scale), "off" disables even the explicit call. Lookups stay
+        # exact in every mode (no bloom = no pruning).
         rels_all = [p for ps in out.values() for p in ps]
         extra = None
-        mode = self.spark.conf.get("maestro.stats.keyBloom", "maintenance")
+        mode = self.spark.conf.get("maestro.stats.keyBloom", "explicit")
         if rels_all and mode in ("commit", "true"):
             extra = self._build_key_blooms(rels_all)
         self.file_stats.add_files(rels_all, extra=extra)
@@ -843,7 +919,7 @@ class LakeTable:
         so steady-state cadence cost tracks the new-delta byte rate."""
         from maestro_spark import filestats as FS
 
-        if self.spark.conf.get("maestro.stats.keyBloom", "maintenance") in ("off", "false"):
+        if self.spark.conf.get("maestro.stats.keyBloom", "explicit") in ("off", "false"):
             return 0
         snap = self.snapshot(snapshot_id)
         missing = [
@@ -1027,6 +1103,7 @@ class LakeTable:
             if dup is not None:
                 return dup
         my_schema = schema or parent.schema
+        app_manifest: str | None = None  # written once, reused across rebases
         for _ in range(retries + 1):
             files = dict(parent.files)
             if append:
@@ -1045,8 +1122,18 @@ class LakeTable:
                 n_buckets=parent.n_buckets,
                 stats=stats or {},
             )
+            # append fast path: per-commit metadata is one manifest of THIS
+            # commit's files + the parent's name list — O(new files), the
+            # shape a 10^10-event snapshot chain needs. A legacy inline
+            # parent (manifest_list None) consolidates once, upgrading the
+            # table in place.
+            names = None
+            if append and parent.manifest_list is not None:
+                if app_manifest is None:
+                    app_manifest = self._write_manifest(new_files)
+                names = [*parent.manifest_list, app_manifest]
             try:
-                self._publish(snap)
+                self._publish(snap, manifest_names=names)
                 return snap
             except FileExistsError:
                 if retries == 0:
@@ -1092,8 +1179,11 @@ class LakeTable:
         try:
             # pinned parent+1 publish = the race guard (see rebucket): a
             # commit landing after the planning read steals the id, and the
-            # operator must re-decide against the new tip
-            self._publish(snap)
+            # operator must re-decide against the new tip. Re-stating an old
+            # state means the SAME immutable manifests: reuse the target's
+            # list verbatim (zero new manifest bytes; vacuum retains shared
+            # manifests while either snapshot is retained).
+            self._publish(snap, manifest_names=target.manifest_list)
         except FileExistsError:
             raise CommitConflict(
                 "concurrent commit landed while rollback was staged; "
@@ -1862,10 +1952,11 @@ class LakeTable:
             append=False,
             base=snap.snapshot_id,
         )
-        # key-bloom maintenance rides the compaction cadence (default mode):
-        # index the freshly folded files plus any deltas that landed since
-        # the last fold — off the ingest hot path, O(unbloomed bytes) only
-        if self.spark.conf.get("maestro.stats.keyBloom", "maintenance") == "maintenance":
+        # opt-in bloom maintenance rides the compaction cadence: index the
+        # freshly folded files plus any deltas that landed since the last
+        # fold — O(unbloomed bytes) only (default "explicit" skips this;
+        # ingest-time compactions then cost nothing extra)
+        if self.spark.conf.get("maestro.stats.keyBloom", "explicit") == "maintenance":
             self.build_key_blooms(snapshot_id=out.snapshot_id)
         return out
 
@@ -1906,6 +1997,24 @@ class LakeTable:
         for entry in os.listdir(self.root):
             if entry.startswith("_staging-"):
                 shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
+        # manifest GC: m-*.json referenced by no retained snapshot (expired
+        # history, CAS-loser leftovers). Same writer-exclusion contract as
+        # data-file orphans: vacuum must not race an in-flight commit, whose
+        # manifest exists before its snapshot does.
+        referenced: set[str] = set()
+        for sid in self.snapshot_ids():
+            ml = self.snapshot(sid).manifest_list
+            if ml:
+                referenced.update(ml)
+        sdir = os.path.join(self.root, SNAP_DIR)
+        for fn in os.listdir(sdir):
+            if (
+                fn.startswith(MANIFEST_PREFIX)
+                and fn.endswith(".json")
+                and fn not in referenced
+            ):
+                os.unlink(os.path.join(sdir, fn))
+                self._manifest_cache.pop(fn, None)
         if n:
             live: set[str] = set()
             for sid in self.snapshot_ids():

@@ -63,11 +63,11 @@ def _race(a, b_action):
     real = a._publish
     state = {"fired": False}
 
-    def hooked(snap):
+    def hooked(snap, **kwargs):
         if not state["fired"]:
             state["fired"] = True
             b_action()
-        real(snap)
+        real(snap, **kwargs)
 
     a._publish = hooked
     return state

@@ -111,11 +111,11 @@ def test_concurrent_dml_statements_never_tie_lsn(spark, table):
     real = table._publish
     state = {"fired": False}
 
-    def hooked(snap):
+    def hooked(snap, **kwargs):
         if not state["fired"]:  # b's whole statement wins the race
             state["fired"] = True
             upsert(b, df_b, query_id="dml-b")
-        real(snap)
+        real(snap, **kwargs)
 
     table._publish = hooked
     upsert(table, df_a, query_id="dml-a")

@@ -243,7 +243,7 @@ def test_key_bloom_prunes_delta_files_exactly(spark, tmp_path):
         ]), "q", 0)
         merge_batch(t, _events(spark, [(9, "update", k1, 0, "one-v2")]), "q", 1)
     finally:
-        spark.conf.set("maestro.stats.keyBloom", "maintenance")
+        spark.conf.set("maestro.stats.keyBloom", "explicit")
 
     _, cand1, total1 = t.plan_lookup(k1)
     assert total1 == 2 and len(cand1) == 2  # k1 is in both files
@@ -279,7 +279,7 @@ def test_key_bloom_no_false_negatives_and_parity(spark, tmp_path):
     write_log(log, str(tmp_path / "log"), segment_rows=400)
     t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
     replay(spark, str(tmp_path / "log"), t, query_id="lk")
-    # default mode is "maintenance": ingest wrote no blooms; the backfill
+    # default mode is "explicit": ingest wrote no blooms; the serving-prep
     # call indexes every live file once and is then a no-op
     assert t.build_key_blooms() > 4
     assert t.build_key_blooms() == 0
@@ -318,7 +318,7 @@ def test_lookup_degrades_without_blooms_then_backfills(spark, tmp_path):
         assert total == 2 and len(cand) == total  # nothing pruned blind
         assert t.build_key_blooms() == 0  # off-mode backfill is a no-op too
     finally:
-        spark.conf.set("maestro.stats.keyBloom", "maintenance")
+        spark.conf.set("maestro.stats.keyBloom", "explicit")
     assert t.build_key_blooms() == 2
     _, cand, total = t.plan_lookup(kB)
     assert total == 2 and len(cand) == 1  # epoch-2 delta now pruned
