@@ -668,6 +668,10 @@ def _finalize_registration_order() -> None:
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
         "q_ingest_json",
+        # q_substring_dup (round 3): held OUT of the window this round per
+        # the zero-driver-red discipline — the proven-green 50 stay put; it
+        # is oracle-exact locally (check_oracles) and pytest-guaranteed
+        "q_substring_dup",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

@@ -542,3 +542,42 @@ def q_contamination(spark, sf_dir):
     return dd.contamination_scores(
         corpus, bench, threshold_num=3, threshold_den=10, n=5, max_chars=120
     )
+
+
+# ------------------------------------------------ exact substring dedup
+@q(
+    "q_substring_dup",
+    """WITH pos AS (
+         SELECT doc_id, text,
+                unnest(generate_series(0, length(text) - 40, 1)) AS g
+         FROM documents WHERE length(text) >= 40),
+       w AS (SELECT doc_id, substr(text, CAST(g AS INTEGER) + 1, 40) AS w
+             FROM pos),
+       wd AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+       ws AS (SELECT w FROM wd GROUP BY w HAVING count(*) >= 2),
+       dup AS (SELECT doc_id, sum(c) AS dupw FROM wd
+               WHERE w IN (SELECT w FROM ws) GROUP BY 1)
+       SELECT d.doc_id,
+              CAST(length(d.text) - 40 + 1 AS BIGINT) AS total_windows,
+              CAST(COALESCE(p.dupw, 0) AS BIGINT) AS dup_windows,
+              CAST(COALESCE(p.dupw, 0) * 10000 // (length(d.text) - 40 + 1)
+                   AS BIGINT) AS dup_ratio_bp
+       FROM documents d LEFT JOIN dup p USING (doc_id)
+       WHERE length(d.text) >= 40""",
+)
+def q_substring_dup(spark, sf_dir):
+    """Exact substring-duplication detector (Lee et al. substring-dedup
+    family, functions/dedup_text.duplicated_window_stats): per document,
+    the count of its 40-char windows (stride 1 — exact for every
+    duplicated substring >= 40 chars) that appear in >= 2 distinct
+    documents. Codegen end to end: sequence-explode + substring in the
+    scan stage, map-side-combined (window, doc) aggregate, small cross-doc
+    count, semi-join back; mode='hashed' swaps raw window bytes for
+    8-byte xxhash64 keys in the exchange at 100 TB (pytest-asserted equal
+    here). NOTE the oracle's ws uses count(*) over wd's distinct
+    (window, doc) rows == count(DISTINCT doc_id), mirroring the Spark
+    plan's second aggregate exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplicated_window_stats(
+        d, text_col="text", id_col="doc_id", length=40, stride=1, min_docs=2
+    )

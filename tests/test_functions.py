@@ -468,3 +468,98 @@ def test_minhash_index_equals_on_the_fly(spark, tmp_path):
         for r in dedup_text.minhash_lsh_pairs_indexed(spark, idx).collect()
     }
     assert stored == fresh and fresh
+
+
+# ----------------------------------------------- exact substring dedup
+def _hexpad(tag: str, n: int) -> str:
+    """Deterministic unique filler with no accidental 40-char repeats."""
+    import hashlib
+
+    out = ""
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{tag}:{i}".encode()).hexdigest()
+        i += 1
+    return out[:n]
+
+
+def test_substring_dup_planted_and_guarantee(spark):
+    """A 60-char passage shared by two docs must flag BOTH with exactly
+    60-40+1=21 duplicated windows each (stride 1 counts every covering
+    window; boundary chars differ on both sides so no extra window can
+    straddle); an all-unique doc stays at zero; a doc shorter than the
+    window length is omitted. This is the Lee-et-al exactness guarantee:
+    stride=1 catches every duplicated substring >= length."""
+    shared = _hexpad("shared", 60)
+    rows = [
+        (1, "A" + shared + "B" + _hexpad("t1", 40)),
+        (2, "C" + shared + "D" + _hexpad("t2", 40)),
+        (3, _hexpad("solo", 100)),
+        (4, "short doc"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup_text.duplicated_window_stats(
+            d, length=40, stride=1, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 has no 40-char window
+    assert out[1].dup_windows == 21 and out[2].dup_windows == 21
+    assert out[3].dup_windows == 0 and out[3].dup_ratio_bp == 0
+    for i in (1, 2):
+        assert out[i].total_windows == len(rows[i - 1][1]) - 40 + 1
+        assert out[i].dup_ratio_bp == out[i].dup_windows * 10000 // out[i].total_windows
+
+
+def test_substring_dup_hashed_equals_exact_and_min_docs(spark):
+    """mode='hashed' (the 100 TB shuffle shape) must produce identical
+    output to the exact-bytes mode, and min_docs=3 must drop a passage
+    shared by only two docs while keeping one shared by three. Passages
+    and fillers are hash-generated so the ONLY >=40-char repeats are the
+    planted ones."""
+    two = _hexpad("two-way", 50)
+    three = _hexpad("three-way", 50)
+    rows = [
+        (1, _hexpad("p1", 8) + two + _hexpad("s1", 40)),
+        (2, _hexpad("p2", 8) + two + _hexpad("s2", 40)),
+        (3, _hexpad("p3", 8) + three + _hexpad("s3", 40)),
+        (4, _hexpad("p4", 8) + three + _hexpad("s4", 40)),
+        (5, _hexpad("p5", 8) + three + _hexpad("s5", 40)),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = sorted(map(tuple, dedup_text.duplicated_window_stats(d).collect()))
+    hashed = sorted(
+        map(tuple, dedup_text.duplicated_window_stats(d, mode="hashed").collect())
+    )
+    assert exact == hashed
+    by_id = {t[0]: t for t in exact}
+    assert all(by_id[i][2] == 50 - 40 + 1 for i in (1, 2, 3, 4, 5))
+    strict = {
+        r.doc_id: r.dup_windows
+        for r in dedup_text.duplicated_window_stats(d, min_docs=3).collect()
+    }
+    assert strict[1] == 0 and strict[2] == 0  # two-way passage dropped
+    assert strict[3] == 11 and strict[4] == 11 and strict[5] == 11
+
+
+def test_substring_dup_stride_screen(spark):
+    """stride>1 is the cheaper screen: total_windows shrinks ~stride×, and
+    a long duplicated PREFIX (alignment phase 0 in both docs) is still
+    caught; results remain oracle-consistent integer arithmetic."""
+    pre = _hexpad("prefix", 80)  # identical 80-char prefix in both docs
+    rows = [
+        (1, pre + "1" + _hexpad("tail1", 30)),
+        (2, pre + "2" + _hexpad("tail2", 30)),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup_text.duplicated_window_stats(
+            d, length=40, stride=20, min_docs=2
+        ).collect()
+    }
+    for i in (1, 2):
+        assert out[i].dup_windows == 3  # windows at 0, 20, 40 lie in the prefix
+        full = len(rows[i - 1][1]) - 40 + 1
+        assert out[i].total_windows == (full - 1) // 20 + 1

@@ -180,3 +180,37 @@ def test_replayed_log_equality_and_snapshot_json_stays_small(spark, tmp_path):
     assert have[["conv_id", "turn_idx", "text"]].equals(
         want[["conv_id", "turn_idx", "text"]]
     )
+
+
+def test_append_rebase_keeps_o_new_files_shape(spark, tmp_path):
+    """A CAS-losing append commit rebases onto the winner and must STILL
+    publish in the O(new files) form: winner's manifest list + exactly one
+    manifest for the loser's own files (written once, reused across
+    rebase attempts) — never a consolidation of the whole table."""
+    a = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=2)
+    b = LakeTable(spark, a.root)
+    merge_batch(a, _events(spark, [(1, "insert", "A", 0, "a0")]), "qa", 0)
+    base_list = list(a.snapshot().manifest_list)
+
+    real = a._publish
+    fired = {"done": False}
+
+    def hooked(snap, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            merge_batch(b, _events(spark, [(2, "insert", "B", 0, "b0")]), "qb", 0)
+        real(snap, **kwargs)
+
+    a._publish = hooked
+    try:
+        merge_batch(a, _events(spark, [(3, "insert", "C", 0, "c0")]), "qa", 1)
+    finally:
+        a._publish = real
+    tip = a.snapshot()
+    winner = a.snapshot(tip.parent_id)
+    # winner (b's epoch) extended the base; loser rebased on top of it
+    assert winner.manifest_list[: len(base_list)] == base_list
+    assert tip.manifest_list[:-1] == winner.manifest_list
+    assert len(tip.manifest_list) == len(base_list) + 2
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in a.read().collect()}
+    assert got == {("A", 0): "a0", ("B", 0): "b0", ("C", 0): "c0"}
