@@ -142,10 +142,15 @@ def main(argv: list[str] | None = None) -> int:
     sq = sub.add_parser(
         "sql", help="ANSI SQL over lake tables (MOR-resolved temp views)"
     )
-    sq.add_argument("query", help="SQL text; FROM names come from --table")
+    sq.add_argument("query", help="SQL text; FROM names come from --table/--warehouse")
     sq.add_argument(
-        "--table", action="append", required=True, metavar="ROOT[=NAME]",
+        "--table", action="append", default=[], metavar="ROOT[=NAME]",
         help="lake root to expose, optionally as view NAME (default: basename); repeatable",
+    )
+    sq.add_argument(
+        "--warehouse", default=None,
+        help="register every lake table under this dir (plus <name>__files/"
+             "<name>__history metadata views) before running the query",
     )
     sq.add_argument("--snapshot", type=int, default=None,
                     help="pin every view to this snapshot id (time travel)")
@@ -323,14 +328,21 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sql":
         import os
 
+        views = []
+        if args.warehouse:
+            from maestro_spark.lake import register_catalog
+
+            views.extend(register_catalog(spark, args.warehouse))
         for spec in args.table:
             root, _, name = spec.partition("=")
             view = name or os.path.basename(os.path.normpath(root))
             LakeTable(spark, root).create_view(view, snapshot_id=args.snapshot)
+            views.append(view)
+        if not views:
+            raise SystemExit("sql: pass --table and/or --warehouse")
         df = spark.sql(args.query)
         df.show(args.limit, truncate=40)
-        print(json.dumps({"rows": df.count(),
-                          "views": [s.partition("=")[0] for s in args.table]}))
+        print(json.dumps({"rows": df.count(), "views": views}))
     elif args.cmd == "ivm":
         from maestro_spark.ivm import ConvStatsView
 

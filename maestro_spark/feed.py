@@ -24,6 +24,15 @@ file count. Files are conformed (null-filled) Arrow-side to the schema
 the stream STARTED with, so a feed spanning a schema evolution stays a
 single well-typed stream; columns added mid-stream are picked up on
 restart (the documented contract), never a mid-stream batch failure.
+
+Admission control: ``maxSnapshotsPerTrigger`` bounds each microbatch to
+at most that many source snapshots (the Delta ``maxFilesPerTrigger`` /
+Kafka ``maxOffsetsPerTrigger`` analog — without it a subscriber started
+from snapshot 0 on a long-lived table plans ONE catch-up batch covering
+the entire history). Same contract as cdc_binlog's clamp (source.py:88):
+the clamp lives in ``latestOffset`` — never in ``partitions`` — so Spark
+only ever commits ranges that were fully read, and ``checkpointHint``
+makes the clamp effective from the first trigger of a restarted query.
 """
 
 from __future__ import annotations
@@ -85,6 +94,9 @@ class TableChangesStreamReader(DataSourceStreamReader):
         if not self.root:
             raise ValueError("table_changes requires option 'path' (the table root)")
         self.start_snapshot = int(options.get("startingsnapshot", 0))
+        self.max_snapshots = int(options.get("maxsnapshotspertrigger", 0)) or None
+        self.checkpoint_hint = options.get("checkpointhint")
+        self._cursor: int | None = None  # last batch-end snapshot seen this run
         # Pin the conform target to the schema the stream STARTED with
         # (derived from the declared schema so the two can never diverge):
         # a schema-evolving commit mid-stream must degrade to "new columns
@@ -99,14 +111,55 @@ class TableChangesStreamReader(DataSourceStreamReader):
              StructField(S.DELETED_COL, BooleanType(), True)]
         ).json()
 
+    def _restore_cursor(self) -> int | None:
+        """Best-effort restart cursor from Spark's offset WAL under the
+        checkpoint dir (same recovery as cdc_binlog, source.py:60): makes
+        ``maxSnapshotsPerTrigger`` bound the catch-up batch of a RESTARTED
+        query too, instead of one unbounded first batch."""
+        if not self.checkpoint_hint:
+            return None
+        try:
+            d = os.path.join(self.checkpoint_hint, "offsets")
+            batches = sorted((f for f in os.listdir(d) if f.isdigit()), key=int)
+            if not batches:
+                return None
+            with open(os.path.join(d, batches[-1])) as fh:
+                last = fh.read().strip().splitlines()[-1]
+            obj = json.loads(last)
+            if isinstance(obj, str):
+                obj = json.loads(obj)
+            return int(obj["snapshot"])
+        except Exception:  # noqa: BLE001 — unparseable WAL: fall back unclamped
+            return None
+
     def initialOffset(self) -> dict:
         return {"snapshot": self.start_snapshot}
 
     def latestOffset(self) -> dict:
-        return {"snapshot": _current_sid(self.root)}
+        """Admission control lives HERE, never in partitions(): Spark
+        commits whatever range latestOffset announces, so truncating the
+        partition list would silently skip the tail of the range. The clamp
+        is relative to the last end seen via partitions(); before the first
+        partitions() call the cursor comes from the checkpointed offset WAL
+        (``checkpointHint``) or the configured startingSnapshot, so every
+        trigger — including the first after a restart — admits at most
+        ``maxSnapshotsPerTrigger`` snapshots. Fresh and availableNow runs
+        stay unclamped by design, exactly like cdc_binlog: Spark captures
+        ONE target offset at query start for Python stream sources, so a
+        clamped announcement would TRUNCATE an availableNow drain, not
+        split it — the clamp engages only once a cursor is known (in-run
+        via partitions(), or restored via checkpointHint)."""
+        tip = _current_sid(self.root)
+        if self.max_snapshots:
+            if self._cursor is None and self.checkpoint_hint:
+                self._cursor = self._restore_cursor()
+            if self._cursor is not None:
+                tip = min(tip, self._cursor + self.max_snapshots)
+        return {"snapshot": tip}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot"], end["snapshot"]
+        self._cursor = max(self._cursor or 0, hi)
         full_json = self._pinned_full_json if hi > lo else ""
         parts: list[FeedFilePartition] = []
         for sid in range(lo + 1, hi + 1):
@@ -183,6 +236,7 @@ def stream_replicate(
     query_id: str = "replicate",
     checkpoint: str | None = None,
     available_now: bool = True,
+    max_snapshots_per_trigger: int | None = None,
 ):
     """Continuously replicate one table into another off its change feed —
     the canonical feed subscriber. Each microbatch merges through the
@@ -206,16 +260,22 @@ def stream_replicate(
             n_buckets=src.snapshot().n_buckets,
         )
 
-    feed = spark.readStream.format(FORMAT_NAME).option("path", src_root).load()
+    ckpt = checkpoint or os.path.join(dst_root, "_feed_checkpoint")
+    reader = spark.readStream.format(FORMAT_NAME).option("path", src_root)
+    if max_snapshots_per_trigger:
+        # bounded catch-up for processing-time subscribers (no effect on
+        # availableNow drains — see TableChangesStreamReader.latestOffset)
+        reader = reader.option(
+            "maxSnapshotsPerTrigger", str(max_snapshots_per_trigger)
+        ).option("checkpointHint", ckpt)
+    feed = reader.load()
     payload = [c for c in feed.columns if c not in ("op", "lsn")]
 
     def apply(batch, batch_id):
         events = batch.select(F.col("lsn").alias("op_lsn"), "op", *payload)
         merge_batch(dst, events, query_id=query_id, epoch_id=batch_id)
 
-    writer = feed.writeStream.foreachBatch(apply).option(
-        "checkpointLocation", checkpoint or os.path.join(dst_root, "_feed_checkpoint")
-    )
+    writer = feed.writeStream.foreachBatch(apply).option("checkpointLocation", ckpt)
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()

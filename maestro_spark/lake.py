@@ -2022,3 +2022,38 @@ class LakeTable:
                     live.update(ps)
             self.file_stats.compact_shards(live)
         return n
+
+
+def register_catalog(
+    spark: SparkSession,
+    warehouse: str,
+    prefix: str = "",
+    metadata_views: bool = True,
+) -> dict[str, "LakeTable"]:
+    """Catalog-level SQL registration (the Iceberg-catalog parity shim):
+    discover every lake table directly under ``warehouse`` (any child dir
+    holding a ``_snapshots/`` chain) and register, per table ``<name>``:
+
+    - ``<prefix><name>`` — MOR-resolved live rows (snapshot-isolated, see
+      :meth:`LakeTable.create_view`)
+    - ``<prefix><name>__files`` / ``<prefix><name>__history`` — the
+      metadata tables (zero data IO; manifest + zone-map stats only)
+
+    so an analyst session becomes ``register_catalog(spark, wh)`` followed
+    by plain ``spark.sql`` over every table, including joins across tables
+    and ops queries over the metadata views. Returns ``{name: LakeTable}``
+    for engine-API access to the same handles. Re-invoke to refresh the
+    pins to the tables' current snapshots (temp views are plan-time-pinned
+    — the documented snapshot-isolation contract)."""
+    tables: dict[str, LakeTable] = {}
+    for entry in sorted(os.listdir(warehouse)):
+        root = os.path.join(warehouse, entry)
+        if not os.path.isdir(os.path.join(root, SNAP_DIR)):
+            continue
+        t = LakeTable(spark, root)
+        t.create_view(prefix + entry)
+        if metadata_views:
+            t.meta_files().createOrReplaceTempView(f"{prefix}{entry}__files")
+            t.meta_snapshots().createOrReplaceTempView(f"{prefix}{entry}__history")
+        tables[entry] = t
+    return tables

@@ -124,3 +124,126 @@ def test_feed_schema_pinned_across_midstream_evolution(spark, tmp_path):
     assert rows == 2  # both epochs readable despite the evolution
     # a RESTARTED stream picks the new columns up
     assert "metadata" in [f.name for f in feed_schema(src.root).fields]
+
+
+def test_replicate_catchup_bounded_by_max_snapshots_per_trigger(spark, tmp_path):
+    """maxSnapshotsPerTrigger is admission control for the change-feed
+    subscriber: after the replica was down while many source epochs landed,
+    a processing-time restart catches up in batches of at most that many
+    snapshots (checkpointHint bounds the FIRST restart batch too) — and
+    converges to the exact source state, losing nothing."""
+    import json
+    import os
+    import time
+
+    log = generate(GenConfig(seed=61, n_convs=40, segment_rows=100))
+    write_log(log, str(tmp_path / "log"), segment_rows=100)  # ~8 epochs
+    src = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, str(tmp_path / "log"), src, query_id="s", max_epochs=1)
+
+    # bootstrap the replica (availableNow, unclamped by design)
+    dst = stream_replicate(spark, src.root, str(tmp_path / "replica"), query_id="rep")
+    assert _eq(src, dst)
+
+    # while the subscriber is down, several more epochs land on the source
+    replay(spark, str(tmp_path / "log"), src, query_id="s", start_epoch=1)
+    tip = src.snapshot().snapshot_id
+
+    q = stream_replicate(
+        spark, src.root, str(tmp_path / "replica"), query_id="rep",
+        available_now=False, max_snapshots_per_trigger=2,
+    )
+    ckpt = str(tmp_path / "replica" / "_feed_checkpoint")
+
+    def _end_of(batch_file: str) -> int:
+        with open(os.path.join(ckpt, "offsets", batch_file)) as fh:
+            obj = json.loads(fh.read().strip().splitlines()[-1])
+        if isinstance(obj, str):
+            obj = json.loads(obj)
+        return int(obj["snapshot"])
+
+    try:
+        # wait until a COMMITTED batch (not just a planned one) covers the
+        # source tip — stopping on the offsets WAL alone could cut the last
+        # batch mid-flight
+        t0 = time.time()
+        while time.time() - t0 < 180:
+            cdir = os.path.join(ckpt, "commits")
+            done = sorted(
+                (f for f in os.listdir(cdir) if f.isdigit()), key=int
+            ) if os.path.isdir(cdir) else []
+            if done and _end_of(done[-1]) >= tip:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert _eq(src, dst)  # no loss, exact convergence
+
+    # every catch-up batch (all batches after the bootstrap drain) advanced
+    # the source offset by at most the clamp
+    ends = [
+        _end_of(f)
+        for f in sorted(
+            (f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()),
+            key=int,
+        )
+    ]
+    spans = [b - a for a, b in zip(ends, ends[1:])]
+    assert ends[-1] >= tip
+    assert spans, "restart produced no catch-up batches"
+    assert max(spans) <= 2, f"clamp violated: batch spans {spans}"
+    assert len(spans) >= 2, f"catch-up was not split: {spans}"
+
+
+def test_feed_latest_offset_clamp_contract(spark, tmp_path):
+    """Unit contract of the admission clamp, no streaming query needed:
+    unclamped until a cursor is known (fresh/availableNow semantics), then
+    cursor + maxSnapshotsPerTrigger; checkpointHint restores the cursor
+    from a WAL so the first restart announcement is bounded too."""
+    import datetime as dt
+    import json
+    import os
+
+    from maestro_spark import schema as S
+    from maestro_spark.feed import TableChangesStreamReader, feed_schema
+    from maestro_spark.merge import merge_batch
+
+    src = LakeTable.create(spark, str(tmp_path / "clamp_lake"), n_buckets=4)
+    ts = dt.datetime(2025, 1, 1)
+    for eid in range(6):
+        merge_batch(src, spark.createDataFrame(
+            [(eid + 1, "insert", "A", eid, None, f"a{eid}", None, ts)],
+            S.CHANGE_EVENT_SCHEMA), "q", eid)
+    tip = src.snapshot().snapshot_id
+    assert tip >= 6
+
+    sch = feed_schema(src.root)
+
+    # no clamp option: always the tip
+    r = TableChangesStreamReader(sch, {"path": src.root})
+    assert r.latestOffset() == {"snapshot": tip}
+
+    # clamp set, no cursor yet: unclamped (availableNow must drain fully)
+    r = TableChangesStreamReader(sch, {"path": src.root,
+                                       "maxsnapshotspertrigger": "2"})
+    assert r.latestOffset() == {"snapshot": tip}
+    # once a batch end is seen, announcements advance two snapshots at a time
+    r.partitions({"snapshot": 0}, {"snapshot": 1})
+    assert r.latestOffset() == {"snapshot": 3}
+    r.partitions({"snapshot": 1}, {"snapshot": 3})
+    assert r.latestOffset() == {"snapshot": 5}
+    # never past the tip
+    r.partitions({"snapshot": 3}, {"snapshot": tip - 1})
+    assert r.latestOffset() == {"snapshot": tip}
+
+    # checkpointHint: the cursor comes from the offset WAL before any
+    # partitions() call, so a restarted query's first batch is bounded
+    ckpt = tmp_path / "clamp_ckpt" / "offsets"
+    os.makedirs(ckpt)
+    (ckpt / "0").write_text("v1\n{}\n" + json.dumps({"snapshot": 2}))
+    r = TableChangesStreamReader(sch, {"path": src.root,
+                                       "maxsnapshotspertrigger": "2",
+                                       "checkpointhint": str(tmp_path / "clamp_ckpt")})
+    assert r.latestOffset() == {"snapshot": 4}

@@ -132,3 +132,58 @@ def test_cli_sql_subcommand(spark, table, capsys, monkeypatch):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"rows": 2' in out
+
+
+def test_register_catalog_discovers_and_joins(spark, tmp_path, capsys, monkeypatch):
+    """register_catalog: every table under a warehouse dir becomes a SQL
+    view (plus __files/__history metadata views) in one call — cross-table
+    joins and ops queries work with zero engine-API calls afterward."""
+    from maestro_spark.lake import register_catalog
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    (wh / "not_a_table").mkdir()  # must be skipped, not crashed on
+    convs = LakeTable.create(spark, str(wh / "convs"), n_buckets=4)
+    merge_batch(convs, _events(spark, [
+        (1, "insert", "A", 0, "a0"),
+        (2, "insert", "B", 0, "b0"),
+    ]), "q", 0)
+    tags = LakeTable.create(spark, str(wh / "tags"), n_buckets=4)
+    merge_batch(tags, _events(spark, [
+        (1, "insert", "A", 0, "vip"),
+    ]), "q", 0)
+
+    tables = register_catalog(spark, str(wh))
+    assert sorted(tables) == ["convs", "tags"]
+
+    got = spark.sql(
+        "SELECT c.conv_id, c.text, t.text AS tag FROM convs c "
+        "LEFT JOIN tags t ON c.conv_id = t.conv_id AND c.turn_idx = t.turn_idx "
+        "ORDER BY c.conv_id"
+    ).collect()
+    assert [(r["conv_id"], r["text"], r["tag"]) for r in got] == [
+        ("A", "a0", "vip"), ("B", "b0", None)]
+
+    # metadata views: ops queries over files/history without data IO
+    files = spark.sql(
+        "SELECT count(*) AS n, sum(rows) AS r FROM convs__files").collect()[0]
+    assert files["n"] >= 1 and files["r"] == 2
+    hist = spark.sql(
+        "SELECT max(snapshot_id) AS tip FROM convs__history").collect()[0]
+    assert hist["tip"] == convs.snapshot().snapshot_id
+
+    # re-registration refreshes the pin (snapshot isolation until then)
+    merge_batch(convs, _events(spark, [(3, "insert", "C", 0, "c0")]), "q", 1)
+    assert spark.sql("SELECT count(*) AS n FROM convs").collect()[0]["n"] == 2
+    register_catalog(spark, str(wh))
+    assert spark.sql("SELECT count(*) AS n FROM convs").collect()[0]["n"] == 3
+
+    # CLI twin: `sql --warehouse` registers the whole catalog
+    from maestro_spark.__main__ import main
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = main(["sql", "SELECT count(*) AS n FROM convs c JOIN tags t "
+               "ON c.conv_id = t.conv_id", "--warehouse", str(wh)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"rows": 1' in out and "tags__history" not in out
