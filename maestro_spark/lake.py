@@ -2029,6 +2029,7 @@ def register_catalog(
     warehouse: str,
     prefix: str = "",
     metadata_views: bool = True,
+    changes_views: bool = True,
 ) -> dict[str, "LakeTable"]:
     """Catalog-level SQL registration (the Iceberg-catalog parity shim):
     discover every lake table directly under ``warehouse`` (any child dir
@@ -2038,6 +2039,12 @@ def register_catalog(
       :meth:`LakeTable.create_view`)
     - ``<prefix><name>__files`` / ``<prefix><name>__history`` — the
       metadata tables (zero data IO; manifest + zone-map stats only)
+    - ``<prefix><name>__changes`` — the CDC feed over the retained
+      snapshot horizon (Delta ``table_changes`` parity): one net row per
+      key changed since the earliest retained snapshot, tombstones as
+      ``op='delete'`` with their winning ``lsn``; skipped (not an error)
+      when the retained range spans a rollback, where the added-files feed
+      cannot express the delta and consumers re-sync from a full read
 
     so an analyst session becomes ``register_catalog(spark, wh)`` followed
     by plain ``spark.sql`` over every table, including joins across tables
@@ -2055,5 +2062,16 @@ def register_catalog(
         if metadata_views:
             t.meta_files().createOrReplaceTempView(f"{prefix}{entry}__files")
             t.meta_snapshots().createOrReplaceTempView(f"{prefix}{entry}__history")
+        if changes_views:
+            try:
+                t.changes(t.snapshot_ids()[0]).createOrReplaceTempView(
+                    f"{prefix}{entry}__changes"
+                )
+            except ValueError:
+                # retained range spans a rollback: the added-files feed
+                # cannot express removed files — consumers re-sync from a
+                # full read, and the data/metadata views above still stand;
+                # drop any stale pin so nothing silently serves old changes
+                spark.catalog.dropTempView(f"{prefix}{entry}__changes")
         tables[entry] = t
     return tables

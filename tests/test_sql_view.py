@@ -187,3 +187,39 @@ def test_register_catalog_discovers_and_joins(spark, tmp_path, capsys, monkeypat
     assert rc == 0
     out = capsys.readouterr().out
     assert '"rows": 1' in out and "tags__history" not in out
+
+
+def test_register_catalog_changes_view(spark, tmp_path):
+    """__changes view: the CDC feed over the retained horizon is plain SQL
+    (Delta table_changes parity) — net row per changed key, tombstones as
+    op='delete'; a rollback in the retained range degrades to 'view
+    skipped', never a registration failure."""
+    from maestro_spark.lake import register_catalog
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    convs = LakeTable.create(spark, str(wh / "convs"), n_buckets=4)
+    merge_batch(convs, _events(spark, [
+        (1, "insert", "A", 0, "a0"),
+        (2, "insert", "B", 0, "b0"),
+    ]), "q", 0)
+    merge_batch(convs, _events(spark, [
+        (3, "update", "A", 0, "a0-v2"),
+        (4, "delete", "B", 0, None),
+    ]), "q", 1)
+
+    register_catalog(spark, str(wh))
+    rows = {(r["conv_id"], r["op"]): (r["text"], r["lsn"]) for r in spark.sql(
+        "SELECT conv_id, op, text, lsn FROM convs__changes").collect()}
+    # net change per key over the whole retained history, max-LSN winners
+    assert rows[("A", "upsert")] == ("a0-v2", 3)
+    assert rows[("B", "delete")][1] == 4
+
+    # rollback in the retained range: data/metadata views still register,
+    # the changes view is skipped (added-files feed can't express removals)
+    convs.rollback(convs.snapshot_ids()[-2])
+    tables = register_catalog(spark, str(wh))
+    assert "convs" in tables
+    assert spark.sql("SELECT count(*) AS n FROM convs").collect()[0]["n"] == 2
+    # the stale pre-rollback pin must be dropped, not silently served
+    assert not spark.catalog.tableExists("convs__changes")
