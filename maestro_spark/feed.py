@@ -50,12 +50,20 @@ from maestro_spark.lake import SNAP_DIR, load_snapshot
 FORMAT_NAME = "table_changes"
 
 # immutable-manifest cache shared by every reader in this process (the
-# stream planner re-reads the same snapshots once per microbatch)
+# stream planner re-reads the same snapshots once per microbatch). Bounded:
+# a long-running stream over a frequently-compacted table would otherwise
+# accumulate every full-table manifest ever seen for the life of the driver
+# — evict oldest-inserted once the cap is hit (manifests are immutable, so
+# eviction only costs a re-read, never correctness).
 _MANIFEST_CACHE: dict[str, dict] = {}
+_MANIFEST_CACHE_MAX = 4096
 
 
 def _snap(root: str, sid: int):
-    return load_snapshot(root, sid, cache=_MANIFEST_CACHE)
+    snap = load_snapshot(root, sid, cache=_MANIFEST_CACHE)
+    while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    return snap
 
 
 def _current_sid(root: str) -> int:
@@ -79,6 +87,26 @@ def feed_schema(root: str) -> StructType:
     return StructType(
         [*fields, StructField("op", StringType(), True), StructField("lsn", LongType(), True)]
     )
+
+
+def _wal_offset(ckpt_dir: str | None) -> int | None:
+    """Last planned feed offset from a Spark checkpoint's offset WAL
+    (best-effort: None on any miss/parse failure)."""
+    if not ckpt_dir:
+        return None
+    try:
+        d = os.path.join(ckpt_dir, "offsets")
+        batches = sorted((f for f in os.listdir(d) if f.isdigit()), key=int)
+        if not batches:
+            return None
+        with open(os.path.join(d, batches[-1])) as fh:
+            last = fh.read().strip().splitlines()[-1]
+        obj = json.loads(last)
+        if isinstance(obj, str):
+            obj = json.loads(obj)
+        return int(obj["snapshot"])
+    except Exception:  # noqa: BLE001 — unparseable WAL: caller falls back
+        return None
 
 
 @dataclass
@@ -115,22 +143,17 @@ class TableChangesStreamReader(DataSourceStreamReader):
         """Best-effort restart cursor from Spark's offset WAL under the
         checkpoint dir (same recovery as cdc_binlog, source.py:60): makes
         ``maxSnapshotsPerTrigger`` bound the catch-up batch of a RESTARTED
-        query too, instead of one unbounded first batch."""
-        if not self.checkpoint_hint:
+        query too, instead of one unbounded first batch.
+
+        Validated before use: the WAL's last line could belong to a DIFFERENT
+        source (multi-source query) or a future layout — a restored cursor
+        below ``startingSnapshot`` would make latestOffset announce an offset
+        BEHIND the committed start (stall/fail), so anything implausible
+        degrades to None (= unclamped first batch), never to a bad clamp."""
+        cur = _wal_offset(self.checkpoint_hint)
+        if cur is not None and cur < self.start_snapshot:
             return None
-        try:
-            d = os.path.join(self.checkpoint_hint, "offsets")
-            batches = sorted((f for f in os.listdir(d) if f.isdigit()), key=int)
-            if not batches:
-                return None
-            with open(os.path.join(d, batches[-1])) as fh:
-                last = fh.read().strip().splitlines()[-1]
-            obj = json.loads(last)
-            if isinstance(obj, str):
-                obj = json.loads(obj)
-            return int(obj["snapshot"])
-        except Exception:  # noqa: BLE001 — unparseable WAL: fall back unclamped
-            return None
+        return cur
 
     def initialOffset(self) -> dict:
         return {"snapshot": self.start_snapshot}
@@ -263,8 +286,14 @@ def stream_replicate(
     ckpt = checkpoint or os.path.join(dst_root, "_feed_checkpoint")
     reader = spark.readStream.format(FORMAT_NAME).option("path", src_root)
     if max_snapshots_per_trigger:
-        # bounded catch-up for processing-time subscribers (no effect on
-        # availableNow drains — see TableChangesStreamReader.latestOffset)
+        # Bounded batches for BOTH modes. checkpointHint makes the clamp
+        # effective from the first trigger of a restart — but Spark captures
+        # ONE target offset per availableNow run for Python sources, so a
+        # clamped restarted drain covers at most N snapshots per start():
+        # the availableNow branch below therefore LOOPS start/awaitTermination
+        # until the WAL cursor reaches the source tip, so a drain is never
+        # silently truncated to N snapshots (each leg is exactly-once via
+        # merge_batch's epoch keys, so the loop is crash/retry-safe).
         reader = reader.option(
             "maxSnapshotsPerTrigger", str(max_snapshots_per_trigger)
         ).option("checkpointHint", ckpt)
@@ -277,7 +306,14 @@ def stream_replicate(
 
     writer = feed.writeStream.foreachBatch(apply).option("checkpointLocation", ckpt)
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        tip = _current_sid(src_root)
+        while True:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            if not max_snapshots_per_trigger:
+                break  # unclamped drain: one run covers everything
+            applied = _wal_offset(ckpt)
+            if applied is None or applied >= tip:
+                break
         return dst
     return writer.start()

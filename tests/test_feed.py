@@ -247,3 +247,66 @@ def test_feed_latest_offset_clamp_contract(spark, tmp_path):
                                        "maxsnapshotspertrigger": "2",
                                        "checkpointhint": str(tmp_path / "clamp_ckpt")})
     assert r.latestOffset() == {"snapshot": 4}
+
+
+def test_replicate_available_now_restart_with_clamp_fully_drains(spark, tmp_path):
+    """r3 advice (high): a RESTARTED availableNow drain with
+    maxSnapshotsPerTrigger used to be truncated to N snapshots — Spark
+    captures one target offset per run and checkpointHint made the clamp
+    engage from the first trigger — leaving the replica silently stale.
+    stream_replicate now loops start/awaitTermination until the WAL cursor
+    reaches the source tip, so the drain is bounded AND complete."""
+    src = _mk_source(spark, tmp_path, seed=71)
+    replay(spark, str(tmp_path / "log"), src, query_id="s", max_epochs=1)
+
+    # first drain: fresh checkpoint (unclamped first batch by design)
+    dst = stream_replicate(
+        spark, src.root, str(tmp_path / "replica"), query_id="rep",
+        max_snapshots_per_trigger=2,
+    )
+    assert _eq(src, dst)
+
+    # while the subscriber is down, MORE than max_snapshots epochs land
+    replay(spark, str(tmp_path / "log"), src, query_id="s", start_epoch=1)
+    assert src.snapshot().snapshot_id - dst.snapshot().snapshot_id >= 0
+
+    # restarted availableNow drain with the clamp: must reach the tip, not
+    # stop after 2 snapshots
+    dst = stream_replicate(
+        spark, src.root, str(tmp_path / "replica"), query_id="rep",
+        max_snapshots_per_trigger=2,
+    )
+    assert _eq(src, dst)
+
+
+def test_feed_restored_cursor_below_start_is_ignored(spark, tmp_path):
+    """r3 advice (low): a WAL line from the wrong source (or a corrupt one)
+    restoring a cursor BELOW startingSnapshot must degrade to unclamped,
+    never announce an offset behind the committed start."""
+    import datetime as dt
+    import json
+    import os
+
+    from maestro_spark import schema as S
+    from maestro_spark.feed import TableChangesStreamReader, feed_schema
+    from maestro_spark.merge import merge_batch
+
+    src = LakeTable.create(spark, str(tmp_path / "vlake"), n_buckets=4)
+    ts = dt.datetime(2025, 1, 1)
+    for eid in range(5):
+        merge_batch(src, spark.createDataFrame(
+            [(eid + 1, "insert", "A", eid, None, f"a{eid}", None, ts)],
+            S.CHANGE_EVENT_SCHEMA), "q", eid)
+    tip = src.snapshot().snapshot_id
+
+    ckpt = tmp_path / "v_ckpt" / "offsets"
+    os.makedirs(ckpt)
+    # wrong-source offset: far below the configured start
+    (ckpt / "0").write_text("v1\n{}\n" + json.dumps({"snapshot": 1}))
+    sch = feed_schema(src.root)
+    r = TableChangesStreamReader(sch, {
+        "path": src.root, "startingsnapshot": "3",
+        "maxsnapshotspertrigger": "1",
+        "checkpointhint": str(tmp_path / "v_ckpt")})
+    # bogus restore ignored -> unclamped (tip), never {"snapshot": 2} (< start)
+    assert r.latestOffset() == {"snapshot": tip}
