@@ -930,26 +930,81 @@ class LakeTable:
         ]
         if not missing:
             return 0
-        extra = self._build_key_blooms(missing)
-        self.file_stats.merge_extra(extra)
-        return len(extra)
+        # Bounded backfill (r3 verdict #1): a mature table's first serving-prep
+        # call can cover the WHOLE table — one job over all missing files would
+        # hold every finished bitset at once and, worse, plan one giant scan.
+        # Chunk the file list so each job scans a bounded file set and the
+        # driver holds at most one chunk's finished ~KB bitsets (the bitsets
+        # themselves are assembled EXECUTOR-side — see _build_key_blooms).
+        batch = int(self.spark.conf.get("maestro.bloom.backfillBatchFiles", "256"))
+        built = 0
+        for i in range(0, len(missing), batch):
+            extra = self._build_key_blooms(missing[i : i + batch])
+            self.file_stats.merge_extra(extra)
+            built += len(extra)
+        return built
 
     def _build_key_blooms(self, rels: list[str]) -> dict[str, dict]:
-        """Per-file conv_id bloom filters for freshly-written files — pure
-        JVM data path: one column-pruned scan of the new (page-cache-warm)
-        files computing the two base hashes with codegen ``xxhash64``
-        (``h2`` chains the key through its own hash, the form the driver's
-        pure-Python twin replicates for probing), then a per-file
-        ``collect_set`` whose MAP-SIDE partials dedupe before the shuffle —
-        the exchange and the collect carry only distinct 16-byte hash pairs
-        per file (metadata-scale), never key strings. Bitsets are assembled
-        on the driver by filestats.bloom_from_pairs; parity with the
-        all-driver filestats.build_bloom twin is property-tested in
-        tests/test_lookup.py."""
+        """Per-file conv_id bloom filters — the data path never touches the
+        driver: one column-pruned scan of the files computing the two base
+        hashes with codegen ``xxhash64`` (``h2`` chains the key through its
+        own hash, the form the driver's pure-Python twin replicates for
+        probing), a per-(file, pair) distinct whose MAP-SIDE partials dedupe
+        before the shuffle (the exchange carries distinct 16-byte hash pairs,
+        never key strings), then a per-file Arrow ``applyInPandas`` that
+        packs the bitset EXECUTOR-side with vectorized numpy. The driver
+        collects only finished ≤32 KiB bitsets — O(files), not O(keys) —
+        so a whole-table backfill at the 10^10-event target stays KB-scale
+        per file on the driver heap (r3 verdict #1). Bit-identical to the
+        all-driver filestats.build_bloom twin (property-tested in
+        tests/test_lookup.py): m | 2^64, so uint64 wraparound then ``% m``
+        equals exact arithmetic ``% m``."""
         from urllib.parse import unquote, urlparse
+
+        from pyspark.sql.types import LongType, StringType, StructField
+        from pyspark.sql.types import StructType as _St
 
         from maestro_spark import filestats as FS
 
+        k, bpk, max_bits = FS.BLOOM_K, FS.BLOOM_BITS_PER_KEY, FS.BLOOM_MAX_BITS
+
+        def _assemble(pdf):
+            import base64
+
+            import numpy as np
+            import pandas as pd
+
+            n = len(pdf)
+            m = 1024
+            while m < bpk * n and m < max_bits:
+                m <<= 1
+            h1 = pdf["_h1"].to_numpy(np.int64).astype(np.uint64)
+            h2 = pdf["_h2"].to_numpy(np.int64).astype(np.uint64)
+            ks = np.arange(k, dtype=np.uint64)
+            pos = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).ravel(),
+                (np.uint64(1) << (pos & np.uint64(7))).ravel().astype(np.uint8),
+            )
+            return pd.DataFrame(
+                {
+                    "_file": [pdf["_file"].iloc[0]],
+                    "m": [m],
+                    "k": [k],
+                    "b64": [base64.b64encode(bits.tobytes()).decode()],
+                }
+            )
+
+        out_schema = _St(
+            [
+                StructField("_file", StringType()),
+                StructField("m", LongType()),
+                StructField("k", LongType()),
+                StructField("b64", StringType()),
+            ]
+        )
         paths = [os.path.join(self.root, r) for r in rels]
         rows = (
             self.spark.read.parquet(*paths)
@@ -958,25 +1013,35 @@ class LakeTable:
                 F.xxhash64("conv_id").alias("_h1"),
                 F.xxhash64("conv_id", "conv_id").alias("_h2"),
             )
+            .distinct()  # per-file distinct pairs, map-side partial dedup
             .groupBy("_file")
-            .agg(F.collect_set(F.struct("_h1", "_h2")).alias("_pairs"))
+            .applyInPandas(_assemble, out_schema)
             .collect()
         )
-        by_path = {}
+        # Map JVM file URIs back to rels by their trailing path components
+        # (DATA_DIR/pk_bucket=N/file.parquet) — abspath equality only worked
+        # for local file:// roots; a suffix match is URI-scheme-agnostic.
+        def _key(p: str) -> tuple:
+            return tuple(p.replace(os.sep, "/").rstrip("/").split("/")[-3:])
+
+        rel_by_key = {_key(rel): rel for rel in rels}
+        extra: dict[str, dict] = {}
         for r in rows:
             p = (
                 unquote(urlparse(r["_file"]).path)
                 if "://" in r["_file"] or r["_file"].startswith("file:")
                 else r["_file"]
             )
-            bl = FS.bloom_from_pairs((pr["_h1"], pr["_h2"]) for pr in r["_pairs"])
-            if bl is not None:
-                by_path[os.path.abspath(p)] = bl
-        extra = {}
-        for rel in rels:
-            bl = by_path.get(os.path.abspath(os.path.join(self.root, rel)))
-            if bl is not None:
-                extra[rel] = {FS.BLOOM_FIELD: bl}
+            rel = rel_by_key.get(_key(p))
+            if rel is None:
+                raise ValueError(
+                    f"key-bloom build: scanned file {r['_file']!r} matches no "
+                    "requested rel — path mapping bug, refusing to persist a "
+                    "misattributed bloom"
+                )
+            extra[rel] = {
+                FS.BLOOM_FIELD: {"m": int(r["m"]), "k": int(r["k"]), "b64": r["b64"]}
+            }
         return extra
 
     def _validate_gap(

@@ -324,3 +324,55 @@ def test_lookup_degrades_without_blooms_then_backfills(spark, tmp_path):
     assert total == 2 and len(cand) == 1  # epoch-2 delta now pruned
     assert [r.text for r in t.lookup(kA).collect()] == ["a0v2"]
     assert [r.text for r in t.lookup(kB).collect()] == ["b0"]
+
+
+def test_bloom_backfill_is_chunked_and_collects_only_bitsets(spark, tmp_path):
+    """r3 verdict #1: the backfill must never collect key/hash PAIRS to the
+    driver (a whole-table first call at 10^10 events would be GBs of heap) —
+    bitsets are assembled executor-side and the file list is chunked.
+    Asserted by (a) poisoning the driver-side pair assembler: the backfill
+    must succeed without it; (b) running with backfillBatchFiles=2 over >4
+    files: one stats shard lands per chunk, and pruning/parity still hold."""
+    import os
+
+    from maestro_spark import filestats as FS
+
+    log = generate(GenConfig(seed=33, n_convs=30, segment_rows=200))
+    write_log(log, str(tmp_path / "log"), segment_rows=200)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=8)
+    replay(spark, str(tmp_path / "log"), t, query_id="bb")
+    n_files = sum(len(ps) for ps in t.snapshot().files.values())
+    assert n_files > 4
+
+    shards_before = len(
+        [f for f in os.listdir(os.path.join(t.root, "_snapshots"))
+         if f.startswith(FS.SHARD_PREFIX)]
+    )
+    orig = FS.bloom_from_pairs
+    FS.bloom_from_pairs = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("driver-side pair assembly in the backfill path")
+    )
+    spark.conf.set("maestro.bloom.backfillBatchFiles", "2")
+    try:
+        assert t.build_key_blooms() == n_files
+    finally:
+        FS.bloom_from_pairs = orig
+        spark.conf.unset("maestro.bloom.backfillBatchFiles")
+
+    shards_after = len(
+        [f for f in os.listdir(os.path.join(t.root, "_snapshots"))
+         if f.startswith(FS.SHARD_PREFIX)]
+    )
+    # one merge_extra shard per chunk of <=2 files
+    assert shards_after - shards_before >= (n_files + 1) // 2
+    # blooms landed complete and correct (spot parity on one file)
+    import pyarrow.parquet as pq
+
+    rel = next(p for ps in t.snapshot().files.values() for p in ps)
+    st = t.file_stats.get(rel)
+    assert st and FS.BLOOM_FIELD in st
+    vals = set(
+        pq.read_table(os.path.join(t.root, rel), columns=["conv_id"])
+        .column(0).to_pylist()
+    )
+    assert FS.build_bloom(vals) == st[FS.BLOOM_FIELD]
