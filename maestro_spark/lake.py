@@ -2052,9 +2052,22 @@ class LakeTable:
                     orphans.append(rel)
         return orphans
 
-    def vacuum(self) -> int:
-        """Delete orphan data files + stale staging dirs. Safe at any time:
-        orphans are unreachable by definition (commit = snapshot publish)."""
+    def vacuum(self, manifest_grace_seconds: float | None = None) -> int:
+        """Delete orphan data files + stale staging dirs + unreferenced
+        manifests. Data-file orphans are unreachable by definition (commit =
+        snapshot publish), BUT an in-flight commit's artifacts exist before
+        its snapshot does: its data files live in a ``_staging-`` dir (never
+        touched until renamed into place) and its manifest is written once
+        and held across the whole CAS validate/rebase retry loop. Manifest GC
+        therefore skips anything younger than a grace period (mtime-based,
+        the Iceberg orphan-cleanup rule; default
+        ``maestro.vacuum.manifestGraceSeconds`` = 300) — concurrent-writer
+        safety holds as long as no single commit attempt outlives the grace.
+        Pass ``manifest_grace_seconds=0`` only when no writer can be mid-commit."""
+        if manifest_grace_seconds is None:
+            manifest_grace_seconds = float(
+                self.spark.conf.get("maestro.vacuum.manifestGraceSeconds", "300")
+            )
         n = 0
         for rel in self.orphan_files():
             os.unlink(os.path.join(self.root, rel))
@@ -2063,22 +2076,27 @@ class LakeTable:
             if entry.startswith("_staging-"):
                 shutil.rmtree(os.path.join(self.root, entry), ignore_errors=True)
         # manifest GC: m-*.json referenced by no retained snapshot (expired
-        # history, CAS-loser leftovers). Same writer-exclusion contract as
-        # data-file orphans: vacuum must not race an in-flight commit, whose
-        # manifest exists before its snapshot does.
+        # history, CAS-loser leftovers) and older than the grace period.
         referenced: set[str] = set()
         for sid in self.snapshot_ids():
             ml = self.snapshot(sid).manifest_list
             if ml:
                 referenced.update(ml)
         sdir = os.path.join(self.root, SNAP_DIR)
+        now = time.time()
         for fn in os.listdir(sdir):
             if (
                 fn.startswith(MANIFEST_PREFIX)
                 and fn.endswith(".json")
                 and fn not in referenced
             ):
-                os.unlink(os.path.join(sdir, fn))
+                p = os.path.join(sdir, fn)
+                try:
+                    if now - os.path.getmtime(p) < manifest_grace_seconds:
+                        continue  # possibly an in-flight commit's manifest
+                except OSError:
+                    continue  # raced a concurrent delete
+                os.unlink(p)
                 self._manifest_cache.pop(fn, None)
         if n:
             live: set[str] = set()

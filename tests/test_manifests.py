@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import time
 
 import pyspark.sql.functions as F
 
@@ -133,7 +134,12 @@ def test_vacuum_gcs_unreferenced_manifests(spark, tmp_path):
     # expire all but the tip; its manifest list still names every manifest
     # it depends on, so nothing load-bearing may be GC'd
     t.expire_snapshots(keep_last=1)
+    # the stray is mtime-fresh: the default grace period protects it (it
+    # could be an in-flight commit's manifest) -- grace=0 asserts the caller
+    # knows no writer is mid-commit and GCs it
     t.vacuum()
+    assert os.path.exists(stray)
+    t.vacuum(manifest_grace_seconds=0)
     assert not os.path.exists(stray)
     live = {fn for fn in os.listdir(sdir) if fn.startswith(MANIFEST_PREFIX)}
     assert live == set(t.snapshot().manifest_list)
@@ -214,3 +220,29 @@ def test_append_rebase_keeps_o_new_files_shape(spark, tmp_path):
     assert len(tip.manifest_list) == len(base_list) + 2
     got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in a.read().collect()}
     assert got == {("A", 0): "a0", ("B", 0): "b0", ("C", 0): "c0"}
+
+
+def test_vacuum_grace_protects_in_flight_commit_manifest(spark, tmp_path):
+    """r3 advice (medium): an append commit writes its manifest once and
+    holds it across the CAS validate/rebase retry loop BEFORE publishing its
+    snapshot — a concurrent vacuum must not GC it, or the published snapshot
+    references a missing manifest and the table is unreadable. The
+    mtime-based grace period (Iceberg orphan-cleanup rule) covers that
+    window; backdating the mtime past the grace makes GC proceed."""
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=2)
+    merge_batch(t, _events(spark, [(1, "insert", "A", 0, "a0")]), "q", 0)
+    sdir = os.path.join(t.root, SNAP_DIR)
+
+    # simulate the in-flight writer: a manifest exists, its snapshot not yet
+    inflight = os.path.join(sdir, f"{MANIFEST_PREFIX}aaaaaaaaaaaaaaaa.json")
+    with open(inflight, "w") as fh:
+        json.dump({"0": ["data/pk_bucket=0/pending.parquet"]}, fh)
+
+    assert t.vacuum() == 0  # default grace: the in-flight manifest survives
+    assert os.path.exists(inflight)
+
+    # same manifest long abandoned (CAS loser from an old crash): GC'd
+    old = time.time() - 7200
+    os.utime(inflight, (old, old))
+    t.vacuum()
+    assert not os.path.exists(inflight)
