@@ -615,3 +615,109 @@ def duplicated_window_stats(
             ),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 40,
+    min_docs: int = 2,
+    mode: str = "exact",
+) -> DataFrame:
+    """Exact substring DEDUP (the transform the Lee et al. substring family
+    actually ships, not just the detector): excise from every document every
+    maximal span covered by ``length``-char windows that appear in at least
+    ``min_docs`` DISTINCT documents. Overlapping/adjacent flagged windows are
+    merged per document into maximal spans, so the removed regions are
+    exactly the duplicated substrings of >= ``length`` chars (the Lee-et-al
+    guarantee, stride 1); every occurrence is removed, matching the
+    reference ExactSubstr behavior where a shared passage survives in no
+    copy. Within-document repeats alone are NOT flagged (min_docs counts
+    distinct documents), consistent with :func:`duplicated_window_stats`.
+
+    Plan shape (the 100 TB lens): the flag side is the detector's plan
+    (scan-stage sequence-explode + substring, map-side-combined distinct
+    (window, doc) aggregate, small cross-doc count, semi-join back) plus ONE
+    extra shuffle — the per-doc groupBy that assembles flagged window starts
+    — and zero Python: span merging is a sort_array + ``aggregate``
+    higher-order fold, excision a second fold slicing the untouched
+    segments. Per-doc state is bounded by the doc's own length (flagged
+    starts), the same bound the explode already admits. ``mode='hashed'``
+    shuffles 8-byte xxhash64 keys instead of window bytes, identical output
+    short of a ~2^-64/pair collision (pytest-asserted equal).
+
+    Output: the input columns with ``text_col`` replaced by the cleaned
+    text, plus ``n_dup_spans`` and ``dup_chars_removed`` (both BIGINT).
+    Documents shorter than ``length`` or with no flagged window pass
+    through unchanged with 0/0.
+    """
+    txt = F.col(text_col)
+    eligible = docs.select(F.col(id_col).alias("_sid"), txt.alias("_t")).where(
+        F.length("_t") >= length
+    )
+    pos = F.sequence(F.lit(0), F.length(F.col("_t")) - length)
+    w = eligible.select("_sid", F.col("_t"), F.explode(pos).alias("_p")).select(
+        "_sid",
+        "_p",
+        F.substring(F.col("_t"), F.col("_p") + 1, F.lit(length)).alias("_w"),
+    )
+    key = F.col("_w") if mode == "exact" else F.xxhash64("_w")
+    wk = w.select("_sid", "_p", key.alias("_k"))
+    flagged = (
+        wk.select("_k", "_sid")
+        .distinct()
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    hits = wk.join(flagged, "_k", "left_semi").select("_sid", "_p")
+    # per-doc sorted flagged starts -> merged maximal [s, e) spans: one
+    # shuffle, then a codegen higher-order fold (starts are sorted ascending
+    # and windows share one length, so overlap/adjacency is p <= prev.e)
+    spans = hits.groupBy("_sid").agg(
+        F.sort_array(F.collect_list("_p")).alias("_ps")
+    ).select(
+        "_sid",
+        F.expr(
+            f"""aggregate(
+                  _ps,
+                  CAST(array() AS array<struct<s:int,e:int>>),
+                  (acc, p) -> CASE
+                    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+                    THEN concat(slice(acc, 1, size(acc) - 1),
+                                array(named_struct('s', element_at(acc, -1).s,
+                                                   'e', p + {int(length)})))
+                    ELSE concat(acc,
+                                array(named_struct('s', p, 'e', p + {int(length)})))
+                  END)"""
+        ).alias("_spans"),
+    )
+    out = docs.join(
+        spans.withColumnRenamed("_sid", id_col), id_col, "left"
+    )
+    cleaned = F.expr(
+        f"""CASE WHEN _spans IS NULL THEN {text_col} ELSE
+              concat(
+                aggregate(
+                  _spans,
+                  named_struct('cur', 0, 'acc', CAST('' AS string)),
+                  (st, sp) -> named_struct(
+                    'cur', sp.e,
+                    'acc', concat(st.acc,
+                                  substring({text_col}, st.cur + 1, sp.s - st.cur)))
+                ).acc,
+                substring({text_col}, element_at(_spans, -1).e + 1))
+            END"""
+    )
+    removed = F.expr(
+        "CAST(coalesce(aggregate(_spans, 0, (a, sp) -> a + sp.e - sp.s), 0) AS BIGINT)"
+    )
+    keep = [c for c in docs.columns if c != text_col]
+    return out.select(
+        *keep,
+        cleaned.alias(text_col),
+        F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        removed.alias("dup_chars_removed"),
+    )

@@ -655,6 +655,10 @@ def _finalize_registration_order() -> None:
         # the training-data curation capstones are first-class per the task
         # brief — they outrank a 2nd-of-family scalar row for a driver slot
         "q_curate", "q_dedup_groups", "q_pii_redact", "q_rep_filter",
+        # round 4: exact substring dedup rotates IN (r3 verdict ask #8 for
+        # the detector; the transform is this round's new operator row) —
+        # both proven oracle-exact out-of-window via check_oracles first
+        "q_substring_dup", "q_substring_dedup",
     ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
@@ -668,10 +672,6 @@ def _finalize_registration_order() -> None:
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
         "q_ingest_json",
-        # q_substring_dup (round 3): held OUT of the window this round per
-        # the zero-driver-red discipline — the proven-green 50 stay put; it
-        # is oracle-exact locally (check_oracles) and pytest-guaranteed
-        "q_substring_dup",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw
@@ -698,6 +698,11 @@ def _finalize_registration_order() -> None:
         # the error-channel signal) yield their slots to the promoted
         # curation capstones; all four were driver-green in r1 and stay
         # oracle-checked locally
+        # q_clean / q_win_lag demoted (round 4) for the two substring-dedup
+        # rows: B5's cleaner chain is composed verbatim inside the in-window
+        # q_curate capstone, and E2's lag machinery runs inside the in-window
+        # q_session oracle — both stay oracle-checked locally
+        "q_clean", "q_win_lag",
         "q_fn_hash", "q_fn_array", "q_fn_json", "q_validate",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",

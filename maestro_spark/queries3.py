@@ -581,3 +581,77 @@ def q_substring_dup(spark, sf_dir):
     return dd.duplicated_window_stats(
         d, text_col="text", id_col="doc_id", length=40, stride=1, min_docs=2
     )
+
+
+@q(
+    "q_substring_dedup",
+    """WITH pos AS (
+         SELECT doc_id, text,
+                unnest(generate_series(0, length(text) - 40, 1)) AS g
+         FROM documents WHERE length(text) >= 40),
+       w AS (SELECT doc_id, CAST(g AS INTEGER) AS p,
+                    substr(text, CAST(g AS INTEGER) + 1, 40) AS wnd
+             FROM pos),
+       flag AS (SELECT wnd FROM (SELECT DISTINCT doc_id, wnd FROM w)
+                GROUP BY wnd HAVING count(*) >= 2),
+       hits AS (SELECT DISTINCT doc_id, p FROM w
+                WHERE wnd IN (SELECT wnd FROM flag)),
+       isl AS (SELECT doc_id, p,
+                      CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                                IS NOT NULL
+                            AND p <= lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 40
+                           THEN 0 ELSE 1 END AS brk
+               FROM hits),
+       grp AS (SELECT doc_id, p,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS grp_id
+               FROM isl),
+       spans AS (SELECT doc_id, grp_id, min(p) AS s, max(p) + 40 AS e
+                 FROM grp GROUP BY 1, 2),
+       segs AS (
+         SELECT doc_id,
+                coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+                s AS ge
+         FROM spans
+         UNION ALL
+         SELECT sp.doc_id, max(sp.e), length(d.text)
+         FROM spans sp JOIN documents d USING (doc_id)
+         GROUP BY sp.doc_id, length(d.text)),
+       clean AS (SELECT segs.doc_id,
+                        string_agg(substr(d.text, gs + 1, ge - gs), ''
+                                   ORDER BY gs) AS ct
+                 FROM segs JOIN documents d USING (doc_id)
+                 GROUP BY segs.doc_id),
+       stats AS (SELECT doc_id, count(*) AS n_spans, sum(e - s) AS removed
+                 FROM spans GROUP BY doc_id)
+       SELECT d.doc_id,
+              CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_dup_spans,
+              CAST(coalesce(st.removed, 0) AS BIGINT) AS dup_chars_removed,
+              CAST(length(coalesce(c.ct, d.text)) AS BIGINT) AS clean_len,
+              md5(coalesce(c.ct, d.text)) AS clean_md5
+       FROM documents d
+       LEFT JOIN stats st USING (doc_id)
+       LEFT JOIN clean c USING (doc_id)""",
+)
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring DEDUP — the Lee-et-al transform, not just the
+    detector (functions/dedup_text.remove_duplicated_spans): excise from
+    every document every maximal span covered by 40-char windows shared by
+    >= 2 distinct documents, and emit the cleaned corpus fingerprint
+    (span count, chars removed, cleaned length, cleaned-text md5 — the md5
+    pins the excision CONTENT, not just the arithmetic). The oracle
+    reconstructs the identical spans with gaps-and-islands SQL and
+    reassembles the cleaned text with string_agg over the untouched
+    segments."""
+    d = _t(spark, sf_dir, "documents")
+    from maestro_spark.functions import dedup_text as dd3
+
+    out = dd3.remove_duplicated_spans(
+        d.select("doc_id", "text"), length=40, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_chars_removed",
+        F.length("text").cast("long").alias("clean_len"),
+        F.md5("text").alias("clean_md5"),
+    )

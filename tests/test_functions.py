@@ -563,3 +563,68 @@ def test_substring_dup_stride_screen(spark):
         assert out[i].dup_windows == 3  # windows at 0, 20, 40 lie in the prefix
         full = len(rows[i - 1][1]) - 40 + 1
         assert out[i].total_windows == (full - 1) // 20 + 1
+
+
+def test_remove_duplicated_spans_exact_boundaries(spark):
+    """r3 verdict #3 (detector -> transform): planted shared passages are
+    excised with EXACT span boundaries — the cleaned text is the original
+    minus precisely the shared 60 chars (boundary chars differ on both
+    sides, so no covering window can straddle out of the passage); unique
+    docs and sub-window docs pass through untouched with 0/0."""
+    shared = _hexpad("shared", 60)
+    t1, t2 = _hexpad("t1", 40), _hexpad("t2", 40)
+    rows = [
+        (1, "A" + shared + "B" + t1),
+        (2, "C" + shared + "D" + t2),
+        (3, _hexpad("solo", 100)),
+        (4, "short doc"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup_text.remove_duplicated_spans(
+            d, length=40, min_docs=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # the transform keeps every doc
+    # the span is exactly the shared passage, removed from BOTH docs
+    assert out[1].text == "A" + "B" + t1
+    assert out[2].text == "C" + "D" + t2
+    for i in (1, 2):
+        assert out[i].n_dup_spans == 1
+        assert out[i].dup_chars_removed == 60
+    for i in (3, 4):
+        assert out[i].text == rows[i - 1][1]
+        assert out[i].n_dup_spans == 0 and out[i].dup_chars_removed == 0
+
+
+def test_remove_duplicated_spans_merges_overlaps_and_hashed_mode(spark):
+    """Two shared passages in one doc separated by less than one window
+    length of unique text still yield two DISJOINT spans when the gap
+    windows are unique (no window bridges them), but passages ABUTTING each
+    other merge into one maximal span. mode='hashed' (the 100 TB exchange
+    shape) produces byte-identical output. A doc that is ENTIRELY one
+    shared passage cleans to the empty string."""
+    p1, p2 = _hexpad("p1", 45), _hexpad("p2", 45)
+    rows = [
+        (1, p1 + "x" * 3 + p2),          # two spans, 3-char unique gap
+        (2, _hexpad("f2", 20) + p1 + _hexpad("g2", 20) + p2),
+        (3, p1),                          # whole doc duplicated elsewhere
+        (4, p1 + _hexpad("t4", 50)),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {r.doc_id: r for r in dedup_text.remove_duplicated_spans(
+        d, length=40, min_docs=2).collect()}
+    hashed = {r.doc_id: r for r in dedup_text.remove_duplicated_spans(
+        d, length=40, min_docs=2, mode="hashed").collect()}
+    assert {k: tuple(v) for k, v in exact.items()} == {
+        k: tuple(v) for k, v in hashed.items()
+    }
+    # doc 1: "x"*3 gap is < 40 so every window covering it also covers
+    # unique bytes -> gap survives; the two passages are excised
+    assert exact[1].text == "x" * 3
+    assert exact[1].n_dup_spans == 2 and exact[1].dup_chars_removed == 90
+    # doc 3 is entirely one duplicated passage -> empty after excision
+    assert exact[3].text == "" and exact[3].dup_chars_removed == 45
+    # doc 4 keeps its unique tail intact
+    assert exact[4].text == _hexpad("t4", 50)
