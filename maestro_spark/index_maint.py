@@ -394,3 +394,185 @@ class MaintainedSimhashIndex:
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
         )
+
+
+_IVF_META = "_maint_ivf_meta.json"
+
+
+class MaintainedIvfIndex:
+    """Feed-maintained IVF (k-means coarse-quantized) ANN index over
+    ``base``'s ``vec_col`` payload — ``similarity.update_ivf_index`` given
+    the full :class:`MaintainedLshIndex` treatment (r3 verdict #4):
+
+    - **refresh = O(delta)**: upserted vectors are assigned to the nearest
+      EXISTING centroid (pinned in the index meta between rebuilds — the
+      standard IVF maintenance story) and appended into their ``_list=<c>``
+      dir; the hive layout, hence probe partition pruning, is untouched;
+    - **updates/deletes via LSN dominance**: an updated vector's new row may
+      land in a DIFFERENT list than its stale row, and a delete carries no
+      vector to locate the old list — every feed event therefore also lands
+      one ``(key, lsn)`` row in ``_tombstones/``, and probes drop any
+      candidate an equal-or-newer tombstone dominates (strict ``>`` so an
+      update's own new row survives);
+    - **probe**: driver-side list ranking from the meta's k×dim centroids
+      (no data IO), partition-pruned scan of the ``nprobe`` nearest lists,
+      per-key max-LSN dedupe AMONG candidates, broadcast tombstone
+      anti-join, exact cosine re-rank. With pinned centroids the result
+      equals a probe of a fresh rebuild over base current state (pytest);
+      ``nprobe >= k`` degenerates to exact brute force over live vectors;
+    - **cursor + idempotence + rebuild-as-compaction**: identical marker
+      chain / crash-replay / tombstone-folding contract as the LSH twin.
+      :meth:`rebuild` RE-FITS centroids by default (the drift answer);
+      pass ``centroids=`` to pin them (the equality oracle).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: LakeTable,
+        index_dir: str,
+        vec_col: str = "embedding",
+        k: int = 16,
+        iters: int = 5,
+        seed: int = 42,
+    ):
+        self.spark = spark
+        self.base = base
+        self.dir = index_dir
+        self.vec_col = vec_col
+        self.k = k
+        self.iters = iters
+        self.seed = seed
+        os.makedirs(index_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- plumbing
+    applied_through = MaintainedLshIndex.applied_through
+    _mark = MaintainedLshIndex._mark
+
+    def _meta(self) -> dict | None:
+        p = os.path.join(self.dir, _IVF_META)
+        return json.load(open(p)) if os.path.exists(p) else None
+
+    def _append(self, rows: DataFrame, cents: list[list[float]], mode: str) -> None:
+        from maestro_spark.functions.similarity import _assign_expr
+
+        (
+            rows.withColumn("_list", _assign_expr(cents, self.vec_col))
+            .repartition("_list")
+            .write.partitionBy("_list")
+            .mode(mode)
+            .parquet(self.dir)
+        )
+
+    def _live(self) -> DataFrame:
+        return (
+            self.base.read_resolved(columns=[self.vec_col])
+            .filter(~F.col(S.DELETED_COL) & F.col(self.vec_col).isNotNull())
+            .select(*S.KEY_COLS, self.vec_col, S.LSN_COL)
+        )
+
+    # -------------------------------------------------------------- refresh
+    def refresh(self) -> dict | None:
+        """Fold base changes ``(applied_through, tip]`` in (O(delta));
+        bootstrap / horizon-expired / rollback ranges degrade to
+        :meth:`rebuild`, same as the LSH twin and the IVM view."""
+        frm = self.applied_through()
+        to = self.base.snapshot().snapshot_id
+        if to <= frm:
+            return None
+        meta = self._meta()
+        if meta is None:
+            return self.rebuild()
+        try:
+            feed = self.base.changes(frm, to)
+        except (FileNotFoundError, ValueError):
+            return self.rebuild()
+        ups = feed.filter(
+            (F.col("op") == "upsert") & F.col(self.vec_col).isNotNull()
+        ).select(*S.KEY_COLS, self.vec_col, F.col("lsn").alias(S.LSN_COL))
+        self._append(ups, meta["centroids"], mode="append")
+        (
+            feed.select(*S.KEY_COLS, F.col("lsn").alias("t_lsn"))
+            .write.mode("append")
+            .parquet(os.path.join(self.dir, _TOMBS))
+        )
+        self._mark(frm, to)
+        return {"from": frm, "to": to}
+
+    def rebuild(self, centroids: list[list[float]] | None = None) -> dict:
+        """Full rebuild from base current state — folds dominated rows,
+        duplicate re-applies, and tombstones. Re-fits centroids unless a
+        pinned set is passed."""
+        import shutil
+
+        from maestro_spark.functions.similarity import kmeans_fit
+
+        to = self.base.snapshot().snapshot_id
+        live = self._live()
+        dim = len(live.select(self.vec_col).head()[0])
+        if centroids is None:
+            fitted = live.withColumn(
+                "_kid", F.concat_ws(" ", "conv_id", F.col("turn_idx").cast("string"))
+            )
+            centroids = kmeans_fit(
+                fitted, k=self.k, iters=self.iters, seed=self.seed,
+                vec_col=self.vec_col, id_col="_kid",
+            )
+        shutil.rmtree(os.path.join(self.dir, _TOMBS), ignore_errors=True)
+        self._append(live, centroids, mode="overwrite")
+        json.dump(
+            {"centroids": centroids, "dim": dim, "vec_col": self.vec_col,
+             "k": len(centroids), "seed": self.seed},
+            open(os.path.join(self.dir, _IVF_META), "w"),
+        )
+        self._mark(self.applied_through(), to)
+        return {"from": 0, "to": to, "rebuild": True}
+
+    # ---------------------------------------------------------------- probe
+    def topk(self, query_vec: list[float], k: int = 10, nprobe: int = 2) -> DataFrame:
+        """Driver-side list ranking → partition-pruned candidate scan →
+        per-key max-LSN dedupe → tombstone dominance filter → exact cosine
+        re-rank."""
+        meta = self._meta()
+        ranked = sorted(
+            range(len(meta["centroids"])),
+            key=lambda c: sum(
+                (q - x) * (q - x) for q, x in zip(query_vec, meta["centroids"][c])
+            ),
+        )
+        lists = ranked[: max(1, nprobe)]
+        cand = self.spark.read.parquet(self.dir).filter(
+            F.col("_list").isin(lists)  # -> PartitionFilters, dir-pruned
+        )
+        rest = [c for c in cand.columns if c not in S.KEY_COLS]
+        latest = (
+            cand.groupBy(*S.KEY_COLS)
+            .agg(F.max_by(F.struct(*rest), F.col(S.LSN_COL)).alias("_w"))
+            .select(*S.KEY_COLS, "_w.*")
+        )
+        tdir = os.path.join(self.dir, _TOMBS)
+        if os.path.isdir(tdir):
+            tombs = (
+                self.spark.read.parquet(tdir)
+                .groupBy(*S.KEY_COLS)
+                .agg(F.max("t_lsn").alias("t_lsn"))
+                .withColumnRenamed("conv_id", "_t_conv")
+                .withColumnRenamed("turn_idx", "_t_turn")
+            )
+            latest = latest.join(
+                F.broadcast(tombs),
+                on=(
+                    (F.col("conv_id") == F.col("_t_conv"))
+                    & (F.col("turn_idx") == F.col("_t_turn"))
+                    & (F.col("t_lsn") > F.col(S.LSN_COL))
+                ),
+                how="left_anti",
+            )
+        qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+        return (
+            latest.select(
+                *S.KEY_COLS, cosine(F.col(self.vec_col), qcol).alias("score")
+            )
+            .orderBy(F.col("score").desc(), *S.KEY_COLS)
+            .limit(k)
+        )

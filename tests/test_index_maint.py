@@ -207,3 +207,103 @@ def test_maintained_simhash_equals_on_the_fly(spark, tmp_path):
     }
     assert got == want and want  # non-empty: the planted dups must pair
     assert not any("d3" in a or "d3" in b for a, b in got)  # deleted gone
+
+
+# ------------------------------------------------- feed-maintained IVF
+def test_maintained_ivf_equals_pinned_rebuild_and_brute_force(spark, tmp_path, base):
+    """r3 verdict #4: across insert/update/delete epochs the maintained IVF
+    index (pinned centroids between rebuilds, LSN-dominance tombstones)
+    probes identically to a fresh rebuild over base current state with the
+    SAME pinned centroids; with nprobe=k it equals exact brute force over
+    the live vectors — the centroid-independent oracle."""
+    from maestro_spark.functions.similarity import cosine
+    from maestro_spark.index_maint import MaintainedIvfIndex
+    import pyspark.sql.functions as F
+
+    idx = MaintainedIvfIndex(spark, base, str(tmp_path / "ivf"), k=4, iters=3)
+    idx.refresh()  # bootstrap (rebuild path, fits centroids)
+    cents = idx._meta()["centroids"]
+
+    merge_batch(base, _events(spark, [
+        (100, "insert", "c90", _vec(90)),
+        (101, "update", "c3", _vec(300)),   # moves c3, likely re-lists
+    ]), "q", 1)
+    merge_batch(base, _events(spark, [
+        (102, "delete", "c7", None),
+        (103, "update", "c11", _vec(1100)),
+    ]), "q", 2)
+    r = idx.refresh()
+    assert r is not None and r["to"] == base.snapshot().snapshot_id
+    assert idx.refresh() is None  # current -> no-op
+
+    fresh = MaintainedIvfIndex(spark, base, str(tmp_path / "ivf_fresh"), k=4)
+    fresh.rebuild(centroids=cents)  # pinned: the equality oracle
+    for qseed in (0, 3, 7, 11, 90):
+        q = _vec(qseed)
+        for nprobe in (1, 2, 4):
+            assert _probe_rows_np(idx, q, nprobe) == _probe_rows_np(
+                fresh, q, nprobe
+            ), (qseed, nprobe)
+
+    # nprobe = k degenerates to exact brute force over live state
+    q = _vec(3)
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    live = base.read_resolved(columns=["embedding"]).filter(
+        ~F.col(S.DELETED_COL) & F.col("embedding").isNotNull()
+    )
+    brute = [
+        (r["conv_id"], round(r["score"], 9))
+        for r in live.select(
+            "conv_id", cosine(F.col("embedding"), qcol).alias("score")
+        ).orderBy(F.col("score").desc(), "conv_id", "turn_idx").limit(5).collect()
+    ]
+    assert _probe_rows_np(idx, q, nprobe=4) == brute
+
+    # deleted key never surfaces; updated key ranks by its NEW vector
+    got = {r["conv_id"] for r in idx.topk(_vec(7), 40, nprobe=4).collect()}
+    assert "c7" not in got
+    top_new = idx.topk(_vec(300), 1, nprobe=4).head()
+    assert top_new["conv_id"] == "c3" and top_new["score"] > 0.99
+
+
+def _probe_rows_np(idx, q, nprobe, k=5):
+    return [
+        (r["conv_id"], round(r["score"], 9))
+        for r in idx.topk(q, k, nprobe=nprobe).collect()
+    ]
+
+
+def test_maintained_ivf_probe_is_partition_pruned_and_crash_idempotent(
+    spark, tmp_path, base
+):
+    import contextlib
+    import io as _io
+
+    from maestro_spark.index_maint import MaintainedIvfIndex
+
+    idx = MaintainedIvfIndex(spark, base, str(tmp_path / "ivf_p"), k=4, iters=3)
+    idx.refresh()
+    cents = idx._meta()["centroids"]
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.topk(_vec(5), 3, nprobe=2).explain(True)
+    s = buf.getvalue()
+    assert "PartitionFilters" in s and "_list" in s
+
+    # crash after appends, before the marker: the range re-applies; the
+    # (key, lsn)-idempotent duplicates collapse in the probe's max-LSN dedupe
+    merge_batch(base, _events(spark, [(200, "update", "c5", _vec(500))]), "q", 1)
+    real = idx._mark
+    idx._mark = lambda frm, to: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        idx.refresh()
+    idx._mark = real
+    idx.refresh()  # resume
+
+    fresh = MaintainedIvfIndex(spark, base, str(tmp_path / "ivf_pf"), k=4)
+    fresh.rebuild(centroids=cents)
+    for qseed in (5, 500, 9):
+        assert _probe_rows_np(idx, _vec(qseed), 4) == _probe_rows_np(
+            fresh, _vec(qseed), 4
+        )
