@@ -2129,25 +2129,36 @@ def register_catalog(
       when the retained range spans a rollback, where the added-files feed
       cannot express the delta and consumers re-sync from a full read
 
+    plus one catalog-wide ``<prefix>__catalog`` staleness view
+    (``table_name, pinned_snapshot, tip_snapshot, snapshots_behind`` as of
+    registration time),
+
     so an analyst session becomes ``register_catalog(spark, wh)`` followed
     by plain ``spark.sql`` over every table, including joins across tables
     and ops queries over the metadata views. Returns ``{name: LakeTable}``
-    for engine-API access to the same handles. Re-invoke to refresh the
-    pins to the tables' current snapshots (temp views are plan-time-pinned
-    — the documented snapshot-isolation contract)."""
+    for engine-API access to the same handles.
+
+    Temp views are plan-time-pinned (the documented snapshot-isolation
+    contract), so a long-lived session reads the snapshots current AT
+    registration. The refresh ergonomics: :func:`catalog_staleness` reports
+    live how far each pin trails its table's tip, and
+    :func:`refresh_catalog` re-pins everything to current (a cheap
+    metadata-only re-registration — no data IO) and returns what moved."""
     tables: dict[str, LakeTable] = {}
+    pins: dict[str, int] = {}
     for entry in sorted(os.listdir(warehouse)):
         root = os.path.join(warehouse, entry)
         if not os.path.isdir(os.path.join(root, SNAP_DIR)):
             continue
         t = LakeTable(spark, root)
-        t.create_view(prefix + entry)
+        sid = t.snapshot().snapshot_id  # one consistent pin for every view
+        t.create_view(prefix + entry, snapshot_id=sid)
         if metadata_views:
             t.meta_files().createOrReplaceTempView(f"{prefix}{entry}__files")
             t.meta_snapshots().createOrReplaceTempView(f"{prefix}{entry}__history")
         if changes_views:
             try:
-                t.changes(t.snapshot_ids()[0]).createOrReplaceTempView(
+                t.changes(t.snapshot_ids()[0], sid).createOrReplaceTempView(
                     f"{prefix}{entry}__changes"
                 )
             except ValueError:
@@ -2157,4 +2168,70 @@ def register_catalog(
                 # drop any stale pin so nothing silently serves old changes
                 spark.catalog.dropTempView(f"{prefix}{entry}__changes")
         tables[entry] = t
+        pins[entry] = sid
+    _CATALOG_PINS[(os.path.abspath(warehouse), prefix)] = pins
+    _catalog_view(spark, warehouse, prefix)
     return tables
+
+
+# registration-time pins per (warehouse, prefix) — the staleness baseline
+_CATALOG_PINS: dict[tuple[str, str], dict[str, int]] = {}
+
+
+def _catalog_view(spark: SparkSession, warehouse: str, prefix: str) -> None:
+    rows = [
+        (name, st["pinned_snapshot"], st["tip_snapshot"], st["snapshots_behind"])
+        for name, st in catalog_staleness(spark, warehouse, prefix).items()
+    ]
+    spark.createDataFrame(
+        rows,
+        "table_name string, pinned_snapshot long, tip_snapshot long, "
+        "snapshots_behind long",
+    ).createOrReplaceTempView(f"{prefix}__catalog")
+
+
+def catalog_staleness(
+    spark: SparkSession, warehouse: str, prefix: str = ""
+) -> dict[str, dict]:
+    """Live staleness report for a registered catalog: per table,
+    ``{pinned_snapshot, tip_snapshot, snapshots_behind}`` — "view pinned at
+    snapshot N, tip is M" (driver-side snapshot-chain metadata only, zero
+    data IO). Tables created in the warehouse AFTER registration appear
+    with ``pinned_snapshot=None`` (no view serves them yet)."""
+    pins = _CATALOG_PINS.get((os.path.abspath(warehouse), prefix), {})
+    out: dict[str, dict] = {}
+    for entry in sorted(os.listdir(warehouse)):
+        root = os.path.join(warehouse, entry)
+        if not os.path.isdir(os.path.join(root, SNAP_DIR)):
+            continue
+        tip = LakeTable(spark, root).snapshot().snapshot_id
+        pinned = pins.get(entry)
+        out[entry] = {
+            "pinned_snapshot": pinned,
+            "tip_snapshot": tip,
+            "snapshots_behind": (tip - pinned) if pinned is not None else None,
+        }
+    return out
+
+
+def refresh_catalog(
+    spark: SparkSession,
+    warehouse: str,
+    prefix: str = "",
+    metadata_views: bool = True,
+    changes_views: bool = True,
+) -> dict[str, dict]:
+    """Re-pin every catalog view to its table's current snapshot (the cheap
+    metadata-only re-registration :func:`register_catalog` documents) and
+    return, per table, what moved: the pre-refresh staleness entries with a
+    ``refreshed`` flag. New tables that appeared in the warehouse since
+    registration are picked up too (``pinned_snapshot=None`` → refreshed)."""
+    before = catalog_staleness(spark, warehouse, prefix)
+    register_catalog(
+        spark, warehouse, prefix,
+        metadata_views=metadata_views, changes_views=changes_views,
+    )
+    return {
+        name: {**st, "refreshed": st["snapshots_behind"] != 0}
+        for name, st in before.items()
+    }

@@ -223,3 +223,51 @@ def test_register_catalog_changes_view(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM convs").collect()[0]["n"] == 2
     # the stale pre-rollback pin must be dropped, not silently served
     assert not spark.catalog.tableExists("convs__changes")
+
+
+def test_catalog_staleness_and_refresh(spark, tmp_path):
+    """r3 verdict #6: temp views are plan-time-pinned, so a long-lived
+    session needs (a) a staleness surface — catalog_staleness and the
+    __catalog view report 'pinned at N, tip is M' — and (b) refresh_catalog
+    as the cheap re-pin: after a writer commits, the reader refreshes and
+    the view serves the new snapshot."""
+    from maestro_spark.lake import (
+        catalog_staleness,
+        refresh_catalog,
+        register_catalog,
+    )
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    convs = LakeTable.create(spark, str(wh / "convs"), n_buckets=4)
+    merge_batch(convs, _events(spark, [(1, "insert", "A", 0, "a0")]), "q", 0)
+
+    register_catalog(spark, str(wh))
+    pinned = convs.snapshot().snapshot_id
+    st = catalog_staleness(spark, str(wh))
+    assert st["convs"] == {
+        "pinned_snapshot": pinned, "tip_snapshot": pinned, "snapshots_behind": 0,
+    }
+    cat = {r["table_name"]: r for r in spark.sql("SELECT * FROM __catalog").collect()}
+    assert cat["convs"]["snapshots_behind"] == 0
+
+    # a writer commits while the reader session holds the pin
+    merge_batch(convs, _events(spark, [(5, "update", "A", 0, "a0v2")]), "q", 1)
+    assert [r["text"] for r in spark.sql(
+        "SELECT text FROM convs WHERE conv_id = 'A'").collect()] == ["a0"]  # stale pin
+    st = catalog_staleness(spark, str(wh))
+    assert st["convs"]["snapshots_behind"] >= 1  # the staleness surface sees it
+
+    moved = refresh_catalog(spark, str(wh))
+    assert moved["convs"]["refreshed"] is True
+    assert [r["text"] for r in spark.sql(
+        "SELECT text FROM convs WHERE conv_id = 'A'").collect()] == ["a0v2"]
+    assert catalog_staleness(spark, str(wh))["convs"]["snapshots_behind"] == 0
+
+    # a table created AFTER registration is surfaced and picked up on refresh
+    tags = LakeTable.create(spark, str(wh / "tags"), n_buckets=4)
+    merge_batch(tags, _events(spark, [(1, "insert", "A", 0, "vip")]), "q", 0)
+    st = catalog_staleness(spark, str(wh))
+    assert st["tags"]["pinned_snapshot"] is None
+    refresh_catalog(spark, str(wh))
+    assert spark.sql("SELECT count(*) n FROM tags").head()["n"] == 1
