@@ -2,11 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns + typed metadata
 structs. The Spark-side plumbing — schemas, Arrow-batched ``mapInPandas``
-pipelines, batch shapes, partition sizing — is real and tested; the actual
-codec work (image decode, resampling, frame extraction) is STUBBED because no
-media libraries exist in this container: each stub either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the bytes (test mode), clearly marked below.
+pipelines, batch shapes, partition sizing — is real and tested. Codecs
+(round 4): PNG (via stdlib ``zlib`` + manual scanline unfiltering, all five
+filter types, 8-bit gray/gray+alpha/RGB/RGBA non-interlaced) and WAV (via
+stdlib ``wave``, 8/16-bit PCM) are REAL decoders needing zero external
+libraries; strict mode decodes them end to end. Formats that genuinely
+require external codec libraries (JPEG, video containers) remain STUBBED:
+strict mode raises ``NotImplementedError`` for them, test mode produces a
+deterministic fake derived from the bytes, clearly marked below.
 
 Scale notes encoded in the design:
 - media rows are big → ``repartition`` by size budget before mapInPandas so
@@ -67,16 +70,144 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
-    """STUB — no image codec libs in this container. Strict mode raises;
-    test mode derives a deterministic 8-dim feature from the bytes."""
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode with the stdlib only: chunk walk + ``zlib`` inflate +
+    scanline unfiltering (all five PNG filter types — None/Sub/Up/Average/
+    Paeth). Supports the common web cases: 8-bit depth, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced. Returns a
+    ``(height, width, channels)`` uint8 array. Palette/16-bit/interlaced
+    images raise ``NotImplementedError`` (they need no external lib either,
+    just more code — extend here if a corpus carries them)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG byte stream")
+    pos, idat = 8, b""
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        pos += 8
+        chunk = data[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} interlace={interlace} unsupported"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type} unsupported")
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    i = 0
+    for y in range(h):
+        f = raw[i]
+        i += 1
+        line = np.frombuffer(raw[i : i + stride], dtype=np.uint8)
+        i += stride
+        if f == 0:  # None
+            cur = line.copy()
+        elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
+            cur = line + prev
+        else:  # Sub/Average/Paeth carry left-neighbor state: per-byte loop
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter type {f}")
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, channels)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode with the stdlib ``wave`` module: returns
+    ``(samples, sample_rate)`` where samples is float32 in [-1, 1], shape
+    ``(n_frames, n_channels)``. 8-bit (unsigned) and 16-bit (signed LE)
+    PCM; other widths raise ``NotImplementedError``."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wv:
+        nch, sw, rate = wv.getnchannels(), wv.getsampwidth(), wv.getframerate()
+        frames = wv.readframes(wv.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    return arr.reshape(-1, nch), rate
+
+
+def image_feature_vec(pixels: np.ndarray) -> np.ndarray:
+    """Fixed-shape 8-dim image feature from decoded pixels: normalized
+    8-bin luminance histogram (channel-mean luminance) — the declared
+    decode→feature contract downstream schemas rely on."""
+    lum = pixels.astype(np.float32).mean(axis=2).ravel()
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    return (hist / max(1, lum.size)).astype(np.float32)
+
+
+def audio_feature_vec(samples: np.ndarray) -> np.ndarray:
+    """Fixed-shape 8-dim audio feature: RMS envelope over 8 equal time
+    segments of the channel-mean signal."""
+    mono = samples.astype(np.float32).mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return np.zeros(8, dtype=np.float32)
+    out = np.zeros(8, dtype=np.float32)
+    for s in range(8):
+        seg = mono[n * s // 8 : max(n * (s + 1) // 8, n * s // 8 + 1)]
+        out[s] = float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0
+    return out
+
+
+def _decode_image(payload: bytes, strict: bool) -> np.ndarray:
+    """Strict mode: REAL decode for PNG (stdlib, above); other image
+    formats (JPEG etc.) need external codec libs absent from this
+    container and raise. Test mode: deterministic 8-dim fake from the
+    bytes (unchanged fake-codec contract)."""
     if strict:
+        if payload[:8] == _PNG_MAGIC:
+            return image_feature_vec(decode_png(payload))
         raise NotImplementedError(
-            "image decode requires a codec library (e.g. Pillow) not present "
-            "in this environment; wire the real decoder here"
+            "non-PNG image decode requires a codec library (e.g. Pillow) not "
+            "present in this environment; wire the real decoder here"
         )
     arr = np.frombuffer(payload[:64], dtype=np.uint8).astype(np.float32)
     return arr.reshape(8, 8).mean(axis=1) / 255.0
+
+
+# back-compat alias (pre-r4 name; fake mode is byte-identical)
+_decode_image_stub = _decode_image
 
 
 def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
@@ -93,7 +224,7 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
             feats = [
                 None
                 if p is None
-                else _decode_image_stub(bytes(p), strict).tolist()
+                else _decode_image(bytes(p), strict).tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -108,6 +239,95 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
         df.filter(F.col("kind") == "image")
         .select("media_id", "payload")
         .mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched audio feature extraction: strict mode REALLY decodes
+    WAV payloads (stdlib ``wave``) into an 8-segment RMS envelope + rate +
+    sample count; non-WAV audio raises (no external codecs here). Test
+    mode keeps the deterministic fake-from-bytes contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, rates, counts, sizes = [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    rates.append(None)
+                    counts.append(0)
+                    sizes.append(0)
+                    continue
+                b = bytes(p)
+                sizes.append(len(b))
+                if strict:
+                    if b[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            "non-WAV audio decode requires a codec library "
+                            "not present in this environment"
+                        )
+                    samples, rate = decode_wav(b)
+                    feats.append(audio_feature_vec(samples).tolist())
+                    rates.append(rate)
+                    counts.append(int(samples.shape[0]))
+                else:
+                    arr = np.frombuffer(b[:64], dtype=np.uint8).astype(np.float32)
+                    feats.append((arr.reshape(8, 8).mean(axis=1) / 255.0).tolist())
+                    rates.append(16000)
+                    counts.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": counts,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal stdlib PNG ENCODER (filter 0 scanlines) — the fixture twin
+    of :func:`decode_png`, also usable to ship decoded artifacts back out.
+    ``pixels``: (h, w, channels) uint8, channels in {1, 2, 3, 4}."""
+    import struct
+    import zlib
+
+    h, w, channels = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
 
 

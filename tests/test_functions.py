@@ -628,3 +628,142 @@ def test_remove_duplicated_spans_merges_overlaps_and_hashed_mode(spark):
     assert exact[3].text == "" and exact[3].dup_chars_removed == 45
     # doc 4 keeps its unique tail intact
     assert exact[4].text == _hexpad("t4", 50)
+
+
+# --------------------------------------------- real stdlib media codecs (r4)
+def _png_with_filters(pixels, filters):
+    """Fixture twin of multimodal.decode_png exercising CHOSEN per-row
+    filter types: applies each filter's forward transform so the decoder's
+    unfiltering of all five types is verified against the source pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        cur = pixels[y].reshape(-1).astype(np.int32)
+        line = np.empty(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) % 256
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def _det_pixels(h, w, ch, seed=7):
+    import numpy as np
+
+    n = h * w * ch
+    vals = [(seed * 131 + i * 89 + (i * i) % 251) % 256 for i in range(n)]
+    return np.array(vals, dtype=np.uint8).reshape(h, w, ch)
+
+
+def test_png_decode_all_filter_types_and_roundtrip():
+    import numpy as np
+
+    for ch in (1, 2, 3, 4):
+        px = _det_pixels(5, 6, ch)
+        data = _png_with_filters(px, [0, 1, 2, 3, 4])
+        got = multimodal.decode_png(data)
+        assert got.shape == (5, 6, ch)
+        assert np.array_equal(got, px), f"channels={ch}"
+    # the shipped encoder round-trips through the decoder too
+    px = _det_pixels(9, 4, 3, seed=11)
+    assert np.array_equal(multimodal.decode_png(multimodal.encode_png(px)), px)
+
+
+def _wav_bytes(n=800, rate=8000, nch=2, width=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        frames = b""
+        for i in range(n):
+            v = int(12000 * math.sin(2 * math.pi * 440 * i / rate))
+            if width == 2:
+                frames += struct.pack("<h", v) * nch
+            else:
+                frames += bytes([(v // 256 + 128) & 0xFF]) * nch
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_decode_roundtrip_and_features():
+    import numpy as np
+
+    data = _wav_bytes(n=800, rate=8000, nch=2, width=2)
+    samples, rate = multimodal.decode_wav(data)
+    assert rate == 8000 and samples.shape == (800, 2)
+    assert np.abs(samples).max() <= 1.0
+    feat = multimodal.audio_feature_vec(samples)
+    assert feat.shape == (8,) and (feat > 0).all()  # a tone has energy everywhere
+    # 8-bit path
+    s8, r8 = multimodal.decode_wav(_wav_bytes(n=100, rate=4000, nch=1, width=1))
+    assert r8 == 4000 and s8.shape == (100, 1)
+
+
+def test_strict_mode_decodes_real_png_and_wav_media(spark):
+    """r3 verdict #7: strict mode (the production contract) now really
+    decodes two modalities with zero external deps; non-PNG/non-WAV still
+    raises. Fake-codec mode is unchanged for everything."""
+    import numpy as np
+    import pytest
+
+    px = _det_pixels(8, 8, 3)
+    rows = [
+        (0, "image", bytearray(multimodal.encode_png(px)), ("png", 8, 8, None)),
+        (1, "audio", bytearray(_wav_bytes()), ("wav", None, None, 100)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    img = multimodal.extract_image_features(media, strict=True).collect()
+    assert len(img) == 1 and len(img[0].feature) == 8
+    assert abs(sum(img[0].feature) - 1.0) < 1e-5  # normalized histogram
+    want = multimodal.image_feature_vec(px)
+    assert np.allclose(img[0].feature, want, atol=1e-6)
+
+    aud = multimodal.extract_audio_features(media, strict=True).collect()
+    assert len(aud) == 1 and aud[0].sample_rate == 8000
+    assert aud[0].n_samples == 800 and len(aud[0].feature) == 8
+
+    # fake mode unchanged on arbitrary bytes; strict still raises on them
+    fake = multimodal.synthetic_media(spark, n=6)
+    assert multimodal.extract_audio_features(fake, strict=False).count() == 2
+    with pytest.raises(Exception, match="NotImplementedError|codec|WAV"):
+        multimodal.extract_audio_features(fake, strict=True).collect()
