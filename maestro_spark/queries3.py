@@ -655,3 +655,31 @@ def q_substring_dedup(spark, sf_dir):
         F.length("text").cast("long").alias("clean_len"),
         F.md5("text").alias("clean_md5"),
     )
+
+
+@q("q_media_decode")  # rows-only: real stdlib PNG/WAV strict-mode decode
+def q_media_decode(spark, sf_dir):
+    """Strict-mode multimodal decode over REAL (deterministic, stdlib-
+    generated) PNG and WAV payloads — the un-stubbed r4 codec path
+    (functions/multimodal.decode_png / decode_wav) driven through the same
+    Arrow-batched mapInPandas plumbing as the fake-codec q_media_features.
+    Feature vectors fold to quantized BIGINT checksums (the driver
+    canonicalizer cannot hash array cells); pytest keeps the array-typed
+    and pixel-exact assertions."""
+    from maestro_spark.functions import multimodal as mm
+
+    media = mm.synthetic_real_media(spark, n=16)
+    checksum = F.aggregate(
+        F.transform("feature", lambda x: F.floor(x * 1000).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 31 + v,
+    )
+    img = mm.extract_image_features(media, strict=True).select(
+        "media_id", F.lit("image").alias("kind"), "n_bytes",
+        checksum.alias("feature_checksum"),
+    )
+    aud = mm.extract_audio_features(media, strict=True).select(
+        "media_id", F.lit("audio").alias("kind"), "n_bytes",
+        checksum.alias("feature_checksum"),
+    )
+    return img.unionByName(aud)

@@ -767,3 +767,17 @@ def test_strict_mode_decodes_real_png_and_wav_media(spark):
     assert multimodal.extract_audio_features(fake, strict=False).count() == 2
     with pytest.raises(Exception, match="NotImplementedError|codec|WAV"):
         multimodal.extract_audio_features(fake, strict=True).collect()
+
+
+def test_q_media_decode_is_deterministic(spark):
+    """The rows-only driver query over REAL stdlib-decoded PNG/WAV media
+    must be stable across runs (no RNG anywhere in payload synthesis or
+    decode) — the property the driver's rows-only check leans on."""
+    import maestro_spark.queries2  # noqa: F401
+    from maestro_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["q_media_decode"](spark, "unused").collect()))
+    b = sorted(map(tuple, QUERIES["q_media_decode"](spark, "unused").collect()))
+    assert a == b and len(a) == 16
+    kinds = {r[1] for r in a}
+    assert kinds == {"image", "audio"}
