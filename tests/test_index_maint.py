@@ -307,3 +307,51 @@ def test_maintained_ivf_probe_is_partition_pruned_and_crash_idempotent(
         assert _probe_rows_np(idx, _vec(qseed), 4) == _probe_rows_np(
             fresh, _vec(qseed), 4
         )
+
+
+def test_stream_ingest_maintains_index_continuously(spark, tmp_path):
+    """Composability: maintained indexes share the IVM view's refresh()
+    contract, so stream_ingest(maintain_views=[...]) keeps an ANN index
+    fresh as epochs stream in — after the drain the index probes equal a
+    fresh rebuild over the final table state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maestro_spark.index_maint import MaintainedIvfIndex
+    from maestro_spark.stream import stream_ingest
+
+    # a tiny event log with an embedding payload column, two segments
+    log = tmp_path / "vlog"
+    log.mkdir()
+    def seg(path, rows):
+        t = pa.table({
+            "op_lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "conv_id": pa.array([r[2] for r in rows]),
+            "turn_idx": pa.array([0] * len(rows), pa.int32()),
+            "embedding": pa.array([r[3] for r in rows], pa.list_(pa.float32())),
+        })
+        pq.write_table(t, path)
+    seg(str(log / "segment-00000.parquet"),
+        [(i + 1, "insert", f"c{i}", _vec(i)) for i in range(30)])
+    seg(str(log / "segment-00001.parquet"),
+        [(100, "update", "c3", _vec(300)), (101, "delete", "c7", None),
+         (102, "insert", "c90", _vec(90))])
+
+    root = str(tmp_path / "vstream_lake")
+    base = LakeTable.create(spark, root, n_buckets=4, payload_schema=PAYLOAD)
+    idx = MaintainedIvfIndex(spark, base, str(tmp_path / "sidx"), k=4, iters=3)
+    stream_ingest(
+        spark, str(log), root, query_id="vi", watermark=None,
+        max_segments_per_batch=1, maintain_views=[idx],
+    )
+    assert idx.refresh() is None  # already current: maintained per epoch
+
+    fresh = MaintainedIvfIndex(spark, base, str(tmp_path / "sidx_f"), k=4)
+    fresh.rebuild(centroids=idx._meta()["centroids"])
+    for qseed in (3, 7, 90, 5):
+        assert _probe_rows_np(idx, _vec(qseed), 4) == _probe_rows_np(
+            fresh, _vec(qseed), 4
+        )
+    got = {r["conv_id"] for r in idx.topk(_vec(7), 40, nprobe=4).collect()}
+    assert "c7" not in got
