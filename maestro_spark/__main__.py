@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="tiered = fold only the delta tier (no horizon GC); "
                         "full = whole-bucket rewrite (required for GC)")
 
+    op = sub.add_parser(
+        "optimize",
+        help="one-call maintenance: tiered fold (or clustered rewrite), "
+             "bloom backfill, snapshot expiry, vacuum",
+    )
+    op.add_argument("--table", required=True)
+    op.add_argument("--keep-last", type=int, default=10)
+    op.add_argument("--cluster-by", default=None,
+                    help="comma-separated sort columns for a clustered FULL "
+                         "rewrite (e.g. ts); default = tiered delta fold")
+    op.add_argument("--target-file-rows", type=int, default=None)
+    op.add_argument("--no-blooms", action="store_true")
+
     rt = sub.add_parser(
         "resume-txns",
         help="roll forward crash-interrupted cross-table transactions",
@@ -257,6 +270,17 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"snapshot": None, "note": "no foldable tier"}))
         else:
             print(json.dumps({"snapshot": snap.snapshot_id, "stats": snap.stats}))
+    elif args.cmd == "optimize":
+        from maestro_spark.lake import optimize
+
+        table = LakeTable(spark, args.table)
+        print(json.dumps(optimize(
+            table,
+            expire_keep_last=args.keep_last,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            target_file_rows=args.target_file_rows,
+            blooms=not args.no_blooms,
+        )))
     elif args.cmd == "resume-txns":
         table = LakeTable(spark, args.table)
         print(json.dumps({"resumed": table.resume_transactions()}))

@@ -855,10 +855,21 @@ class LakeTable:
         )
 
     # ---------------------------------------------------------------- writes
-    def write_bucket_files(self, df: DataFrame) -> dict[str, list[str]]:
+    def write_bucket_files(
+        self,
+        df: DataFrame,
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``pk_bucket``) as the new full content of
         its buckets; returns bucket -> relative paths. Files land under their
         final names but are invisible until a snapshot references them.
+
+        ``sort_cols`` overrides the default within-file clustering (the
+        clustered-compaction path passes e.g. ``["ts", ...]``);
+        ``max_records_per_file`` splits each bucket's output into bounded
+        files so the clustering becomes FILE-level zone-map structure, not
+        just row-group order.
         """
         commit_uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.root, f"_staging-{commit_uid}")
@@ -869,12 +880,13 @@ class LakeTable:
         # marginal cost is the two extra sort keys. maestro.write.sortWithin=
         # false drops to that implicit sort for write-throughput experiments.
         if self.spark.conf.get("maestro.write.sortWithin", "true") == "true":
-            df = df.sortWithinPartitions("pk_bucket", "conv_id", "turn_idx")
-        (
-            df.write.partitionBy("pk_bucket")
-            .mode("overwrite")
-            .parquet(staging)
-        )
+            df = df.sortWithinPartitions(
+                "pk_bucket", *(sort_cols or ["conv_id", "turn_idx"])
+            )
+        writer = df.write.partitionBy("pk_bucket").mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(staging)
         out: dict[str, list[str]] = {}
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("pk_bucket="):
@@ -1818,6 +1830,8 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         tombstone_horizon_lsn: int | None = None,
+        cluster_by: list[str] | None = None,
+        target_file_rows: int | None = None,
     ) -> Snapshot:
         """Rewrite buckets into minimal files; optionally GC tombstones whose
         ``_lsn`` is below ``tombstone_horizon_lsn``.
@@ -1827,6 +1841,17 @@ class LakeTable:
         ledger); after GC a stale insert below the horizon could no longer be
         rejected, which is exactly what the horizon asserts cannot happen.
         Content (live rows) is unchanged — verified by tests.
+
+        ``cluster_by`` (Iceberg sort-compaction parity): order each bucket's
+        rewrite by these columns and split the output into files of at most
+        ``target_file_rows`` rows, so the generalized zone maps keep pruning
+        AFTER the fold. Without it, a compacted bucket is one file spanning
+        the table's whole ts range and a "yesterday's conversations" range
+        read degrades to a full-bucket scan — exactly the property M10
+        promises for deltas, extended to the compacted base. Correctness is
+        untouched (MOR output has one row per key, so intra-commit file
+        order is irrelevant); the trade is coarser conv_id bounds per file,
+        which the key-bloom skipping (M29) covers for point lookups.
         """
         from pyspark.sql import functions as F  # local import to avoid cycle
 
@@ -1841,18 +1866,25 @@ class LakeTable:
                 ~F.col(S.DELETED_COL) | (F.col(S.LSN_COL) >= tombstone_horizon_lsn)
             )
         df = df.withColumn("pk_bucket", bucket_expr("conv_id", snap.n_buckets))
-        new_files = self.write_bucket_files(df.repartition("pk_bucket"))
+        new_files = self.write_bucket_files(
+            df.repartition("pk_bucket"),
+            sort_cols=[*cluster_by, "conv_id", "turn_idx"] if cluster_by else None,
+            max_records_per_file=target_file_rows,
+        )
         # a compacted bucket that became empty must drop its file entry
         for b in todo:
             new_files.setdefault(str(b), [])
+        stats = {
+            "maintenance": "compact",
+            "buckets": todo,
+            "compact_s": round(time.time() - t0, 3),
+        }
+        if cluster_by:
+            stats["cluster_by"] = list(cluster_by)
         return self.commit(
             new_files,
             epoch_key=None,
-            stats={
-                "maintenance": "compact",
-                "buckets": todo,
-                "compact_s": round(time.time() - t0, 3),
-            },
+            stats=stats,
             base=snap.snapshot_id,
         )
 
@@ -2105,6 +2137,41 @@ class LakeTable:
                     live.update(ps)
             self.file_stats.compact_shards(live)
         return n
+
+
+def optimize(
+    table: "LakeTable",
+    expire_keep_last: int = 10,
+    cluster_by: list[str] | None = None,
+    target_file_rows: int | None = None,
+    blooms: bool = True,
+) -> dict:
+    """One-call table maintenance (the Iceberg OPTIMIZE / maintenance-job
+    parity): fold delta tiers (or, with ``cluster_by``, run a clustered full
+    rewrite so zone maps keep pruning after the fold), backfill key blooms
+    for the serving path, expire old snapshots, and vacuum orphans +
+    unreferenced manifests (grace-protected). Each step is the engine's own
+    idempotent primitive, so a crash mid-optimize loses nothing — re-run it.
+    Returns a step → outcome summary."""
+    out: dict[str, object] = {}
+    snap0 = table.snapshot().snapshot_id
+    if cluster_by:
+        s = table.compact(cluster_by=cluster_by, target_file_rows=target_file_rows)
+        out["compact"] = {"mode": "clustered", "snapshot": s.snapshot_id}
+    else:
+        s = table.compact_tiered()
+        out["compact"] = {
+            "mode": "tiered",
+            "snapshot": s.snapshot_id if s is not None else None,
+            "noop": s is None,
+        }
+    if blooms:
+        out["blooms_built"] = table.build_key_blooms()
+    out["snapshots_expired"] = table.expire_snapshots(keep_last=expire_keep_last)
+    out["files_vacuumed"] = table.vacuum()
+    out["snapshot_before"] = snap0
+    out["snapshot_after"] = table.snapshot().snapshot_id
+    return out
 
 
 def register_catalog(

@@ -648,3 +648,107 @@ def test_compact_tiered_across_schema_evolution(spark, tmp_path):
     finally:
         spark.conf.set("maestro.compact.maxDeltas", "8")
         spark.conf.unset("maestro.compact.fold")
+
+
+def test_clustered_compaction_keeps_ts_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+    """Iceberg sort-compaction parity (round 4): compact(cluster_by=["ts"],
+    target_file_rows=...) splits each bucket's rewrite into ts-clustered
+    files, so a narrow time-range read still prunes AFTER the fold — where
+    the default single-file-per-bucket compaction makes every bucket file a
+    candidate. Content, range-read results, and point lookups stay exact."""
+    from maestro_spark.gen import GenConfig, generate, write_log
+    from maestro_spark.replay import replay
+
+    log = generate(GenConfig(seed=91, n_convs=60, segment_rows=300))
+    write_log(log, str(tmp_path / "log"), segment_rows=300)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    spark.conf.set("maestro.compact.maxDeltas", "100")  # no auto-folds
+    try:
+        replay(spark, str(tmp_path / "log"), t, query_id="cc")
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+
+    before = t.read().orderBy("conv_id", "turn_idx").collect()
+    rows = len(before)
+    ts_sorted = sorted(r["ts"] for r in before)
+    lo, hi = ts_sorted[0], ts_sorted[rows // 10]  # ~narrowest decile
+
+    # default compaction: one file per bucket -> a narrow range read has no
+    # file-level structure left to prune
+    t.compact()
+    cand, _, total = t.plan_ts_scan(lo, hi)
+    assert sum(len(v) for v in cand.values()) == total
+
+    # clustered compaction: bounded ts-ordered files per bucket
+    t.compact(cluster_by=["ts"], target_file_rows=max(100, rows // 4 // 4))
+    snap = t.snapshot()
+    n_files = sum(len(ps) for ps in snap.files.values())
+    assert n_files > snap.n_buckets  # buckets actually split
+    assert snap.stats.get("cluster_by") == ["ts"]
+    cand, _, total = t.plan_ts_scan(lo, hi)
+    kept = sum(len(v) for v in cand.values())
+    assert kept < total, f"no pruning: {kept}/{total}"
+
+    # exactness: content unchanged, range read equals the full filter,
+    # lookups still exact on the clustered layout
+    after = t.read().orderBy("conv_id", "turn_idx").collect()
+    assert after == before
+    got = sorted(map(tuple, t.read_where_ts(lo, hi).collect()))
+    want = sorted(map(tuple, t.read().filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()))
+    assert got == want and got
+    some_key = before[0]["conv_id"]
+    want_rows = sorted(
+        (r["turn_idx"], r["text"]) for r in before if r["conv_id"] == some_key
+    )
+    got_rows = sorted(
+        (r["turn_idx"], r["text"]) for r in t.lookup(some_key).collect()
+    )
+    assert got_rows == want_rows
+
+
+def test_optimize_one_call_maintenance(spark, tmp_path, capsys):
+    """optimize(): tiered fold + bloom backfill + expiry + vacuum in one
+    idempotent call; the clustered mode swaps in the sort-compaction. Reads
+    before == after, lookups bloom-served, CLI twin emits the summary."""
+    from pyspark.sql import functions as F
+
+    from maestro_spark import filestats as FS
+    from maestro_spark.lake import optimize
+
+    log = generate(GenConfig(seed=95, n_convs=50, segment_rows=250))
+    write_log(log, str(tmp_path / "log"), segment_rows=250)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    spark.conf.set("maestro.compact.maxDeltas", "100")
+    try:
+        replay(spark, str(tmp_path / "log"), t, query_id="op")
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+    before = t.read().orderBy("conv_id", "turn_idx").collect()
+
+    out = optimize(t, expire_keep_last=2)
+    assert out["compact"]["mode"] == "tiered"
+    assert out["blooms_built"] > 0
+    assert out["snapshots_expired"] >= 1
+    assert t.read().orderBy("conv_id", "turn_idx").collect() == before
+    # every live file now carries a bloom (the serving-prep contract)
+    for ps in t.snapshot().files.values():
+        for rel in ps:
+            assert FS.BLOOM_FIELD in (t.file_stats.get(rel) or {}), rel
+    # idempotent re-run: nothing to fold, nothing new to bloom
+    out2 = optimize(t, expire_keep_last=2)
+    assert out2["blooms_built"] == 0 and out2["compact"]["noop"]
+
+    # clustered mode drives the sort-compaction path
+    out3 = optimize(t, expire_keep_last=2, cluster_by=["ts"],
+                    target_file_rows=200)
+    assert out3["compact"]["mode"] == "clustered"
+    assert t.snapshot().stats.get("cluster_by") == ["ts"]
+    assert t.read().orderBy("conv_id", "turn_idx").collect() == before
+
+    # CLI twin
+    from maestro_spark.__main__ import main as cli
+    rc = cli(["optimize", "--table", t.root, "--keep-last", "2"])
+    assert rc in (0, None)
+    assert '"compact"' in capsys.readouterr().out
