@@ -708,7 +708,7 @@ def test_clustered_compaction_keeps_ts_pruning(spark, tmp_path):
     assert got_rows == want_rows
 
 
-def test_optimize_one_call_maintenance(spark, tmp_path, capsys):
+def test_optimize_one_call_maintenance(spark, tmp_path, capsys, monkeypatch):
     """optimize(): tiered fold + bloom backfill + expiry + vacuum in one
     idempotent call; the clustered mode swaps in the sort-compaction. Reads
     before == after, lookups bloom-served, CLI twin emits the summary."""
@@ -747,8 +747,9 @@ def test_optimize_one_call_maintenance(spark, tmp_path, capsys):
     assert t.snapshot().stats.get("cluster_by") == ["ts"]
     assert t.read().orderBy("conv_id", "turn_idx").collect() == before
 
-    # CLI twin
+    # CLI twin (the CLI stops its session on exit; ours must survive)
     from maestro_spark.__main__ import main as cli
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
     rc = cli(["optimize", "--table", t.root, "--keep-last", "2"])
     assert rc in (0, None)
     assert '"compact"' in capsys.readouterr().out
