@@ -275,8 +275,8 @@ def test_compact_racing_delta_conflicts_then_replans(spark, pair):
     ka, _ = _two_bucket_ids()
     real = a.write_bucket_files
 
-    def hooked(df):
-        out = real(df)  # the compaction job runs on pre-delta state
+    def hooked(df, **kw):
+        out = real(df, **kw)  # the compaction job runs on pre-delta state
         merge_batch(b, _events(spark, [(11, "update", ka, 0, "mid-job")]), "qb", 2)
         return out
 
@@ -310,8 +310,8 @@ def test_rebucket_racing_delta_conflicts_cleanly(spark, pair):
     ka, _ = _two_bucket_ids()
     real = a.write_bucket_files
 
-    def hooked(df):
-        out = real(df)
+    def hooked(df, **kw):
+        out = real(df, **kw)
         merge_batch(b, _events(spark, [(12, "update", ka, 0, "mid-rb")]), "qb", 5)
         return out
 
