@@ -90,6 +90,187 @@ def _dml_statement(
     ) from last
 
 
+class MergeInto:
+    """Delta-Lake-style ``MERGE INTO`` builder over a lake table (M37).
+
+    The ON clause is the table's primary key — ``(conv_id, turn_idx)`` — by
+    construction: a keyed upsert engine defines a row's identity by its key,
+    so an arbitrary non-key ON condition cannot name a deterministic per-key
+    winner. Clause vocabulary follows Delta (including the
+    ``whenNotMatchedBySource`` pair added in Delta 2.3):
+
+    - ``when_matched_update(set=..., condition=...)``
+    - ``when_matched_delete(condition=...)``
+    - ``when_not_matched_insert(values=..., condition=...)``
+    - ``when_not_matched_by_source_update(set=..., condition=...)``
+    - ``when_not_matched_by_source_delete(condition=...)``
+
+    Conditions and value expressions are SQL strings (or Columns) over the
+    aliases ``s`` (source row) and ``t`` (current target row). Within each
+    match category clauses fire first-true-wins, in registration order —
+    Delta's documented semantics.
+
+    Execution is ONE declarative pass: source ⋈ target on key equality
+    (left join unless by-source clauses force full-outer), clause
+    resolution as a chained ``when()`` — no per-clause re-joins, no Python
+    rows — compiled into a single change-event batch (upserts + tombstones)
+    at a fenced statement LSN through the SAME merge path as the binlog
+    tail, so a MERGE is atomic, exactly-once, visible in the change feed,
+    IVM-maintained, and safe against racing writers. New columns introduced
+    by ``set=``/``values=`` schema-evolve like evolved binlog events.
+
+    Scale shape: the join shuffles on the table key (the table is already
+    key-bucketed), the emitted batch flows through merge_batch's single
+    bucket-aligned exchange, and only changed buckets are rewritten; a
+    small source broadcasts under AQE like any other dimension join.
+    """
+
+    _UPDATE, _DELETE, _INSERT = "update", "delete", "insert"
+
+    def __init__(self, table: LakeTable, source: DataFrame):
+        missing = [k for k in S.KEY_COLS if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks key columns {missing}")
+        self.table = table
+        self.source = source
+        self._matched: list[tuple[str, Column | None, dict[str, Column] | None]] = []
+        self._not_matched: list[tuple[Column | None, dict[str, Column] | None]] = []
+        self._by_source: list[tuple[str, Column | None, dict[str, Column] | None]] = []
+
+    @staticmethod
+    def _expr(e) -> Column:
+        return F.expr(e) if isinstance(e, str) else e
+
+    def _exprs(self, d: dict | None) -> dict[str, Column] | None:
+        return None if d is None else {c: self._expr(e) for c, e in d.items()}
+
+    def when_matched_update(self, set: dict, condition=None) -> "MergeInto":  # noqa: A002
+        self._matched.append((self._UPDATE, self._expr(condition) if condition is not None else None, self._exprs(set)))
+        return self
+
+    def when_matched_delete(self, condition=None) -> "MergeInto":
+        self._matched.append((self._DELETE, self._expr(condition) if condition is not None else None, None))
+        return self
+
+    def when_not_matched_insert(self, values: dict | None = None, condition=None) -> "MergeInto":
+        self._not_matched.append((self._expr(condition) if condition is not None else None, self._exprs(values)))
+        return self
+
+    def when_not_matched_by_source_update(self, set: dict, condition=None) -> "MergeInto":  # noqa: A002
+        self._by_source.append((self._UPDATE, self._expr(condition) if condition is not None else None, self._exprs(set)))
+        return self
+
+    def when_not_matched_by_source_delete(self, condition=None) -> "MergeInto":
+        self._by_source.append((self._DELETE, self._expr(condition) if condition is not None else None, None))
+        return self
+
+    # ------------------------------------------------------------- execution
+    def _build(self, lsn: int) -> DataFrame:
+        tgt = self.table.read()
+        t_payload = list(tgt.columns)  # keys + payload, internal cols filtered
+
+        src = self.source
+        dup = src.groupBy(*S.KEY_COLS).count().filter(F.col("count") > 1).head(1)
+        if dup:
+            raise ValueError(
+                f"merge source has duplicate keys (ambiguous MERGE), e.g. {dup[0][:2]}"
+            )
+
+        s = src.withColumn("__s", F.lit(True)).alias("s")
+        t = tgt.withColumn("__t", F.lit(True)).alias("t")
+        how = "full_outer" if self._by_source else "left_outer"
+        joined = s.join(
+            t, on=[F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in S.KEY_COLS], how=how
+        )
+
+        is_matched = F.col("s.__s").isNotNull() & F.col("t.__t").isNotNull()
+        is_src_only = F.col("s.__s").isNotNull() & F.col("t.__t").isNull()
+        is_tgt_only = F.col("s.__s").isNull() & F.col("t.__t").isNotNull()
+
+        # (clause index, category-gate, clause condition, kind, assignments)
+        clauses: list[tuple[int, Column, Column | None, str, dict | None]] = []
+        i = 0
+        for kind, cond, assign in self._matched:
+            clauses.append((i, is_matched, cond, kind, assign))
+            i += 1
+        for cond, values in self._not_matched:
+            clauses.append((i, is_src_only, cond, self._INSERT, values))
+            i += 1
+        for kind, cond, assign in self._by_source:
+            clauses.append((i, is_tgt_only, cond, kind, assign))
+            i += 1
+        if not clauses:
+            raise ValueError("MERGE needs at least one WHEN clause")
+
+        # first-true-wins within each category (categories are disjoint)
+        clause_col = F.lit(None).cast("int")
+        picked = None
+        for idx, gate, cond, _, _ in clauses:
+            hit = gate if cond is None else gate & cond
+            picked = (F.when(hit, F.lit(idx)) if picked is None
+                      else picked.when(hit, F.lit(idx)))
+        clause_col = picked.otherwise(F.lit(None).cast("int"))
+        joined = joined.withColumn("__clause", clause_col).filter(
+            F.col("__clause").isNotNull()
+        )
+
+        # output column set: table payload + any new columns from set/values
+        out_cols = [c for c in t_payload if c not in S.KEY_COLS]
+        for _, _, _, _, assign in clauses:
+            for c in assign or {}:
+                if c not in out_cols and c not in S.KEY_COLS:
+                    out_cols.append(c)
+        tgt_types = {f.name: f.dataType for f in tgt.schema.fields}
+        src_cols = set(src.columns)
+
+        def clause_value(kind: str, assign: dict | None, c: str) -> Column:
+            if assign is not None and c in assign:
+                return assign[c]
+            if kind == self._INSERT:  # default: source column, else typed null
+                if c in src_cols:
+                    return F.col(f"s.{c}")
+                base = F.lit(None)
+                return base.cast(tgt_types[c]) if c in tgt_types else base
+            # update defaults carry the target's current value along
+            if c in t_payload:
+                return F.col(f"t.{c}")
+            base = F.lit(None)
+            return base.cast(tgt_types[c]) if c in tgt_types else base
+
+        proj = [
+            F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k)
+            for k in S.KEY_COLS
+        ]
+        op_col = None
+        for idx, _, _, kind, _ in clauses:
+            op = "delete" if kind == self._DELETE else "upsert"
+            op_col = (F.when(F.col("__clause") == idx, F.lit(op)) if op_col is None
+                      else op_col.when(F.col("__clause") == idx, F.lit(op)))
+        proj.append(op_col.alias("op"))
+        for c in out_cols:
+            val = None
+            for idx, _, _, kind, assign in clauses:
+                v = (F.lit(None).cast(tgt_types[c]) if kind == self._DELETE
+                     and c in tgt_types else
+                     F.lit(None) if kind == self._DELETE else
+                     clause_value(kind, assign, c))
+                val = (F.when(F.col("__clause") == idx, v) if val is None
+                       else val.when(F.col("__clause") == idx, v))
+            proj.append(val.alias(c))
+        return joined.select(*proj).withColumn("op_lsn", F.lit(lsn).cast("long"))
+
+    def execute(self, query_id: str = "merge") -> Snapshot | None:
+        """Run the MERGE as one fenced, exactly-once statement. Returns the
+        committed Snapshot (None when the emitted batch was empty)."""
+        return _dml_statement(self.table, self._build, query_id)
+
+
+def merge_into(table: LakeTable, source: DataFrame) -> MergeInto:
+    """Entry point: ``merge_into(table, src).when_matched_update(...)
+    .when_not_matched_insert().execute()``."""
+    return MergeInto(table, source)
+
+
 def upsert(table: LakeTable, df: DataFrame, query_id: str = "dml") -> Snapshot | None:
     """Insert-or-replace full rows. ``df`` carries payload columns (at
     least the key); new columns schema-evolve exactly as evolved binlog

@@ -449,6 +449,70 @@ def q_dml(spark, sf_dir):
     return table.read().select("conv_id", "turn_idx", "text", "role")
 
 
+@q(
+    "q_merge_into",
+    f"""WITH base AS (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx),
+        live AS (SELECT conv_id, turn_idx, text, role
+                 FROM base WHERE op <> 'delete')
+        SELECT conv_id, turn_idx,
+               CASE WHEN conv_id = 'conv_000007' AND turn_idx % 2 = 0
+                    THEN text || '+m' ELSE text END AS text,
+               role
+        FROM live
+        WHERE NOT (conv_id = 'conv_000007' AND turn_idx % 2 = 1)
+        UNION ALL
+        SELECT 'merge_new', CAST(0 AS INTEGER), 'fresh', 'user'""",
+)
+def q_merge_into(spark, sf_dir):
+    """MERGE INTO surface (M37) end-to-end on a scratch clone of the demo
+    lake: ONE statement updates conv_000007's even turns, deletes its odd
+    turns, and inserts a brand-new key — Delta clause semantics
+    (first-true-wins, by-category) compiled to a single change-event epoch
+    through the fenced merge path. Final state must equal DuckDB applying
+    the same clause logic relationally to the replayed base."""
+    import shutil
+
+    from maestro_spark.dml import merge_into
+    from maestro_spark.lake import LakeTable  # noqa: F401 (clone returns one)
+
+    base = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/merge_lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = base.clone(root)
+    src = (
+        table.read()
+        .filter(F.col("conv_id") == "conv_000007")
+        .select("conv_id", "turn_idx")
+        .withColumn(
+            "action",
+            F.when(F.col("turn_idx") % 2 == 0, F.lit("upd")).otherwise(
+                F.lit("del")
+            ),
+        )
+        .withColumn("note", F.lit(None).cast("string"))
+        .unionByName(
+            spark.createDataFrame(
+                [("merge_new", 0, "ins", "fresh")],
+                "conv_id string, turn_idx int, action string, note string",
+            )
+        )
+    )
+    (
+        merge_into(table, src)
+        .when_matched_delete(condition="s.action = 'del'")
+        .when_matched_update(set={"text": "concat(t.text, '+m')"})
+        .when_not_matched_insert(values={"text": "s.note", "role": "'user'"})
+        .execute()
+    )
+    return table.read().select("conv_id", "turn_idx", "text", "role")
+
+
 def _ensure_dirty_log() -> str:
     """Deterministic mixed valid/invalid event log (pure pyarrow): every
     4th row is defective in a rotating way — the DLQ oracle fixture."""
@@ -703,6 +767,10 @@ def _finalize_registration_order() -> None:
         # q_curate capstone, and E2's lag machinery runs inside the in-window
         # q_session oracle — both stay oracle-checked locally
         "q_clean", "q_win_lag",
+        # q_cast demoted (round 4) for q_merge_into: B3's typed/safe-cast
+        # machinery runs in-window inside q_ingest_csv (TRY_CAST mirrors the
+        # same rules), while MERGE INTO is a NEW DML-family capability row
+        "q_cast",
         "q_fn_hash", "q_fn_array", "q_fn_json", "q_validate",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",

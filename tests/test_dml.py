@@ -10,7 +10,13 @@ import pyspark.sql.functions as F
 import pytest
 
 from maestro_spark import schema as S
-from maestro_spark.dml import delete_where, max_live_lsn, update_where, upsert
+from maestro_spark.dml import (
+    delete_where,
+    max_live_lsn,
+    merge_into,
+    update_where,
+    upsert,
+)
 from maestro_spark.lake import LakeTable
 from maestro_spark.merge import merge_batch
 
@@ -129,3 +135,102 @@ def test_concurrent_dml_statements_never_tie_lsn(spark, table):
         table.snapshot(s).epoch_key.startswith("dml-")
     ]
     assert sorted(lsns) == [8, 9]  # seed max was 7; no tie
+
+
+# --------------------------------------------------------------- MERGE INTO
+def test_merge_into_all_clause_kinds(spark, table):
+    """One statement exercising update / delete / insert / by-source-update:
+    lands atomically as ONE snapshot, final state exact, feed sees the
+    tombstone as op='delete'."""
+    src = spark.createDataFrame(
+        [("A", 0, "upd", "patched"),
+         ("B", 0, "del", None),
+         ("D", 0, "ins", "fresh")],
+        "conv_id string, turn_idx int, action string, note string")
+    pre = table.snapshot().snapshot_id
+    snap = (merge_into(table, src)
+            .when_matched_delete(condition="s.action = 'del'")
+            .when_matched_update(set={"text": "concat(t.text, '+', s.note)"})
+            .when_not_matched_insert(values={"text": "s.note", "role": "'user'"})
+            .when_not_matched_by_source_update(
+                set={"role": "'stale'"}, condition="t.turn_idx = 1")
+            .execute())
+    assert snap.snapshot_id == pre + 1  # one atomic commit
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"])
+           for r in table.read().collect()}
+    assert got == {
+        ("A", 0): ("a0+patched", "user"),
+        ("A", 1): ("a1", "stale"),        # by-source clause hit
+        ("D", 0): ("fresh", "user"),      # inserted
+    }  # B/0 deleted
+    feed = {(r["conv_id"], r["turn_idx"]): r["op"]
+            for r in table.changes(pre, snap.snapshot_id).collect()}
+    assert feed[("B", 0)] == "delete"
+    assert feed[("D", 0)] == "upsert"
+
+
+def test_merge_into_first_true_clause_wins(spark, table):
+    """Delta semantics: within a category, clauses fire in registration
+    order — a row satisfying both conditions takes the FIRST."""
+    src = spark.createDataFrame(
+        [("A", 0), ("A", 1)], "conv_id string, turn_idx int")
+    (merge_into(table, src)
+     .when_matched_update(set={"text": "'first'"}, condition="t.turn_idx = 0")
+     .when_matched_update(set={"text": "'second'"})
+     .execute())
+    got = _rows(table)
+    assert got[("A", 0)] == "first"
+    assert got[("A", 1)] == "second"
+
+
+def test_merge_into_sync_semantics(spark, table):
+    """update+insert+by-source-delete = 'make the table equal the source'
+    (classic dimension sync)."""
+    src = spark.createDataFrame(
+        [("A", 0, "user", "a0-v2"), ("Z", 9, "user", "z9")],
+        "conv_id string, turn_idx int, role string, text string")
+    (merge_into(table, src)
+     .when_matched_update(set={"text": "s.text", "role": "s.role"})
+     .when_not_matched_insert()
+     .when_not_matched_by_source_delete()
+     .execute())
+    assert _rows(table) == {("A", 0): "a0-v2", ("Z", 9): "z9"}
+
+
+def test_merge_into_insert_defaults_to_source_columns(spark, table):
+    """values=None inserts the source's table columns verbatim; columns the
+    source lacks land as typed nulls."""
+    src = spark.createDataFrame(
+        [("N", 0, "brand-new")], "conv_id string, turn_idx int, text string")
+    merge_into(table, src).when_not_matched_insert().execute()
+    row = table.read().filter(
+        (F.col("conv_id") == "N") & (F.col("turn_idx") == 0)).head()
+    assert row["text"] == "brand-new" and row["role"] is None
+
+
+def test_merge_into_schema_evolution(spark, table):
+    """A set= expression naming a NEW column evolves the table schema like
+    an evolved binlog event; untouched rows read it as null."""
+    src = spark.createDataFrame([("A", 0, 5)],
+                                "conv_id string, turn_idx int, stars int")
+    (merge_into(table, src)
+     .when_matched_update(set={"rating": "cast(s.stars as string)"})
+     .execute())
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["rating"])
+           for r in table.read().collect()}
+    assert got[("A", 0)] == ("a0", "5")   # untouched cols rode along
+    assert got[("B", 0)] == ("b0", None)
+
+
+def test_merge_into_rejects_ambiguity_and_empty(spark, table):
+    src = spark.createDataFrame(
+        [("X", 0, "a"), ("X", 0, "b")],
+        "conv_id string, turn_idx int, text string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(table, src).when_not_matched_insert().execute()
+    ok = spark.createDataFrame([("X", 0, "a")],
+                               "conv_id string, turn_idx int, text string")
+    with pytest.raises(ValueError, match="WHEN clause"):
+        merge_into(table, ok).execute()
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(table, ok.drop("turn_idx"))
