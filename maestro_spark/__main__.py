@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
                          "rewrite (e.g. ts); default = tiered delta fold")
     op.add_argument("--target-file-rows", type=int, default=None)
     op.add_argument("--no-blooms", action="store_true")
+    op.add_argument("--zorder", action="store_true",
+                    help="Morton-interleave the --cluster-by columns so "
+                         "EVERY one keeps tight per-file zone-map bounds")
 
     rt = sub.add_parser(
         "resume-txns",
@@ -280,6 +283,7 @@ def main(argv: list[str] | None = None) -> int:
             cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
             target_file_rows=args.target_file_rows,
             blooms=not args.no_blooms,
+            zorder=args.zorder,
         )))
     elif args.cmd == "resume-txns":
         table = LakeTable(spark, args.table)

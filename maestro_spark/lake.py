@@ -883,6 +883,12 @@ class LakeTable:
             df = df.sortWithinPartitions(
                 "pk_bucket", *(sort_cols or ["conv_id", "turn_idx"])
             )
+        # "__"-prefixed sort columns are ordering helpers (e.g. the z-order
+        # key), not payload — project them away AFTER the sort (a projection
+        # preserves the child's row order, so the files stay clustered)
+        helpers = [c for c in (sort_cols or []) if c.startswith("__")]
+        if helpers:
+            df = df.drop(*helpers)
         writer = df.write.partitionBy("pk_bucket").mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
@@ -1832,6 +1838,7 @@ class LakeTable:
         tombstone_horizon_lsn: int | None = None,
         cluster_by: list[str] | None = None,
         target_file_rows: int | None = None,
+        zorder: bool = False,
     ) -> Snapshot:
         """Rewrite buckets into minimal files; optionally GC tombstones whose
         ``_lsn`` is below ``tombstone_horizon_lsn``.
@@ -1852,6 +1859,14 @@ class LakeTable:
         untouched (MOR output has one row per key, so intra-commit file
         order is irrelevant); the trade is coarser conv_id bounds per file,
         which the key-bloom skipping (M29) covers for point lookups.
+
+        ``zorder=True`` (with 2+ ``cluster_by`` columns) orders by the
+        Morton-interleaved key (:func:`maestro_spark.ops.zorder_key`)
+        instead of lexicographically, so EVERY clustered column keeps
+        tight per-file zone-map bounds — a lexicographic ("ts",
+        "turn_idx") sort gives each file the full turn_idx range, and a
+        turn_idx range read degrades to a full scan. Scaling bounds come
+        driver-side from the zone-map store (zero data IO).
         """
         from pyspark.sql import functions as F  # local import to avoid cycle
 
@@ -1866,9 +1881,27 @@ class LakeTable:
                 ~F.col(S.DELETED_COL) | (F.col(S.LSN_COL) >= tombstone_horizon_lsn)
             )
         df = df.withColumn("pk_bucket", bucket_expr("conv_id", snap.n_buckets))
+        sort_cols = [*cluster_by, "conv_id", "turn_idx"] if cluster_by else None
+        if cluster_by and zorder:
+            from maestro_spark.ops import zorder_key
+
+            bounds: dict[str, tuple] = {}
+            rels = [p for b in todo for p in snap.files.get(str(b), [])]
+            for c in cluster_by:
+                per_file = [
+                    (self.file_stats.get_or_read(p).get("cols") or {}).get(c)
+                    for p in rels
+                ]
+                if per_file and all(b is not None for b in per_file):
+                    bounds[c] = (
+                        min(b[0] for b in per_file),
+                        max(b[1] for b in per_file),
+                    )  # else: zorder_key computes this column's bounds itself
+            df = df.withColumn("__z", zorder_key(df, cluster_by, bounds=bounds))
+            sort_cols = ["__z", "conv_id", "turn_idx"]
         new_files = self.write_bucket_files(
             df.repartition("pk_bucket"),
-            sort_cols=[*cluster_by, "conv_id", "turn_idx"] if cluster_by else None,
+            sort_cols=sort_cols,
             max_records_per_file=target_file_rows,
         )
         # a compacted bucket that became empty must drop its file entry
@@ -1881,6 +1914,8 @@ class LakeTable:
         }
         if cluster_by:
             stats["cluster_by"] = list(cluster_by)
+            if zorder:
+                stats["zorder"] = True
         return self.commit(
             new_files,
             epoch_key=None,
@@ -2145,6 +2180,7 @@ def optimize(
     cluster_by: list[str] | None = None,
     target_file_rows: int | None = None,
     blooms: bool = True,
+    zorder: bool = False,
 ) -> dict:
     """One-call table maintenance (the Iceberg OPTIMIZE / maintenance-job
     parity): fold delta tiers (or, with ``cluster_by``, run a clustered full
@@ -2156,8 +2192,15 @@ def optimize(
     out: dict[str, object] = {}
     snap0 = table.snapshot().snapshot_id
     if cluster_by:
-        s = table.compact(cluster_by=cluster_by, target_file_rows=target_file_rows)
-        out["compact"] = {"mode": "clustered", "snapshot": s.snapshot_id}
+        s = table.compact(
+            cluster_by=cluster_by,
+            target_file_rows=target_file_rows,
+            zorder=zorder,
+        )
+        out["compact"] = {
+            "mode": "zorder" if zorder else "clustered",
+            "snapshot": s.snapshot_id,
+        }
     else:
         s = table.compact_tiered()
         out["compact"] = {

@@ -753,3 +753,76 @@ def test_optimize_one_call_maintenance(spark, tmp_path, capsys, monkeypatch):
     rc = cli(["optimize", "--table", t.root, "--keep-last", "2"])
     assert rc in (0, None)
     assert '"compact"' in capsys.readouterr().out
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering (M38): with two INDEPENDENT dimensions (ts varies
+    per conversation, turn_idx within), a lexicographic (ts, turn_idx) sort
+    leaves every file spanning the full turn_idx range — only ts prunes.
+    Morton-interleaved clustering gives every file tight bounds on BOTH
+    columns, so range reads on either dimension skip files; content and
+    range-read results stay exact."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    base = dt.datetime(2025, 3, 1)
+    rows = [
+        (c * 64 + i + 1, "insert", f"c{c:03d}", i, "user", f"t{c}-{i}", None,
+         base + dt.timedelta(minutes=c))
+        for c in range(64)
+        for i in range(64)
+    ]
+    t = LakeTable.create(spark, str(tmp_path / "zlake"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(rows, S.CHANGE_EVENT_SCHEMA), "z", 0)
+    before = t.read().orderBy("conv_id", "turn_idx").collect()
+    ts_lo, ts_hi = base, base + dt.timedelta(minutes=15)  # first ts quartile
+
+    # lexicographic two-column clustering: ts prunes, turn_idx cannot
+    t.compact(cluster_by=["ts", "turn_idx"], target_file_rows=256)
+    cand, _, total = t.plan_col_scan("turn_idx", 0, 15)
+    assert sum(len(v) for v in cand.values()) == total  # no turn_idx pruning
+    assert total > t.snapshot().n_buckets  # buckets did split into files
+
+    # z-order clustering: BOTH dimensions prune
+    t.compact(cluster_by=["ts", "turn_idx"], target_file_rows=256, zorder=True)
+    assert t.snapshot().stats.get("zorder") is True
+    cand, _, total = t.plan_col_scan("turn_idx", 0, 15)
+    kept_turn = sum(len(v) for v in cand.values())
+    assert kept_turn < total, f"turn_idx not pruned: {kept_turn}/{total}"
+    cand, _, total = t.plan_ts_scan(ts_lo, ts_hi)
+    kept_ts = sum(len(v) for v in cand.values())
+    assert kept_ts < total, f"ts not pruned: {kept_ts}/{total}"
+
+    # exactness on the z-ordered layout
+    assert t.read().orderBy("conv_id", "turn_idx").collect() == before
+    got = sorted(map(tuple, t.read_where("turn_idx", 0, 15).collect()))
+    want = sorted(map(tuple, t.read().filter(F.col("turn_idx") <= 15).collect()))
+    assert got == want and got
+    got = sorted(map(tuple, t.read_where_ts(ts_lo, ts_hi).collect()))
+    want = sorted(map(tuple, t.read().filter(
+        (F.col("ts") >= ts_lo) & (F.col("ts") <= ts_hi)).collect()))
+    assert got == want and got
+
+
+def test_zorder_key_validation(spark):
+    import pytest
+
+    from maestro_spark.ops import zorder_key
+
+    df = spark.createDataFrame([("a", 1, 2)], "s string, x int, y int")
+    with pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key(df, ["x"])
+    with pytest.raises(ValueError, match="string"):
+        zorder_key(df, ["s", "x"])
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_key(df, ["x", "y"], bits=32)
+    # constant column contributes nothing but the key still works
+    row = df.withColumn("z", zorder_key(df, ["x", "y"],
+                                        bounds={"x": (1, 1), "y": (0, 3)},
+                                        bits=2)).head()
+    # y=2 -> level bits (0,1); bit i of col j=1 lands at i*2+1 -> 1<<3
+    assert row["z"] == 8
