@@ -142,6 +142,18 @@ def main(argv: list[str] | None = None) -> int:
     hi.add_argument("--table", required=True)
     hi.add_argument("--limit", type=int, default=50)
 
+    tg = sub.add_parser(
+        "tag",
+        help="named snapshot refs: create/move/drop/list (tagged snapshots "
+             "survive expiry+vacuum until the tag is dropped)",
+    )
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", default=None,
+                    help="tag to create (default: pin the current snapshot)")
+    tg.add_argument("--snapshot", type=int, default=None)
+    tg.add_argument("--replace", action="store_true")
+    tg.add_argument("--drop", default=None, help="tag name to remove")
+
     fi = sub.add_parser("files", help="live data files + zone-map stats (metadata table)")
     fi.add_argument("--table", required=True)
     fi.add_argument("--limit", type=int, default=50)
@@ -321,6 +333,19 @@ def main(argv: list[str] | None = None) -> int:
         df = table.meta_snapshots().orderBy("snapshot_id", ascending=False)
         df.show(args.limit, truncate=60)
         print(json.dumps({"snapshots": df.count()}))
+    elif args.cmd == "tag":
+        table = LakeTable(spark, args.table)
+        out = {}
+        if args.drop:
+            out["dropped"] = table.drop_tag(args.drop)
+        if args.name:
+            out["pinned"] = {
+                args.name: table.tag(
+                    args.name, snapshot_id=args.snapshot, replace=args.replace
+                )
+            }
+        out["tags"] = table.tags()
+        print(json.dumps(out))
     elif args.cmd == "files":
         table = LakeTable(spark, args.table)
         df = table.meta_files().orderBy("bucket", "commit_seq")

@@ -259,6 +259,53 @@ class LakeTable:
             sid = self.snapshot_ids()[-1]
         return load_snapshot(self.root, sid, cache=self._manifest_cache)
 
+    # ------------------------------------------------------------------ tags
+    def _tag_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.\-]*", name or ""):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self.root, SNAP_DIR, f"tag-{name}.json")
+
+    def tag(self, name: str, snapshot_id: int | None = None, replace: bool = False) -> int:
+        """Pin a named reference to a snapshot (Iceberg tag parity): a
+        release/audit label like ``train-2025-03`` that survives snapshot
+        expiry (expire_snapshots keeps tagged ids, so vacuum keeps their
+        data). Resolve with :meth:`ref` — every snapshot_id-taking API
+        (read/changes/clone/export/create_view/lookup) composes:
+        ``table.read(table.ref("train-2025-03"))``. Metadata-only (one tiny
+        JSON); ``replace=True`` moves an existing tag."""
+        sid = self.snapshot(snapshot_id).snapshot_id  # validates existence
+        path = self._tag_path(name)
+        if os.path.exists(path) and not replace:
+            raise ValueError(f"tag {name!r} exists (pass replace=True to move it)")
+        _atomic_write_json(
+            path, {"snapshot_id": sid, "created_at": time.time()}, exclusive=False
+        )
+        return sid
+
+    def drop_tag(self, name: str) -> bool:
+        path = self._tag_path(name)
+        if os.path.exists(path):
+            os.unlink(path)
+            return True
+        return False
+
+    def tags(self) -> dict[str, int]:
+        d = os.path.join(self.root, SNAP_DIR)
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as fh:
+                    out[fn[4:-5]] = int(json.load(fh)["snapshot_id"])
+        return out
+
+    def ref(self, name: str) -> int:
+        """Tag name → pinned snapshot id (KeyError when absent)."""
+        path = self._tag_path(name)
+        if not os.path.exists(path):
+            raise KeyError(f"no tag {name!r}")
+        with open(path) as fh:
+            return int(json.load(fh)["snapshot_id"])
+
     def committed_epoch_keys(self) -> set[str]:
         """Authoritative idempotence index: epoch keys in the snapshot chain.
 
@@ -2096,9 +2143,18 @@ class LakeTable:
         """Drop old snapshot manifests (time-travel horizon); their data
         files become orphans for :meth:`vacuum` unless still referenced by a
         retained snapshot. The epoch-idempotence keys of expired snapshots
-        are preserved in the ledger, so exactly-once survives expiry."""
+        are preserved in the ledger, so exactly-once survives expiry.
+
+        Tagged snapshots (:meth:`tag`) are NEVER expired — a tag is a
+        promise that the pinned id stays readable until the tag is dropped
+        (their data files stay referenced, so vacuum keeps them too)."""
         ids = self.snapshot_ids()
-        drop = ids[:-keep_last] if keep_last else ids[:-1]
+        keep = set(self.tags().values())
+        drop = [
+            sid
+            for sid in (ids[:-keep_last] if keep_last else ids[:-1])
+            if sid not in keep
+        ]
         for sid in drop:
             os.unlink(self._snap_path(sid))
         return len(drop)

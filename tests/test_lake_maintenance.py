@@ -826,3 +826,73 @@ def test_zorder_key_validation(spark):
                                         bits=2)).head()
     # y=2 -> level bits (0,1); bit i of col j=1 lands at i*2+1 -> 1<<3
     assert row["z"] == 8
+
+
+def test_snapshot_tags_survive_expiry_and_compose(spark, tmp_path, capsys,
+                                                  monkeypatch):
+    """Named snapshot refs (M39, Iceberg tag parity): a tag pins an id past
+    expire_snapshots + vacuum, ref() composes with every snapshot_id-taking
+    API (read/clone/changes), drop_tag releases it, and the CLI twin
+    pins/lists/drops."""
+    import datetime as dt
+
+    import pytest
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    TS = dt.datetime(2025, 1, 1)
+    t = LakeTable.create(spark, str(tmp_path / "taglake"), n_buckets=2)
+    spark.conf.set("maestro.compact.maxDeltas", "100")  # keep the chain long
+    try:
+        for e in range(8):
+            merge_batch(t, spark.createDataFrame(
+                [(e + 1, "upsert", "A", 0, "user", f"v{e}", None, TS)],
+                S.CHANGE_EVENT_SCHEMA), "tagq", e)
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+
+    early = t.snapshot_ids()[2]
+    want = t.read(early).orderBy("conv_id", "turn_idx").collect()
+    assert t.tag("train-v1", early) == early
+    with pytest.raises(ValueError, match="exists"):
+        t.tag("train-v1")
+    with pytest.raises(ValueError, match="invalid tag"):
+        t.tag("../escape")
+
+    # ref composes with the incremental feed while history is retained
+    # (changes() spanning expired intermediates refuses, like Iceberg)
+    feed = t.changes(t.ref("train-v1"), t.snapshot().snapshot_id).collect()
+    assert [r["text"] for r in feed] == ["v7"]  # winner since the tag
+
+    # survives expiry + vacuum while untagged peers at the same age are gone
+    t.expire_snapshots(keep_last=2)
+    t.vacuum(manifest_grace_seconds=0)
+    assert early in t.snapshot_ids()
+    assert early + 1 not in t.snapshot_ids()  # untagged sibling expired
+    assert t.read(t.ref("train-v1")).orderBy(
+        "conv_id", "turn_idx").collect() == want
+
+    # ref composes: clone the tagged (expiry-surviving) snapshot
+    c = t.clone(str(tmp_path / "tagclone"), snapshot_id=t.ref("train-v1"))
+    assert c.read().orderBy("conv_id", "turn_idx").collect() == want
+
+    # replace moves the pin; drop releases it for the next expiry
+    t.tag("train-v1", replace=True)
+    assert t.ref("train-v1") == t.snapshot().snapshot_id
+    t.tag("back", early)
+    assert t.drop_tag("back") and not t.drop_tag("back")
+    t.expire_snapshots(keep_last=1)
+    assert early not in t.snapshot_ids()
+    with pytest.raises(KeyError):
+        t.ref("nope")
+
+    # CLI twin
+    from maestro_spark.__main__ import main as cli
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = cli(["tag", "--table", t.root, "--name", "rel"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert '"rel"' in out and '"train-v1"' in out
+    rc = cli(["tag", "--table", t.root, "--drop", "rel"])
+    assert rc in (0, None) and '"dropped": true' in capsys.readouterr().out
