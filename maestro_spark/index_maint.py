@@ -576,3 +576,158 @@ class MaintainedIvfIndex:
             .orderBy(F.col("score").desc(), *S.KEY_COLS)
             .limit(k)
         )
+
+
+_TXT_META = "_maint_text_meta.json"
+
+
+class MaintainedTextIndex:
+    """Feed-maintained inverted TERM index over ``base``'s ``text_col`` —
+    serving-path term search at table scale (M40).
+
+    Layout: rows ``(conv_id, turn_idx, term, tf, _lsn)`` hive-partitioned
+    by ``_tb = pmod(xxhash64(term), n_buckets)``, so a probe reads exactly
+    ONE term-bucket directory (Catalyst partition pruning; the bucket is
+    picked on the driver by the pure-Python XXH64 twin ``keyhash.bucket_of``
+    — the same trick as the table's point-lookup path). Maintenance is the
+    module's standard contract: O(delta) refresh off
+    :meth:`LakeTable.changes`, LSN-dominance tombstones (an updated doc's
+    dropped terms are dominated away, its kept terms' new rows survive the
+    strict ``>``), append-only range markers for the cursor, rebuild as
+    compaction. Probes equal a probe of a FRESH rebuild over base's
+    current state — asserted by tests.
+
+    Tokenization is deterministic and engine-portable: lowercase,
+    ``[^a-z0-9]+`` splits, empties dropped; ``tf`` = occurrences per
+    (key, term) for relevance ordering.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: LakeTable,
+        index_dir: str,
+        text_col: str = "text",
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.base = base
+        self.dir = index_dir
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        os.makedirs(index_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- plumbing
+    applied_through = MaintainedLshIndex.applied_through
+    _mark = MaintainedLshIndex._mark
+
+    def _term_rows(self, rows: DataFrame) -> DataFrame:
+        """(keys, text, _lsn) → (keys, _lsn, term, tf, _tb) — explode +
+        one hash agg, pure codegen."""
+        toks = F.filter(
+            F.split(F.lower(F.col(self.text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        return (
+            rows.withColumn("term", F.explode(toks))
+            .groupBy(*S.KEY_COLS, S.LSN_COL, "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn(
+                "_tb",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+
+    def _append(self, terms: DataFrame, mode: str) -> None:
+        (
+            terms.repartition("_tb")
+            .sortWithinPartitions("_tb", "term")
+            .write.partitionBy("_tb")
+            .mode(mode)
+            .parquet(self.dir)
+        )
+
+    # -------------------------------------------------------------- refresh
+    def refresh(self) -> dict | None:
+        frm = self.applied_through()
+        to = self.base.snapshot().snapshot_id
+        if to <= frm:
+            return None
+        if not os.path.exists(os.path.join(self.dir, _TXT_META)):
+            return self.rebuild()
+        try:
+            feed = self.base.changes(frm, to)
+        except (FileNotFoundError, ValueError):
+            return self.rebuild()
+        ups = feed.filter(
+            (F.col("op") == "upsert") & F.col(self.text_col).isNotNull()
+        ).select(*S.KEY_COLS, self.text_col, F.col("lsn").alias(S.LSN_COL))
+        self._append(self._term_rows(ups), mode="append")
+        (
+            feed.select(*S.KEY_COLS, F.col("lsn").alias("t_lsn"))
+            .write.mode("append")
+            .parquet(os.path.join(self.dir, _TOMBS))
+        )
+        self._mark(frm, to)
+        return {"from": frm, "to": to}
+
+    def rebuild(self) -> dict:
+        import shutil
+
+        to = self.base.snapshot().snapshot_id
+        live = self.base.read_resolved(columns=[self.text_col]).filter(
+            ~F.col(S.DELETED_COL) & F.col(self.text_col).isNotNull()
+        ).select(*S.KEY_COLS, self.text_col, S.LSN_COL)
+        shutil.rmtree(os.path.join(self.dir, _TOMBS), ignore_errors=True)
+        self._append(self._term_rows(live), mode="overwrite")
+        json.dump(
+            {"text_col": self.text_col, "n_buckets": self.n_buckets},
+            open(os.path.join(self.dir, _TXT_META), "w"),
+        )
+        self._mark(self.applied_through(), to)
+        return {"from": 0, "to": to, "rebuild": True}
+
+    # ---------------------------------------------------------------- probe
+    def search(self, term: str, k: int | None = None) -> DataFrame:
+        """Keys of live rows containing ``term``, ordered by tf desc then
+        key — ONE partition directory scanned, per-key max-LSN dedupe,
+        tombstone dominance. ``term`` must be a single token of the index's
+        tokenizer."""
+        from maestro_spark.keyhash import bucket_of
+
+        toks = [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
+        if len(toks) != 1:
+            raise ValueError(f"search wants one token, got {toks!r}")
+        t = toks[0]
+        cand = (
+            self.spark.read.parquet(self.dir)
+            .filter(F.col("_tb") == bucket_of(t, self.n_buckets))
+            .filter(F.col("term") == t)
+        )
+        latest = (
+            cand.groupBy(*S.KEY_COLS)
+            .agg(F.max_by(F.struct("tf", S.LSN_COL), F.col(S.LSN_COL)).alias("_w"))
+            .select(*S.KEY_COLS, "_w.*")
+        )
+        tdir = os.path.join(self.dir, _TOMBS)
+        if os.path.isdir(tdir):
+            tombs = (
+                self.spark.read.parquet(tdir)
+                .groupBy(*S.KEY_COLS)
+                .agg(F.max("t_lsn").alias("t_lsn"))
+                .withColumnRenamed("conv_id", "_t_conv")
+                .withColumnRenamed("turn_idx", "_t_turn")
+            )
+            latest = latest.join(
+                F.broadcast(tombs),
+                on=(
+                    (F.col("conv_id") == F.col("_t_conv"))
+                    & (F.col("turn_idx") == F.col("_t_turn"))
+                    & (F.col("t_lsn") > F.col(S.LSN_COL))
+                ),
+                how="left_anti",
+            )
+        out = latest.select(*S.KEY_COLS, "tf").orderBy(
+            F.col("tf").desc(), *S.KEY_COLS
+        )
+        return out.limit(k) if k else out

@@ -513,6 +513,39 @@ def q_merge_into(spark, sf_dir):
     return table.read().select("conv_id", "turn_idx", "text", "role")
 
 
+@q(
+    "q_term_search",
+    f"""WITH base AS (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx),
+        live AS (SELECT conv_id, turn_idx, text FROM base WHERE op <> 'delete'),
+        toks AS (
+          SELECT conv_id, turn_idx, t.tok
+          FROM live, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+          WHERE t.tok <> '')
+        SELECT conv_id, turn_idx, CAST(COUNT(*) AS INTEGER) AS tf
+        FROM toks WHERE tok = '7' GROUP BY conv_id, turn_idx""",
+)
+def q_term_search(spark, sf_dir):
+    """Inverted-index serving path (M40): probe the feed-maintained term
+    index for token '7' — one term-bucket partition scanned (driver-side
+    XXH64 twin picks it), per-key max-LSN dedupe + tombstone dominance —
+    and the result must equal DuckDB tokenizing the replayed live state
+    with the same rules. The index builds once (rebuild) and is kept
+    current by refresh(); repeat calls are cursor no-ops."""
+    from maestro_spark.index_maint import MaintainedTextIndex
+
+    table = _ensure_cdc_demo_lake(spark)
+    idx = MaintainedTextIndex(
+        spark, table, f"{_CDC_DEMO_DIR}/text_idx", n_buckets=16
+    )
+    idx.refresh()
+    return idx.search("7")
+
+
 def _ensure_dirty_log() -> str:
     """Deterministic mixed valid/invalid event log (pure pyarrow): every
     4th row is defective in a rotating way — the DLQ oracle fixture."""
@@ -736,6 +769,10 @@ def _finalize_registration_order() -> None:
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
         "q_ingest_json",
+        # round 4: the term-search probe proves itself out-of-window first
+        # (zero-red protocol); the serving-index family already holds an
+        # in-window row (q_point_lookup)
+        "q_term_search",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

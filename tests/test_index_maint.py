@@ -355,3 +355,88 @@ def test_stream_ingest_maintains_index_continuously(spark, tmp_path):
         )
     got = {r["conv_id"] for r in idx.topk(_vec(7), 40, nprobe=4).collect()}
     assert "c7" not in got
+
+
+def test_maintained_text_index_search_equals_rebuild(spark, tmp_path):
+    """Inverted term index (M40): search() equals a fresh-rebuild probe AND
+    the tokenizer ground truth over base's CURRENT live rows across
+    insert/update/delete epochs; exactly one term-bucket partition is
+    scanned; crash-idempotent re-apply collapses in the probe."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    import pyspark.sql.functions as F
+
+    from maestro_spark.index_maint import MaintainedTextIndex
+
+    TS = dt.datetime(2025, 1, 1)
+    TXT = {
+        "d0": "spark shuffle exchange spark spark",
+        "d1": "parquet footers and zone maps",
+        "d2": "spark catalyst optimizer",
+        "d3": "unrelated prose about gardens",
+    }
+    base = LakeTable.create(spark, str(tmp_path / "ti_lake"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(i + 1, "insert", k, 0, None, v, None, TS)
+         for i, (k, v) in enumerate(sorted(TXT.items()))],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+
+    idx = MaintainedTextIndex(spark, base, str(tmp_path / "ti_idx"),
+                              n_buckets=8)
+    idx.refresh()  # bootstrap = rebuild
+
+    # epoch 1: update drops 'spark' from d2, delete d1, insert d9 with it
+    merge_batch(base, spark.createDataFrame(
+        [(10, "update", "d2", 0, None, "tungsten codegen only", None, TS),
+         (11, "delete", "d1", 0, None, None, None, TS),
+         (12, "insert", "d9", 0, None, "spark spark streaming", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    r = idx.refresh()
+    assert r is not None and idx.refresh() is None  # cursor is current
+
+    def ground_truth(term):
+        toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                        lambda x: x != F.lit(""))
+        g = (base.read().withColumn("term", F.explode(toks))
+             .filter(F.col("term") == term)
+             .groupBy("conv_id", "turn_idx").count())
+        return {(r["conv_id"], r["turn_idx"]): r["count"] for r in g.collect()}
+
+    for term in ("spark", "parquet", "codegen", "absent"):
+        got = {(r["conv_id"], r["turn_idx"]): r["tf"]
+               for r in idx.search(term).collect()}
+        assert got == ground_truth(term), term
+    assert {r["conv_id"] for r in idx.search("spark").collect()} == {"d0", "d9"}
+    top = idx.search("spark", k=1).head()
+    assert (top["conv_id"], top["tf"]) == ("d0", 3)  # tf ranking
+
+    # probe ≡ fresh rebuild over current state
+    idx2 = MaintainedTextIndex(spark, base, str(tmp_path / "ti_idx2"),
+                               n_buckets=8)
+    idx2.rebuild()
+    assert sorted(map(tuple, idx.search("spark").collect())) == \
+        sorted(map(tuple, idx2.search("spark").collect()))
+
+    # exactly one term-bucket partition is scanned
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.search("spark").explain(True)
+    s = buf.getvalue()
+    assert "PartitionFilters" in s and "_tb" in s
+
+    # crash-idempotence: re-apply the last range (marker removed), then
+    # refresh again — duplicates collapse in the probe's max-LSN dedupe
+    import os as _os
+    marks = [f for f in _os.listdir(idx.dir) if f.startswith("_applied-")]
+    _os.unlink(_os.path.join(idx.dir, sorted(marks)[-1]))
+    assert idx.refresh() is not None
+    got = {(r["conv_id"], r["turn_idx"]): r["tf"]
+           for r in idx.search("spark").collect()}
+    assert got == ground_truth("spark")
+
+    # validation: multi-token probes are refused
+    import pytest
+    with pytest.raises(ValueError, match="one token"):
+        idx.search("two words")
