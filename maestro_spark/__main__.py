@@ -142,6 +142,16 @@ def main(argv: list[str] | None = None) -> int:
     hi.add_argument("--table", required=True)
     hi.add_argument("--limit", type=int, default=50)
 
+    al = sub.add_parser(
+        "alter",
+        help="ALTER TABLE: --add name:type (metadata-only) | "
+             "--rename old:new | --drop name (one COW rewrite each)",
+    )
+    al.add_argument("--table", required=True)
+    al.add_argument("--add", default=None, metavar="NAME:TYPE")
+    al.add_argument("--rename", default=None, metavar="OLD:NEW")
+    al.add_argument("--drop", default=None, metavar="NAME")
+
     tg = sub.add_parser(
         "tag",
         help="named snapshot refs: create/move/drop/list (tagged snapshots "
@@ -333,6 +343,24 @@ def main(argv: list[str] | None = None) -> int:
         df = table.meta_snapshots().orderBy("snapshot_id", ascending=False)
         df.show(args.limit, truncate=60)
         print(json.dumps({"snapshots": df.count()}))
+    elif args.cmd == "alter":
+        from maestro_spark import ddl
+
+        table = LakeTable(spark, args.table)
+        out = {}
+        if args.add:
+            name, _, dtype = args.add.partition(":")
+            out["add"] = ddl.add_column(table, name, dtype or "string").snapshot_id
+        if args.rename:
+            old, _, new = args.rename.partition(":")
+            out["rename"] = ddl.rename_column(table, old, new).snapshot_id
+        if args.drop:
+            out["drop"] = ddl.drop_column(table, args.drop).snapshot_id
+        out["schema"] = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in table.snapshot().payload_schema().fields
+        ]
+        print(json.dumps(out))
     elif args.cmd == "tag":
         table = LakeTable(spark, args.table)
         out = {}

@@ -499,6 +499,15 @@ class LakeTable:
                     f"rollback snapshot {sid}; re-sync from a full read"
                 )
             if snap.stats.get("maintenance"):
+                if (snap.stats.get("alter") or {}).get("rename"):
+                    # pre-rename files in the range cannot be read under the
+                    # post-rename schema (name-addressed parquet); consumers
+                    # re-sync — the same degradation contract as rollback
+                    raise ValueError(
+                        f"change feed range ({from_snapshot}, {to_snapshot}] "
+                        f"spans column-rename snapshot {sid}; re-sync from a "
+                        "full read"
+                    )
                 continue
             parent = self.snapshot(snap.parent_id) if snap.parent_id is not None else None
             added = []
@@ -1175,6 +1184,7 @@ class LakeTable:
         retries: int | None = None,
         base: int | None = None,
         check_lsn: int | None = None,
+        replace_schema: bool = False,
     ) -> Snapshot:
         """Commit new bucket files; untouched buckets carried forward by
         reference. ``append=False`` (copy-on-write / compaction) replaces each
@@ -1233,6 +1243,20 @@ class LakeTable:
             if dup is not None:
                 return dup
         my_schema = schema or parent.schema
+        # replace_schema (ALTER TABLE rename/drop): the published schema IS
+        # ``schema`` — the add-only merge would resurrect renamed/dropped
+        # fields. Safe only because the DDL planned against ``base``: any
+        # concurrent schema change in the gap (or across a rebase) must
+        # conflict instead of being silently overwritten.
+        if replace_schema:
+            base_schema_json = self.snapshot(
+                base if base is not None else parent.snapshot_id
+            ).schema_json
+            if parent.schema_json != base_schema_json:
+                raise CommitConflict(
+                    "concurrent schema change while an ALTER was planned; "
+                    "re-plan the ALTER from the current schema"
+                )
         app_manifest: str | None = None  # written once, reused across rebases
         for _ in range(retries + 1):
             files = dict(parent.files)
@@ -1246,7 +1270,9 @@ class LakeTable:
                 parent_id=parent.snapshot_id,
                 epoch_key=epoch_key,
                 schema_json=json.dumps(
-                    S.merge_schemas(parent.schema, my_schema).jsonValue()
+                    my_schema.jsonValue()
+                    if replace_schema
+                    else S.merge_schemas(parent.schema, my_schema).jsonValue()
                 ),
                 files=files,
                 n_buckets=parent.n_buckets,
@@ -1275,6 +1301,11 @@ class LakeTable:
                 )
                 if dup is not None:
                     return dup
+                if replace_schema and current.schema_json != base_schema_json:
+                    raise CommitConflict(
+                        "concurrent schema change while an ALTER was "
+                        "publishing; re-plan the ALTER from the current schema"
+                    )
                 parent = current
         raise CommitConflict(f"commit lost the publish race {retries + 1} times")
 
