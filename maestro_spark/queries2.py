@@ -546,6 +546,38 @@ def q_term_search(spark, sf_dir):
     return idx.search("7")
 
 
+@q(
+    "q_alter",
+    f"""WITH base AS (
+          SELECT conv_id, turn_idx,
+                 arg_max(text, op_lsn) AS text,
+                 arg_max(role, op_lsn) AS role,
+                 arg_max(op, op_lsn) AS op
+          FROM read_parquet('{_CDC_DEMO_DIR}/log/segment-*.parquet')
+          GROUP BY conv_id, turn_idx)
+        SELECT conv_id, turn_idx, text AS body, role,
+               CAST(NULL AS INTEGER) AS rating
+        FROM base WHERE op <> 'delete'""",
+)
+def q_alter(spark, sf_dir):
+    """ALTER TABLE surface (M41) on a scratch clone: rename text->body
+    (COW rewrite), drop tool (COW rewrite), add rating int (metadata-only)
+    — the final state must equal DuckDB aliasing/projecting the replayed
+    base the same way."""
+    import shutil
+
+    from maestro_spark.ddl import add_column, drop_column, rename_column
+
+    base = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/alter_lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = base.clone(root)
+    rename_column(table, "text", "body")
+    drop_column(table, "tool")
+    add_column(table, "rating", "int")
+    return table.read().select("conv_id", "turn_idx", "body", "role", "rating")
+
+
 def _ensure_dirty_log() -> str:
     """Deterministic mixed valid/invalid event log (pure pyarrow): every
     4th row is defective in a rotating way — the DLQ oracle fixture."""
@@ -773,6 +805,8 @@ def _finalize_registration_order() -> None:
         # (zero-red protocol); the serving-index family already holds an
         # in-window row (q_point_lookup)
         "q_term_search",
+        # round 4: ALTER TABLE end-to-end, out-of-window first
+        "q_alter",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw
