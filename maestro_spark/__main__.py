@@ -152,6 +152,17 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--rename", default=None, metavar="OLD:NEW")
     al.add_argument("--drop", default=None, metavar="NAME")
 
+    cn = sub.add_parser(
+        "constraint",
+        help="CHECK constraints: --name/--expr adds (validated against "
+             "current data), --drop removes; violating writes dead-letter "
+             "as constraint:<name>",
+    )
+    cn.add_argument("--table", required=True)
+    cn.add_argument("--name", default=None)
+    cn.add_argument("--expr", default=None)
+    cn.add_argument("--drop", default=None)
+
     tg = sub.add_parser(
         "tag",
         help="named snapshot refs: create/move/drop/list (tagged snapshots "
@@ -360,6 +371,16 @@ def main(argv: list[str] | None = None) -> int:
             f"{f.name}:{f.dataType.simpleString()}"
             for f in table.snapshot().payload_schema().fields
         ]
+        print(json.dumps(out))
+    elif args.cmd == "constraint":
+        table = LakeTable(spark, args.table)
+        out = {}
+        if args.drop:
+            out["dropped"] = table.drop_constraint(args.drop)
+        if args.name and args.expr:
+            table.add_constraint(args.name, args.expr)
+            out["added"] = args.name
+        out["constraints"] = table.constraints()
         print(json.dumps(out))
     elif args.cmd == "tag":
         table = LakeTable(spark, args.table)

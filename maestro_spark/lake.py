@@ -306,6 +306,52 @@ class LakeTable:
         with open(path) as fh:
             return int(json.load(fh)["snapshot_id"])
 
+    # ------------------------------------------------------------ constraints
+    def _constraints_path(self) -> str:
+        return os.path.join(self.root, SNAP_DIR, "constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → SQL boolean expression over
+        payload columns. Write-side gates (Delta CHECK-constraint parity):
+        the merge path dead-letters any non-delete event whose expression
+        is FALSE (NULL passes — SQL CHECK semantics) with reason
+        ``constraint:<name>`` instead of corrupting the table or failing
+        the stream; the repair flow is the normal DLQ one."""
+        p = self._constraints_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """Add a CHECK constraint after validating that (a) the expression
+        compiles against the current schema and (b) every CURRENT live row
+        satisfies it (one scan — the Delta ADD CONSTRAINT rule: a
+        constraint must hold before it can gate writes)."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.\-]*", name or ""):
+            raise ValueError(f"invalid constraint name {name!r}")
+        cur = self.constraints()
+        if name in cur:
+            raise ValueError(f"constraint {name!r} exists (drop it first)")
+        bad = self.read().filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).head(1)
+        if bad:
+            raise ValueError(
+                f"constraint {name!r} is violated by current data, e.g. "
+                f"{tuple(bad[0][:3])!r}"
+            )
+        cur[name] = expr
+        _atomic_write_json(self._constraints_path(), cur, exclusive=False)
+
+    def drop_constraint(self, name: str) -> bool:
+        cur = self.constraints()
+        if name not in cur:
+            return False
+        del cur[name]
+        _atomic_write_json(self._constraints_path(), cur, exclusive=False)
+        return True
+
     def committed_epoch_keys(self) -> set[str]:
         """Authoritative idempotence index: epoch keys in the snapshot chain.
 

@@ -151,7 +151,7 @@ def merge_batch(
     # <root>/_quarantine/<query_id>/epoch=<id>/ with a _reason column BEFORE
     # the commit (overwrite mode, so a crash-retry of the epoch rewrites the
     # same rows: the DLQ is exactly-once alongside the table).
-    reason = quarantine_reason()
+    reason = quarantine_reason(table, batch_cols=batch.columns)
     in_aggs = [
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(late_expr).alias("late_events"),
@@ -354,12 +354,22 @@ def merge_batch(
     return snap
 
 
-def quarantine_reason() -> F.Column:
+def quarantine_reason(
+    table: LakeTable | None = None, batch_cols: list[str] | None = None
+) -> F.Column:
     """NULL for a mergeable event, else the first matching defect label.
     An event missing its key, its LSN, or carrying an unknown op cannot
     participate in max-LSN resolution — it is routed to the dead-letter
-    directory instead of corrupting the table or crashing the tail."""
-    return (
+    directory instead of corrupting the table or crashing the tail.
+
+    With a ``table``, the table's CHECK constraints (M42) chain on after
+    the structural defects: a non-delete event whose expression is FALSE
+    dead-letters as ``constraint:<name>``. SQL CHECK semantics — NULL
+    passes; a constraint whose referenced columns are absent from THIS
+    batch's schema evaluates to unknown and passes (schema-evolving
+    upstreams must not wedge the stream on a column they don't send yet).
+    """
+    out = (
         F.when(F.col("conv_id").isNull(), F.lit("null_conv_id"))
         .when(F.col("turn_idx").isNull(), F.lit("null_turn_idx"))
         .when(F.col("op_lsn").isNull(), F.lit("null_op_lsn"))
@@ -370,6 +380,24 @@ def quarantine_reason() -> F.Column:
             F.lit("bad_op"),
         )
     )
+    if table is not None:
+        import re as _re
+
+        have = set(batch_cols or [])
+        table_cols = {f.name for f in table.snapshot().payload_schema().fields}
+        for name, expr in sorted(table.constraints().items()):
+            refs = {
+                w for w in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)
+                if w in table_cols
+            }
+            if batch_cols is not None and not refs <= have:
+                continue  # absent column -> unknown -> passes
+            out = out.when(
+                (F.col("op") != "delete")
+                & ~F.coalesce(F.expr(expr), F.lit(True)),
+                F.lit(f"constraint:{name}"),
+            )
+    return out
 
 
 def read_quarantine(table: LakeTable, query_id: str) -> DataFrame | None:
