@@ -82,3 +82,32 @@ def test_merge_winners_plan_single_exchange(spark):
     )
     plan = winners._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_merge_into_compiles_to_single_join(spark, tmp_path):
+    """MERGE INTO's single-pass claim (M37): however many WHEN clauses are
+    chained, the optimized plan holds exactly ONE source⋈target join and
+    two scans — clause resolution is pure projection (chained when()), not
+    per-clause re-joins."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.dml import MergeInto
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "mlake"), n_buckets=2)
+    merge_batch(t, spark.createDataFrame(
+        [(5, "insert", "A", 0, "user", "a0", None, dt.datetime(2025, 1, 1))],
+        S.CHANGE_EVENT_SCHEMA), "seed", 0)
+    src = spark.createDataFrame(
+        [("A", 0, "x")], "conv_id string, turn_idx int, note string")
+    batch = (
+        MergeInto(t, src)
+        .when_matched_delete(condition="s.note = 'gone'")
+        .when_matched_update(set={"text": "s.note"})
+        .when_not_matched_insert(values={"text": "s.note"})
+        ._build(99)
+    )
+    plan = batch._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join ") == 1, plan
