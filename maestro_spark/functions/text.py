@@ -131,3 +131,22 @@ def rep_ngram_fraction(df: DataFrame, n: int = 3, text_col: str = "text",
             ).cast("long").alias("rep_bp"),  # basis points, floor-div: engine-exact
         )
     )
+
+
+# GPT-2-family pre-tokenizer pieces, RE2-safe (no lookaheads, no backrefs)
+# so the SAME pattern runs in Spark (Java regex) and DuckDB (RE2) — the
+# engine-portable deterministic proxy for BPE token counts (pre-tokens are
+# what a byte-level BPE merges within; counts track real tokenizers within
+# a few percent on natural text and are exactly reproducible everywhere).
+PRETOKEN_RE = r"'[a-z]{1,2}| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token-count estimate: number of GPT-2-style pre-tokenizer
+    pieces (contraction suffixes, space-prefixed letter/digit runs,
+    punctuation runs, residual whitespace). Pure codegen
+    (``regexp_count``), zero Python, linear scan — the budget/packing
+    arithmetic a training pipeline runs over every document."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(PRETOKEN_RE)), F.lit(0)
+    ).cast("long")

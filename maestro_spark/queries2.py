@@ -578,6 +578,36 @@ def q_alter(spark, sf_dir):
     return table.read().select("conv_id", "turn_idx", "body", "role", "rating")
 
 
+def _pretoken_sql() -> str:
+    from maestro_spark.functions.text import PRETOKEN_RE
+
+    return PRETOKEN_RE.replace("'", "''")
+
+
+@q(
+    "q_token_est",
+    None,  # bound at registration below (needs the shared regex literal)
+)
+def q_token_est(spark, sf_dir):
+    """BPE-ish token-count estimate (task-brief token counting, subword
+    flavor): GPT-2-style pre-tokenizer pieces counted with ONE RE2-safe
+    regex that runs identically in Spark (Java regex) and DuckDB (RE2) —
+    pure codegen regexp_count, no Python, no shuffle."""
+    from maestro_spark.functions.text import subword_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", subword_count(F.col("text")).alias("n_subwords")
+    )
+
+
+ORACLES["q_token_est"] = f"""
+    SELECT doc_id,
+           CAST(COALESCE(len(regexp_extract_all(text, '{_pretoken_sql()}')), 0)
+                AS BIGINT) AS n_subwords
+    FROM documents"""
+
+
 def _ensure_dirty_log() -> str:
     """Deterministic mixed valid/invalid event log (pure pyarrow): every
     4th row is defective in a rotating way — the DLQ oracle fixture."""
@@ -807,6 +837,8 @@ def _finalize_registration_order() -> None:
         "q_term_search",
         # round 4: ALTER TABLE end-to-end, out-of-window first
         "q_alter",
+        # round 4: subword token estimate (engine-parity regex), out-of-window
+        "q_token_est",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

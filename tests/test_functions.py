@@ -781,3 +781,25 @@ def test_q_media_decode_is_deterministic(spark):
     assert a == b and len(a) == 16
     kinds = {r[1] for r in a}
     assert kinds == {"image", "audio"}
+
+
+def test_subword_count_engine_parity_and_shape(spark):
+    """BPE-ish pre-token counts: the ONE RE2-safe pattern produces
+    identical counts in Spark and DuckDB (the oracle contract), and tracks
+    the expected piece structure on hand-checked strings."""
+    import duckdb
+
+    from maestro_spark.functions.text import PRETOKEN_RE, subword_count
+
+    rows = ["Hello, world!", "it's 2025: GPT-4 rocks", "", "   ",
+            "don't I'll we're", "multi\nline text 123", "a-b_c.d", None]
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    got = [r[0] for r in df.select(subword_count(F.col("text"))).collect()]
+    duck = [
+        duckdb.sql("SELECT COALESCE(len(regexp_extract_all(?, ?)), 0)",
+                   params=[t, PRETOKEN_RE]).fetchone()[0]
+        for t in rows
+    ]
+    assert got == duck
+    # "Hello" "," " world" "!" -> 4 pieces; null/empty -> 0
+    assert got[0] == 4 and got[2] == 0 and got[-1] == 0
