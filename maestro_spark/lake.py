@@ -613,6 +613,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         ts=None,
         columns: list[str] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Register this table's MOR-resolved live rows as a session temp
         view so analysts can ``spark.sql("SELECT … FROM <name>")`` without
@@ -627,10 +628,12 @@ class LakeTable:
         the CURRENT snapshot; call again to pick up newer commits.
         ``columns`` prunes the scan like :meth:`read` (Python DataSources
         receive no projection pushdown, so pass it for narrow analytics)."""
+        if sum(x is not None for x in (snapshot_id, ts, tag)) > 1:
+            raise ValueError("pass at most one of snapshot_id / ts / tag")
         if ts is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or ts, not both")
             snapshot_id = self.snapshot_id_at(ts)
+        if tag is not None:
+            snapshot_id = self.ref(tag)
         df = self.read(snapshot_id=snapshot_id, columns=columns)
         df.createOrReplaceTempView(name)
         return df
@@ -2252,7 +2255,11 @@ class LakeTable:
                     orphans.append(rel)
         return orphans
 
-    def vacuum(self, manifest_grace_seconds: float | None = None) -> int:
+    def vacuum(
+        self,
+        manifest_grace_seconds: float | None = None,
+        dry_run: bool = False,
+    ) -> int:
         """Delete orphan data files + stale staging dirs + unreferenced
         manifests. Data-file orphans are unreachable by definition (commit =
         snapshot publish), BUT an in-flight commit's artifacts exist before
@@ -2263,11 +2270,16 @@ class LakeTable:
         the Iceberg orphan-cleanup rule; default
         ``maestro.vacuum.manifestGraceSeconds`` = 300) — concurrent-writer
         safety holds as long as no single commit attempt outlives the grace.
-        Pass ``manifest_grace_seconds=0`` only when no writer can be mid-commit."""
+        Pass ``manifest_grace_seconds=0`` only when no writer can be mid-commit.
+
+        ``dry_run=True`` (Delta VACUUM DRY RUN parity) deletes nothing and
+        returns the orphan data-file count the real call would remove."""
         if manifest_grace_seconds is None:
             manifest_grace_seconds = float(
                 self.spark.conf.get("maestro.vacuum.manifestGraceSeconds", "300")
             )
+        if dry_run:
+            return len(self.orphan_files())
         n = 0
         for rel in self.orphan_files():
             os.unlink(os.path.join(self.root, rel))

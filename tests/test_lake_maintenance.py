@@ -896,3 +896,30 @@ def test_snapshot_tags_survive_expiry_and_compose(spark, tmp_path, capsys,
     assert '"rel"' in out and '"train-v1"' in out
     rc = cli(["tag", "--table", t.root, "--drop", "rel"])
     assert rc in (0, None) and '"dropped": true' in capsys.readouterr().out
+
+
+def test_vacuum_dry_run_and_view_by_tag(spark, tmp_path):
+    """vacuum(dry_run=True) reports without deleting; create_view(tag=...)
+    pins a SQL view to a named ref (and refuses combined pins)."""
+    import pytest
+
+    log = generate(GenConfig(seed=77, n_convs=20, segment_rows=200))
+    write_log(log, str(tmp_path / "log"), segment_rows=200)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    replay(spark, str(tmp_path / "log"), t, query_id="v")
+    t.tag("rel", t.snapshot_ids()[1])
+    n_tagged = t.read(t.ref("rel")).count()
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+
+    would = t.vacuum(dry_run=True)
+    assert would > 0
+    assert _n_data_files(t) >= would  # nothing deleted yet
+    files_before = _n_data_files(t)
+    assert t.vacuum() == would
+    assert _n_data_files(t) == files_before - would
+
+    t.create_view("rel_view", tag="rel")
+    assert spark.sql("SELECT count(*) c FROM rel_view").head()["c"] == n_tagged
+    with pytest.raises(ValueError, match="at most one"):
+        t.create_view("x", snapshot_id=1, tag="rel")
