@@ -695,6 +695,8 @@ class MaintainedTextIndex:
         tokenizer."""
         from maestro_spark.keyhash import bucket_of
 
+        if not os.path.exists(os.path.join(self.dir, _TXT_META)):
+            raise ValueError("text index not built yet — call refresh()")
         toks = [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
         if len(toks) != 1:
             raise ValueError(f"search wants one token, got {toks!r}")

@@ -436,7 +436,10 @@ def test_maintained_text_index_search_equals_rebuild(spark, tmp_path):
            for r in idx.search("spark").collect()}
     assert got == ground_truth("spark")
 
-    # validation: multi-token probes are refused
+    # validation: multi-token probes and unbuilt indexes are refused clearly
     import pytest
     with pytest.raises(ValueError, match="one token"):
         idx.search("two words")
+    unbuilt = MaintainedTextIndex(spark, base, str(tmp_path / "ti_none"))
+    with pytest.raises(ValueError, match="not built"):
+        unbuilt.search("spark")
