@@ -2326,6 +2326,7 @@ def optimize(
     target_file_rows: int | None = None,
     blooms: bool = True,
     zorder: bool = False,
+    refresh: list | None = None,
 ) -> dict:
     """One-call table maintenance (the Iceberg OPTIMIZE / maintenance-job
     parity): fold delta tiers (or, with ``cluster_by``, run a clustered full
@@ -2333,9 +2334,19 @@ def optimize(
     for the serving path, expire old snapshots, and vacuum orphans +
     unreferenced manifests (grace-protected). Each step is the engine's own
     idempotent primitive, so a crash mid-optimize loses nothing — re-run it.
+    ``refresh``: maintained views / indexes over this table (anything with
+    the ``refresh()`` contract — ``ivm.ConvStatsView``, the
+    ``index_maint.Maintained*Index`` family). They fold FIRST, before
+    expiry/vacuum can trim the change-feed horizon their delta refresh
+    reads from.
+
     Returns a step → outcome summary."""
     out: dict[str, object] = {}
     snap0 = table.snapshot().snapshot_id
+    if refresh:
+        out["refreshed"] = [
+            {type(v).__name__: v.refresh() is not None} for v in refresh
+        ]
     if cluster_by:
         s = table.compact(
             cluster_by=cluster_by,

@@ -923,3 +923,39 @@ def test_vacuum_dry_run_and_view_by_tag(spark, tmp_path):
     assert spark.sql("SELECT count(*) c FROM rel_view").head()["c"] == n_tagged
     with pytest.raises(ValueError, match="at most one"):
         t.create_view("x", snapshot_id=1, tag="rel")
+
+
+def test_optimize_refreshes_maintained_structures_before_expiry(spark, tmp_path):
+    """optimize(refresh=[...]) folds maintained views/indexes FIRST, so
+    their delta refresh still sees the feed horizon that the same call's
+    expiry+vacuum then trims."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.index_maint import MaintainedTextIndex
+    from maestro_spark.lake import optimize
+    from maestro_spark.merge import merge_batch
+
+    TS = dt.datetime(2025, 1, 1)
+    t = LakeTable.create(spark, str(tmp_path / "olake"), n_buckets=2)
+    idx = MaintainedTextIndex(spark, t, str(tmp_path / "oidx"), n_buckets=4)
+    spark.conf.set("maestro.compact.maxDeltas", "100")
+    try:
+        for e in range(6):
+            merge_batch(t, spark.createDataFrame(
+                [(e + 1, "insert", f"c{e}", 0, None, f"alpha beta{e}", None, TS)],
+                S.CHANGE_EVENT_SCHEMA), "oq", e)
+    finally:
+        spark.conf.set("maestro.compact.maxDeltas", "8")
+
+    out = optimize(t, expire_keep_last=1, refresh=[idx])
+    assert out["refreshed"] == [{"MaintainedTextIndex": True}]
+    # the index is current over everything, though the feed horizon is gone
+    assert {r["conv_id"] for r in idx.search("alpha").collect()} == \
+        {f"c{e}" for e in range(6)}
+    # optimize's own compact/expiry commits advanced the chain past the
+    # index cursor; folding them is a no-op for content and leaves the
+    # probe exact
+    idx.refresh()
+    assert {r["conv_id"] for r in idx.search("alpha").collect()} == \
+        {f"c{e}" for e in range(6)}
