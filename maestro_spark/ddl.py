@@ -139,3 +139,45 @@ def drop_column(table: LakeTable, name: str) -> Snapshot:
     return _rewrite(
         table, lambda df: df.drop(name), new_schema, {"drop": [name]}
     )
+
+
+def widen_column(table: LakeTable, name: str, new_type: T.DataType | str) -> Snapshot:
+    """Metadata-only WIDEN COLUMN (int→long, long→double, float→double,
+    date→timestamp — the engine's safe-widening set): publishes the wider
+    schema; existing narrow files read through Spark's parquet upcast, the
+    same mechanism event-driven widening already relies on. Anything not a
+    safe widening raises (via schema.merge_schemas)."""
+    if isinstance(new_type, str):
+        new_type = T._parse_datatype_string(new_type)
+    snap = table.snapshot()
+    if name in _PROTECTED:
+        raise ValueError(f"cannot widen key/internal column {name!r}")
+    if name not in _payload_names(snap):
+        raise ValueError(f"no payload column {name!r}")
+    proposed = T.StructType(
+        [
+            T.StructField(name, new_type, True)
+            if f.name == name
+            else f
+            for f in snap.payload_schema().fields
+        ]
+    )
+    widened = S.merge_schemas(
+        snap.schema, T.StructType([*proposed.fields, *S.INTERNAL_FIELDS])
+    )
+    got = {f.name: f.dataType for f in widened.fields}[name]
+    if got != new_type:
+        raise TypeError(
+            f"{name!r} would stay {got.simpleString()} — widen must move the "
+            "type (already wider, or not a safe widening)"
+        )
+    return table.commit(
+        {},
+        epoch_key=None,
+        schema=widened,
+        stats={
+            "maintenance": "alter",
+            "alter": {"widen": [name, new_type.simpleString()]},
+        },
+        base=snap.snapshot_id,
+    )

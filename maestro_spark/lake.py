@@ -2219,7 +2219,9 @@ class LakeTable:
             self.build_key_blooms(snapshot_id=out.snapshot_id)
         return out
 
-    def expire_snapshots(self, keep_last: int = 10) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 10, older_than_seconds: float | None = None
+    ) -> int:
         """Drop old snapshot manifests (time-travel horizon); their data
         files become orphans for :meth:`vacuum` unless still referenced by a
         retained snapshot. The epoch-idempotence keys of expired snapshots
@@ -2227,13 +2229,24 @@ class LakeTable:
 
         Tagged snapshots (:meth:`tag`) are NEVER expired — a tag is a
         promise that the pinned id stays readable until the tag is dropped
-        (their data files stay referenced, so vacuum keeps them too)."""
+        (their data files stay referenced, so vacuum keeps them too).
+
+        ``older_than_seconds`` (Iceberg ``expire_snapshots(older_than=)``
+        parity) additionally restricts the drop to snapshots committed more
+        than that many seconds ago — the newest ``keep_last`` are retained
+        regardless."""
         ids = self.snapshot_ids()
         keep = set(self.tags().values())
+        cutoff = (
+            time.time() - older_than_seconds
+            if older_than_seconds is not None
+            else None
+        )
         drop = [
             sid
             for sid in (ids[:-keep_last] if keep_last else ids[:-1])
             if sid not in keep
+            and (cutoff is None or self.snapshot(sid).committed_at < cutoff)
         ]
         for sid in drop:
             os.unlink(self._snap_path(sid))

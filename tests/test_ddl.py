@@ -115,3 +115,35 @@ def test_drop_column_erases_physically_and_frees_the_name(spark, table):
         drop_column(table, "turn_idx")
     with pytest.raises(ValueError, match="no payload column"):
         drop_column(table, "nope")
+
+
+def test_widen_column_metadata_only_and_expire_by_age(spark, table):
+    """widen_column publishes the wider schema with zero data IO; old
+    narrow files read through parquet upcast. expire_snapshots
+    older_than_seconds keeps young history even past keep_last."""
+    import time as _time
+
+    from maestro_spark.ddl import widen_column
+
+    upsert(table, spark.createDataFrame(
+        [("W", 0, "w0", 7)], "conv_id string, turn_idx int, text string, score int"))
+    files_before = table.snapshot().files
+    widen_column(table, "score", "long")
+    assert table.snapshot().files == files_before  # no rewrite
+    got = {r["conv_id"]: r["score"] for r in table.read().collect()}
+    assert got["W"] == 7 and got["A"] is None  # narrow file upcast + nulls
+    upsert(table, spark.createDataFrame(
+        [("W", 1, "big", 2**40)], "conv_id string, turn_idx int, text string, score long"))
+    assert table.read().filter(
+        (F.col("conv_id") == "W") & (F.col("turn_idx") == 1)
+    ).head()["score"] == 2**40
+    with pytest.raises(TypeError, match="widen must move"):
+        widen_column(table, "score", "int")   # narrowing refused
+    with pytest.raises(TypeError):
+        widen_column(table, "text", "int")    # not a safe widening
+
+    # age-gated expiry: everything is seconds old -> nothing drops; with no
+    # age gate the same keep_last drops history (tags still protected)
+    assert table.expire_snapshots(keep_last=1,
+                                  older_than_seconds=3600) == 0
+    assert table.expire_snapshots(keep_last=1) > 0
