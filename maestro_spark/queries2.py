@@ -818,6 +818,12 @@ def _finalize_registration_order() -> None:
         # the detector; the transform is this round's new operator row) —
         # both proven oracle-exact out-of-window via check_oracles first
         "q_substring_dup", "q_substring_dedup",
+        # round 4 (late): the inverted-index term-search probe rotates IN
+        # after proving oracle-exact out-of-window — a NEW serving-path
+        # capability row; q_win_frame (E3) yields its slot (E1 q_win_rownum
+        # keeps the window-function family in-window; E3 stays
+        # oracle-checked locally via check_oracles)
+        "q_term_search",
     ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
@@ -831,10 +837,6 @@ def _finalize_registration_order() -> None:
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
         "q_ingest_json",
-        # round 4: the term-search probe proves itself out-of-window first
-        # (zero-red protocol); the serving-index family already holds an
-        # in-window row (q_point_lookup)
-        "q_term_search",
         # round 4: ALTER TABLE end-to-end, out-of-window first
         "q_alter",
         # round 4: subword token estimate (engine-parity regex), out-of-window
@@ -874,6 +876,10 @@ def _finalize_registration_order() -> None:
         # machinery runs in-window inside q_ingest_csv (TRY_CAST mirrors the
         # same rules), while MERGE INTO is a NEW DML-family capability row
         "q_cast",
+        # q_win_frame demoted (round 4) for q_term_search: E1 q_win_rownum
+        # keeps the window-function family in-window, frame aggs also run
+        # inside the in-window q_session oracle's running-sum
+        "q_win_frame",
         "q_fn_hash", "q_fn_array", "q_fn_json", "q_validate",
         "q_grouping_sets", "q_join_full", "q_agg_stats", "q_argmin",
         "q_fn_explode", "q_fn_regex", "q_cube", "q_fn_cond", "q_fn_date2",
