@@ -76,7 +76,7 @@ def test_sql_view_time_travel(spark, table):
     assert spark.sql(
         "SELECT text FROM conv_ts WHERE conv_id='A' AND turn_idx=0"
     ).head()["text"] == "a0"
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         table.create_view("x", snapshot_id=sid0, ts=t_mid)
 
 
