@@ -152,6 +152,13 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--rename", default=None, metavar="OLD:NEW")
     al.add_argument("--drop", default=None, metavar="NAME")
 
+    de = sub.add_parser(
+        "describe",
+        help="one-call table report: schema, layout, snapshot, tags, "
+             "constraints, size totals (metadata-only)",
+    )
+    de.add_argument("--table", required=True)
+
     cn = sub.add_parser(
         "constraint",
         help="CHECK constraints: --name/--expr adds (validated against "
@@ -372,6 +379,10 @@ def main(argv: list[str] | None = None) -> int:
             for f in table.snapshot().payload_schema().fields
         ]
         print(json.dumps(out))
+    elif args.cmd == "describe":
+        from maestro_spark.lake import describe
+
+        print(json.dumps(describe(LakeTable(spark, args.table))))
     elif args.cmd == "constraint":
         table = LakeTable(spark, args.table)
         out = {}

@@ -2332,6 +2332,36 @@ class LakeTable:
         return n
 
 
+def describe(table: "LakeTable") -> dict:
+    """One-call table report (SHOW CREATE TABLE + DESCRIBE DETAIL parity):
+    schema, layout, current snapshot, tags, CHECK constraints, and
+    zone-map-derived size totals — all metadata, zero data IO."""
+    snap = table.snapshot()
+    rows = files = size = 0
+    for ps in snap.files.values():
+        for p in ps:
+            st = table.file_stats.get_or_read(p)
+            rows += st.get("rows") or 0
+            size += st.get("bytes") or 0
+            files += 1
+    return {
+        "root": table.root,
+        "schema": [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in snap.payload_schema().fields
+        ],
+        "key": list(S.KEY_COLS),
+        "n_buckets": snap.n_buckets,
+        "snapshot_id": snap.snapshot_id,
+        "snapshots_retained": len(table.snapshot_ids()),
+        "files": files,
+        "rows_incl_tombstones": rows,
+        "bytes": size,
+        "tags": table.tags(),
+        "constraints": table.constraints(),
+    }
+
+
 def optimize(
     table: "LakeTable",
     expire_keep_last: int = 10,

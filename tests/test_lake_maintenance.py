@@ -959,3 +959,29 @@ def test_optimize_refreshes_maintained_structures_before_expiry(spark, tmp_path)
     idx.refresh()
     assert {r["conv_id"] for r in idx.search("alpha").collect()} == \
         {f"c{e}" for e in range(6)}
+
+
+def test_describe_reports_everything_metadata_only(spark, tmp_path, capsys,
+                                                   monkeypatch):
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.lake import describe
+    from maestro_spark.merge import merge_batch
+
+    t = LakeTable.create(spark, str(tmp_path / "dlake"), n_buckets=2)
+    merge_batch(t, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", None, dt.datetime(2025, 1, 1))],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    t.tag("v1")
+    t.add_constraint("turn_nonneg", "turn_idx >= 0")
+    d = describe(t)
+    assert d["rows_incl_tombstones"] == 1 and d["files"] >= 1
+    assert d["tags"] == {"v1": t.snapshot().snapshot_id}
+    assert d["constraints"] == {"turn_nonneg": "turn_idx >= 0"}
+    assert "text:string" in d["schema"] and d["key"] == ["conv_id", "turn_idx"]
+
+    from maestro_spark.__main__ import main as cli
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    assert cli(["describe", "--table", t.root]) in (0, None)
+    assert '"turn_nonneg"' in capsys.readouterr().out
