@@ -733,3 +733,59 @@ class MaintainedTextIndex:
             F.col("tf").desc(), *S.KEY_COLS
         )
         return out.limit(k) if k else out
+
+    def search_all(self, query: str, k: int | None = None) -> DataFrame:
+        """AND search: live rows containing EVERY token of ``query``,
+        ranked by summed tf. One pruned scan over the union of the tokens'
+        bucket partitions (still ≤ n_tokens of n_buckets directories), one
+        hash agg enforcing per-key distinct-term completeness, then the
+        same max-LSN + tombstone discipline as :meth:`search` — applied
+        per (key, term) BEFORE the completeness count so a stale index row
+        can neither satisfy nor break the AND."""
+        from maestro_spark.keyhash import bucket_of
+
+        if not os.path.exists(os.path.join(self.dir, _TXT_META)):
+            raise ValueError("text index not built yet — call refresh()")
+        toks = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
+        if not toks:
+            raise ValueError("search_all wants at least one token")
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in toks})
+        cand = (
+            self.spark.read.parquet(self.dir)
+            .filter(F.col("_tb").isin(buckets))
+            .filter(F.col("term").isin(toks))
+        )
+        latest = (
+            cand.groupBy(*S.KEY_COLS, "term")
+            .agg(F.max_by(F.struct("tf", S.LSN_COL), F.col(S.LSN_COL)).alias("_w"))
+            .select(*S.KEY_COLS, "term", "_w.*")
+        )
+        tdir = os.path.join(self.dir, _TOMBS)
+        if os.path.isdir(tdir):
+            tombs = (
+                self.spark.read.parquet(tdir)
+                .groupBy(*S.KEY_COLS)
+                .agg(F.max("t_lsn").alias("t_lsn"))
+                .withColumnRenamed("conv_id", "_t_conv")
+                .withColumnRenamed("turn_idx", "_t_turn")
+            )
+            latest = latest.join(
+                F.broadcast(tombs),
+                on=(
+                    (F.col("conv_id") == F.col("_t_conv"))
+                    & (F.col("turn_idx") == F.col("_t_turn"))
+                    & (F.col("t_lsn") > F.col(S.LSN_COL))
+                ),
+                how="left_anti",
+            )
+        out = (
+            latest.groupBy(*S.KEY_COLS)
+            .agg(
+                F.countDistinct("term").alias("_nt"),
+                F.sum("tf").cast("long").alias("tf"),
+            )
+            .filter(F.col("_nt") == len(toks))
+            .select(*S.KEY_COLS, "tf")
+            .orderBy(F.col("tf").desc(), *S.KEY_COLS)
+        )
+        return out.limit(k) if k else out

@@ -443,3 +443,40 @@ def test_maintained_text_index_search_equals_rebuild(spark, tmp_path):
     unbuilt = MaintainedTextIndex(spark, base, str(tmp_path / "ti_none"))
     with pytest.raises(ValueError, match="not built"):
         unbuilt.search("spark")
+
+
+def test_text_index_search_all_and_semantics(spark, tmp_path):
+    """AND search: keys containing EVERY query token, summed-tf ranked,
+    exact under updates/deletes (stale rows can neither satisfy nor break
+    the AND); equals the tokenizer ground truth."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from maestro_spark.index_maint import MaintainedTextIndex
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "ta_lake"), n_buckets=2)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "d0", 0, None, "spark shuffle spark", None, TS),
+         (2, "insert", "d1", 0, None, "spark only here", None, TS),
+         (3, "insert", "d2", 0, None, "shuffle only here", None, TS),
+         (4, "insert", "d3", 0, None, "spark and shuffle together", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    idx = MaintainedTextIndex(spark, base, str(tmp_path / "ta_idx"), n_buckets=8)
+    idx.refresh()
+
+    got = {(r["conv_id"], r["tf"]) for r in idx.search_all("spark shuffle").collect()}
+    assert got == {("d0", 3), ("d3", 2)}  # both terms required, tf summed
+    # an update that REMOVES one term must drop the key from the AND
+    merge_batch(base, spark.createDataFrame(
+        [(9, "update", "d3", 0, None, "spark alone now", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    idx.refresh()
+    assert [r["conv_id"] for r in idx.search_all("spark shuffle").collect()] == ["d0"]
+    # ground truth cross-check for a single-token degenerate query
+    assert {r["conv_id"] for r in idx.search_all("spark").collect()} == \
+        {r["conv_id"] for r in idx.search("spark").collect()}
+    with pytest.raises(ValueError, match="at least one"):
+        idx.search_all("...")
