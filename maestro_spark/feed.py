@@ -132,7 +132,20 @@ class TableChangesStreamReader(DataSourceStreamReader):
         # wider than the declared schema.
         from pyspark.sql.types import BooleanType, LongType, StructField
 
-        payload = [f for f in schema.fields if f.name not in ("op", "lsn")]
+        # Re-attach each payload field's logical->physical mapping from the
+        # table's CURRENT snapshot schema (read from disk, not trusted to
+        # survive Spark's declared-schema round trip): data files carry
+        # stable PHYSICAL names across metadata-only renames, so the reader
+        # must conform under physical names and surface logical ones.
+        src = {f.name: f for f in _full_schema(self.root).fields}
+        payload = [
+            StructField(
+                f.name, f.dataType, True,
+                (src[f.name].metadata or None) if f.name in src else None,
+            )
+            for f in schema.fields
+            if f.name not in ("op", "lsn")
+        ]
         self._pinned_full_json = StructType(
             [*payload,
              StructField(S.LSN_COL, LongType(), True),
@@ -217,7 +230,10 @@ class TableChangesStreamReader(DataSourceStreamReader):
         from maestro_spark.schema import conform_arrow_table
 
         full = StructType.fromJson(json.loads(partition.schema_json))
-        t = conform_arrow_table(pq.read_table(partition.path), to_arrow_schema(full))
+        # conform under the PHYSICAL on-file names, surface LOGICAL names
+        phys = S.physical_schema(full)
+        t = conform_arrow_table(pq.read_table(partition.path), to_arrow_schema(phys))
+        t = t.rename_columns([f.name for f in full.fields])
         op = pc.if_else(
             pc.fill_null(t[S.DELETED_COL], False),
             pa.scalar("delete"),

@@ -151,6 +151,11 @@ class Snapshot:
     n_buckets: int
     committed_at: float = 0.0
     stats: dict = field(default_factory=dict)
+    # Retired PHYSICAL column names (masked DROPs / erased columns): reserved
+    # forever so a later re-add of the same logical name allocates a FRESH
+    # physical name instead of decoding stale bytes out of pre-drop files.
+    # Monotone (commit unions it forward); names only, so it stays tiny.
+    dropped: list[str] = field(default_factory=list)
     # On-disk manifest names whose per-bucket concatenation (in list order)
     # equals ``files`` — set by the loader/publisher, never serialized
     # directly. None = legacy inline snapshot (files stored in the JSON).
@@ -371,6 +376,21 @@ class LakeTable:
         return self._epoch_keys
 
     # ----------------------------------------------------------------- reads
+    def _scan_files(self, schema: T.StructType, paths: list[str]) -> DataFrame:
+        """Read data files under their PHYSICAL column names (stable across
+        metadata-only renames — see schema.PHYSICAL_KEY), surfacing the
+        requested schema's LOGICAL names. The rename is a Project Catalyst
+        rewrites filters/pruning through, so pushdown is unaffected; for the
+        common no-rename table this is exactly the plain schema'd read."""
+        cmap = S.column_map(schema)
+        if not cmap:
+            return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(S.physical_schema(schema)).parquet(*paths)
+        # ONE simultaneous Project (a sequential withColumnsRenamed breaks on
+        # chained renames like text->body while text__p1->text)
+        inv = {p: l for l, p in cmap.items()}
+        return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
     def read_raw(
         self, buckets: list[int] | None = None, snapshot_id: int | None = None
     ) -> DataFrame:
@@ -390,7 +410,7 @@ class LakeTable:
         ]
         if not files:
             return self.spark.createDataFrame([], snap.schema)
-        return self.spark.read.schema(snap.schema).parquet(*files)
+        return self._scan_files(snap.schema, files)
 
     def read_resolved(
         self,
@@ -443,8 +463,8 @@ class LakeTable:
         parts: list[DataFrame] = []
         if single:
             parts.append(
-                self.spark.read.schema(scan_schema).parquet(
-                    *[os.path.join(self.root, p) for p in single]
+                self._scan_files(
+                    scan_schema, [os.path.join(self.root, p) for p in single]
                 )
             )
         if multi_groups:
@@ -459,10 +479,8 @@ class LakeTable:
                 tagged = None
                 for j in range(maxlen):
                     fs = [g[j] for g in multi_groups if len(g) > j]
-                    part = (
-                        self.spark.read.schema(scan_schema)
-                        .parquet(*fs)
-                        .withColumn("_seq", F.lit(j))
+                    part = self._scan_files(scan_schema, fs).withColumn(
+                        "_seq", F.lit(j)
                     )
                     tagged = part if tagged is None else tagged.unionByName(part)
                 keys = ["conv_id", "turn_idx"]
@@ -480,15 +498,26 @@ class LakeTable:
                 from maestro_spark import mor_scan
 
                 mor_scan.register(self.spark)
-                parts.append(
+                # the Arrow source reads files, so it works in PHYSICAL
+                # names (keys/internals are never renameable, so its
+                # resolve/pushdown columns are untouched); rename after
+                phys = S.physical_schema(scan_schema)
+                part = (
                     self.spark.read.format(mor_scan.FORMAT_NAME)
-                    .schema(scan_schema)
-                    .option("schema_json", json.dumps(scan_schema.jsonValue()))
+                    .schema(phys)
+                    .option("schema_json", json.dumps(phys.jsonValue()))
                     .option("groups_json", json.dumps(multi_groups))
                     .option("n_buckets", str(snap.n_buckets))
                     .option("pushdown", _pushdown_ok(self.spark))
                     .load()
                 )
+                cmap = S.column_map(scan_schema)
+                if cmap:
+                    inv = {p: l for l, p in cmap.items()}
+                    part = part.select(
+                        *[F.col(c).alias(inv.get(c, c)) for c in part.columns]
+                    )
+                parts.append(part)
         if not parts:
             return self.spark.createDataFrame([], scan_schema)
         out = parts[0]
@@ -545,15 +574,15 @@ class LakeTable:
                     f"rollback snapshot {sid}; re-sync from a full read"
                 )
             if snap.stats.get("maintenance"):
-                if (snap.stats.get("alter") or {}).get("rename"):
-                    # pre-rename files in the range cannot be read under the
-                    # post-rename schema (name-addressed parquet); consumers
-                    # re-sync — the same degradation contract as rollback
-                    raise ValueError(
-                        f"change feed range ({from_snapshot}, {to_snapshot}] "
-                        f"spans column-rename snapshot {sid}; re-sync from a "
-                        "full read"
-                    )
+                # content-preserving (compaction/rebucket/bloom) and ALTER
+                # snapshots contribute no change rows. Ranges SPANNING an
+                # alter are safe to feed through: physical column names are
+                # stable across a metadata-only rename (pre-rename files
+                # decode under the to-snapshot's physical schema), a masked
+                # drop simply stops decoding the column, and a re-added name
+                # owns a FRESH physical name (Snapshot.dropped reservation),
+                # so pre-drop files read it as null — never as the dropped
+                # column's stale bytes.
                 continue
             parent = self.snapshot(snap.parent_id) if snap.parent_id is not None else None
             added = []
@@ -562,9 +591,9 @@ class LakeTable:
                 added.extend(os.path.join(self.root, p) for p in ps if p not in prev)
             if added:
                 parts.append(
-                    self.spark.read.schema(to_snap.schema)
-                    .parquet(*added)
-                    .withColumn("_seq", F.lit(seq))
+                    self._scan_files(to_snap.schema, added).withColumn(
+                        "_seq", F.lit(seq)
+                    )
                 )
         if not parts:
             empty = self.spark.createDataFrame([], to_snap.schema).withColumn(
@@ -686,6 +715,9 @@ class LakeTable:
         lo_v = _micros(lo) if isinstance(lo, _dt.datetime) else lo
         hi_v = _micros(hi) if isinstance(hi, _dt.datetime) else hi
         snap = self.snapshot(snapshot_id)
+        # zone maps are harvested from file footers, so they are keyed by the
+        # PHYSICAL column name — stable across metadata-only renames
+        pcol = S.column_map(snap.schema).get(col, col)
         cand: dict[int, list[str]] = {}
         mask: list[str] = []
         total = 0
@@ -693,7 +725,7 @@ class LakeTable:
             total += len(ps)
             stats = [self.file_stats.get_or_read(p) for p in ps]
             hits = [
-                j for j, st in enumerate(stats) if col_overlaps(st, col, lo_v, hi_v)
+                j for j, st in enumerate(stats) if col_overlaps(st, pcol, lo_v, hi_v)
             ]
             if not hits:
                 continue  # no row of this bucket can be in range
@@ -763,10 +795,8 @@ class LakeTable:
         rest = [f.name for f in scan_schema.fields if f.name not in keys]
         union: DataFrame | None = None
         for j in sorted(cand):
-            part = (
-                self.spark.read.schema(scan_schema)
-                .parquet(*cand[j])
-                .withColumn("_seq", F.lit(j))
+            part = self._scan_files(scan_schema, cand[j]).withColumn(
+                "_seq", F.lit(j)
             )
             union = part if union is None else union.unionByName(part)
         winners = (
@@ -778,8 +808,7 @@ class LakeTable:
         )
         if mask:
             m = (
-                self.spark.read.schema(scan_schema)
-                .parquet(*mask)
+                self._scan_files(scan_schema, mask)
                 .select(
                     F.col("conv_id").alias("_m_conv"),
                     F.col("turn_idx").alias("_m_turn"),
@@ -869,8 +898,7 @@ class LakeTable:
         union: DataFrame | None = None
         for j, p in cand:
             part = (
-                self.spark.read.schema(snap.schema)
-                .parquet(os.path.join(self.root, p))
+                self._scan_files(snap.schema, [os.path.join(self.root, p)])
                 .filter(pred)
                 .withColumn("_seq", F.lit(j))
             )
@@ -918,8 +946,7 @@ class LakeTable:
             if f.name not in S.KEY_COLS
         ]
         df = (
-            self.spark.read.schema(snap.schema)
-            .parquet(*[os.path.join(self.root, p) for p in ps])
+            self._scan_files(snap.schema, [os.path.join(self.root, p) for p in ps])
             .select(
                 *S.KEY_COLS,
                 *[
@@ -965,6 +992,7 @@ class LakeTable:
         df: DataFrame,
         sort_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        schema: T.StructType | None = None,
     ) -> dict[str, list[str]]:
         """Write ``df`` (must carry ``pk_bucket``) as the new full content of
         its buckets; returns bucket -> relative paths. Files land under their
@@ -975,7 +1003,23 @@ class LakeTable:
         ``max_records_per_file`` splits each bucket's output into bounded
         files so the clustering becomes FILE-level zone-map structure, not
         just row-group order.
+
+        ``schema`` is the table schema the files will be published under
+        (defaults to the current snapshot's) — its logical->physical column
+        map is applied here, the single chokepoint where data files are
+        born, so every file of the table carries stable PHYSICAL names
+        across metadata-only renames. A ``df`` already in physical names
+        passes through unchanged (the rename is a no-op per absent column).
         """
+        schema = schema if schema is not None else self.snapshot().schema
+        cmap = S.column_map(schema)
+        if cmap:
+            ren = {l: p for l, p in cmap.items() if l in set(df.columns)}
+            if ren:
+                # ONE simultaneous Project (sequential renames break on
+                # chains like body->text while text->text__p1)
+                df = df.select(*[F.col(c).alias(ren.get(c, c)) for c in df.columns])
+            sort_cols = [cmap.get(c, c) for c in sort_cols] if sort_cols else sort_cols
         commit_uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.root, f"_staging-{commit_uid}")
         # sort-within keeps (conv_id, turn_idx) clustered inside each file:
@@ -988,10 +1032,15 @@ class LakeTable:
             df = df.sortWithinPartitions(
                 "pk_bucket", *(sort_cols or ["conv_id", "turn_idx"])
             )
-        # "__"-prefixed sort columns are ordering helpers (e.g. the z-order
-        # key), not payload — project them away AFTER the sort (a projection
-        # preserves the child's row order, so the files stay clustered)
-        helpers = [c for c in (sort_cols or []) if c.startswith("__")]
+        # "__"-prefixed sort columns NOT in the table schema are ordering
+        # helpers (e.g. the z-order key), not payload — project them away
+        # AFTER the sort (a projection preserves the child's row order, so
+        # the files stay clustered). A legitimate "__"-named payload column
+        # is protected by the schema check.
+        in_schema = S.physical_names(schema) | {f.name for f in schema.fields}
+        helpers = [
+            c for c in (sort_cols or []) if c.startswith("__") and c not in in_schema
+        ]
         if helpers:
             df = df.drop(*helpers)
         writer = df.write.partitionBy("pk_bucket").mode("overwrite")
@@ -1234,6 +1283,7 @@ class LakeTable:
         base: int | None = None,
         check_lsn: int | None = None,
         replace_schema: bool = False,
+        dropped_add: list[str] | None = None,
     ) -> Snapshot:
         """Commit new bucket files; untouched buckets carried forward by
         reference. ``append=False`` (copy-on-write / compaction) replaces each
@@ -1326,6 +1376,9 @@ class LakeTable:
                 files=files,
                 n_buckets=parent.n_buckets,
                 stats=stats or {},
+                # the retired-physical-name registry is monotone: every
+                # commit carries it forward (names only — O(drops) metadata)
+                dropped=sorted(set(parent.dropped) | set(dropped_add or [])),
             )
             # append fast path: per-commit metadata is one manifest of THIS
             # commit's files + the parent's name list — O(new files), the
@@ -1385,6 +1438,10 @@ class LakeTable:
             files=dict(target.files),
             n_buckets=parent.n_buckets,
             stats={"rollback_to": to_snapshot},
+            # the name registry is monotone even across a rollback: files of
+            # the rolled-back epochs may survive in retained snapshots, so
+            # their retired physical names stay reserved
+            dropped=sorted(set(target.dropped) | set(parent.dropped)),
         )
         try:
             # pinned parent+1 publish = the race guard (see rebucket): a
@@ -1432,6 +1489,7 @@ class LakeTable:
             schema_json=snap.schema_json,
             files=new_files,
             n_buckets=new_n_buckets,
+            dropped=list(snap.dropped),
             stats={
                 "maintenance": "rebucket",
                 "from_buckets": snap.n_buckets,
@@ -1490,6 +1548,7 @@ class LakeTable:
                 schema_json=snap.schema_json,
                 files={b: list(ps) for b, ps in snap.files.items()},
                 n_buckets=snap.n_buckets,
+                dropped=list(snap.dropped),
                 stats={
                     "cloned_from": self.root,
                     "source_snapshot": snap.snapshot_id,
@@ -2002,8 +2061,6 @@ class LakeTable:
         todo = buckets if buckets is not None else [int(b) for b in snap.files]
         df = self.read_resolved(todo)
         if tombstone_horizon_lsn is not None:
-            from maestro_spark import schema as S
-
             df = df.filter(
                 ~F.col(S.DELETED_COL) | (F.col(S.LSN_COL) >= tombstone_horizon_lsn)
             )
@@ -2014,9 +2071,12 @@ class LakeTable:
 
             bounds: dict[str, tuple] = {}
             rels = [p for b in todo for p in snap.files.get(str(b), [])]
+            cmap = S.column_map(snap.schema)
             for c in cluster_by:
                 per_file = [
-                    (self.file_stats.get_or_read(p).get("cols") or {}).get(c)
+                    (self.file_stats.get_or_read(p).get("cols") or {}).get(
+                        cmap.get(c, c)  # footer stats are physical-keyed
+                    )
                     for p in rels
                 ]
                 if per_file and all(b is not None for b in per_file):
@@ -2156,10 +2216,8 @@ class LakeTable:
             tagged = None
             for j in range(maxlen):
                 fs = [g[j] for g in groups if len(g) > j]
-                part = (
-                    self.spark.read.schema(snap.schema)
-                    .parquet(*fs)
-                    .withColumn("_seq", F.lit(j))
+                part = self._scan_files(snap.schema, fs).withColumn(
+                    "_seq", F.lit(j)
                 )
                 tagged = part if tagged is None else tagged.unionByName(part)
             tagged = tagged.withColumn(
@@ -2185,8 +2243,14 @@ class LakeTable:
             from maestro_spark import mor_scan
 
             mor_scan.register(self.spark)
+            # the Arrow fold reads+writes in PHYSICAL names end to end (its
+            # output goes straight back to write_bucket_files, where the
+            # logical->physical rename is a per-absent-column no-op)
             scan_schema = T.StructType(
-                [T.StructField("pk_bucket", T.IntegerType(), True), *snap.schema.fields]
+                [
+                    T.StructField("pk_bucket", T.IntegerType(), True),
+                    *S.physical_schema(snap.schema).fields,
+                ]
             )
             df = (
                 self.spark.read.format(mor_scan.FORMAT_NAME)

@@ -116,6 +116,13 @@ def merge_batch(
         [f for f in batch.schema.fields if f.name not in ("op", "op_lsn")]
     )
     merged_payload = S.merge_schemas(parent.payload_schema(), batch_payload)
+    # a NEW column whose name collides with an occupied/retired PHYSICAL
+    # name (e.g. the upstream still sends a renamed column's old name, or
+    # re-sends a dropped one) gets a fresh physical alias BEFORE any file is
+    # written — old files can then never leak stale bytes into it
+    merged_payload = S.assign_physical(
+        merged_payload, parent.payload_schema(), parent.dropped
+    )
     full_schema = T.StructType([*merged_payload.fields, *S.INTERNAL_FIELDS])
     event_schema = T.StructType(
         [
@@ -253,7 +260,11 @@ def merge_batch(
     cols = ["pk_bucket"] + [f.name for f in full_schema.fields]
     run_job = changed is None or bool(changed)  # COW skips the job on an empty batch
     t_write0 = time.time()
-    new_files = table.write_bucket_files(result.select(*cols)) if run_job else {}
+    new_files = (
+        table.write_bucket_files(result.select(*cols), schema=full_schema)
+        if run_job
+        else {}
+    )
     t_write = time.time() - t_write0
     if run_job:
         try:
@@ -386,8 +397,13 @@ def quarantine_reason(
         have = set(batch_cols or [])
         table_cols = {f.name for f in table.snapshot().payload_schema().fields}
         for name, expr in sorted(table.constraints().items()):
+            # detect referenced columns OUTSIDE string literals: a literal
+            # like role IN ('user','tool') must not count as a reference to
+            # a column named 'tool' — that would silently skip the
+            # constraint on every batch lacking that column (r4 ADVICE)
+            no_lits = _re.sub(r"'(?:[^']|'')*'", "''", expr)
             refs = {
-                w for w in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)
+                w for w in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", no_lits)
                 if w in table_cols
             }
             if batch_cols is not None and not refs <= have:

@@ -149,7 +149,7 @@ def zorder_key(
     df: DataFrame,
     cols: list[str],
     bounds: dict[str, tuple[float, float]] | None = None,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> Column:
     """Morton (z-order) key over 2-4 numeric/timestamp columns — pure
     codegen (shift/and/or), no UDFs, no shuffle.
@@ -171,6 +171,11 @@ def zorder_key(
     """
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder_key wants 2-4 columns")
+    if bits is None:
+        # default: the finest resolution that fits a signed long — 16 bits
+        # for 2-3 columns, 15 for 4 (a fixed 16 would make 4 columns raise,
+        # and compact()/the CLI never pass bits explicitly)
+        bits = min(16, 63 // len(cols))
     if bits * len(cols) > 63:
         raise ValueError("bits * len(cols) must fit in a signed long")
     types = dict(df.dtypes)

@@ -79,6 +79,80 @@ def payload_cols(schema: T.StructType) -> list[str]:
     return [f.name for f in schema.fields if f.name not in skip]
 
 
+# --- logical -> physical column names (metadata-only RENAME/DROP, M41) -------
+# The engine's files are plain name-addressed parquet (no Iceberg field-ids),
+# so a metadata-only rename records the column's stable ON-DISK name in the
+# StructField's metadata under this key. Every scan reads files under the
+# PHYSICAL schema and surfaces the snapshot's LOGICAL names; the single write
+# chokepoint (LakeTable.write_bucket_files) renames logical -> physical, so
+# all files of a table — pre- and post-rename — carry identical physical
+# names and any snapshot's schema is self-sufficient for reading any era's
+# files. A field without the key is physical under its own name.
+PHYSICAL_KEY = "physical"
+
+
+def physical_name(f: T.StructField) -> str:
+    """The on-disk parquet column name of a field (== logical name unless a
+    metadata-only rename recorded a mapping)."""
+    md = f.metadata or {}
+    return md.get(PHYSICAL_KEY, f.name)
+
+
+def physical_schema(schema: T.StructType) -> T.StructType:
+    """The schema as it appears inside data files (physical names)."""
+    return T.StructType(
+        [T.StructField(physical_name(f), f.dataType, f.nullable) for f in schema.fields]
+    )
+
+
+def column_map(schema: T.StructType) -> dict[str, str]:
+    """logical -> physical, only where they differ (empty for most tables)."""
+    return {
+        f.name: physical_name(f)
+        for f in schema.fields
+        if physical_name(f) != f.name
+    }
+
+
+def physical_names(schema: T.StructType) -> set[str]:
+    return {physical_name(f) for f in schema.fields}
+
+
+def assign_physical(
+    schema: T.StructType, parent: T.StructType, dropped: list[str]
+) -> T.StructType:
+    """Give every NEW field (not in ``parent`` by logical name) whose name
+    collides with an occupied or retired physical name a fresh physical
+    alias (``<name>__p<k>``) — so e.g. an upstream that re-sends a column
+    under its pre-rename name, or a re-add after a masked DROP, evolves in a
+    genuinely fresh column instead of decoding another column's stale bytes
+    out of old files."""
+    parent_names = {f.name for f in parent.fields}
+    reserved = physical_names(parent) | set(dropped)
+    used = set(reserved) | physical_names(schema)
+    out = []
+    for f in schema.fields:
+        if (
+            f.name not in parent_names
+            and physical_name(f) == f.name
+            and f.name in reserved
+        ):
+            k = 1
+            while f"{f.name}__p{k}" in used:
+                k += 1
+            p = f"{f.name}__p{k}"
+            used.add(p)
+            out.append(
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    {**(f.metadata or {}), PHYSICAL_KEY: p},
+                )
+            )
+        else:
+            out.append(f)
+    return T.StructType(out)
+
+
 def merge_schemas(table: T.StructType, batch: T.StructType) -> T.StructType:
     """Add-only + safe-widening schema union (SURVEY §2.K6, G1).
 
@@ -91,11 +165,17 @@ def merge_schemas(table: T.StructType, batch: T.StructType) -> T.StructType:
     for f in batch.fields:
         cur = by_name.get(f.name)
         if cur is None:
-            out.append(T.StructField(f.name, f.dataType, True))
+            # keep the incoming field's metadata: a freshly assigned
+            # logical->physical alias (assign_physical) must survive here
+            out.append(T.StructField(f.name, f.dataType, True, f.metadata))
         elif cur.dataType != f.dataType:
             frm, to = cur.dataType.typeName(), f.dataType.typeName()
             if to in _WIDENINGS.get(frm, set()):
-                out[out.index(cur)] = T.StructField(f.name, f.dataType, True)
+                # widen in place, PRESERVING the field's metadata (the
+                # logical->physical mapping must survive schema evolution)
+                out[out.index(cur)] = T.StructField(
+                    f.name, f.dataType, True, cur.metadata
+                )
             elif frm in _WIDENINGS.get(to, set()):
                 pass  # batch is narrower; table type already covers it
             else:

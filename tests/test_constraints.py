@@ -91,3 +91,25 @@ def test_constraint_cli(spark, table, capsys, monkeypatch):
     assert '"added": "turn_nonneg"' in out
     rc = cli(["constraint", "--table", table.root, "--drop", "turn_nonneg"])
     assert rc in (0, None) and '"dropped": true' in capsys.readouterr().out
+
+
+def test_constraint_literal_word_is_not_a_column_reference(spark, table):
+    """r4 ADVICE: a table-column name appearing INSIDE a string literal
+    (role IN ('user','tool') on a table with a tool column) must not make
+    the constraint skip batches that lack that column — the reference set
+    is computed outside literals, so the gate stays armed."""
+    table.add_constraint("role_known", "role in ('user', 'assistant', 'tool')")
+    # batch carries role but NOT tool: the constraint must still gate
+    merge_batch(table, spark.createDataFrame(
+        [(20, "insert", "E", 0, "nonsense-role", "e0")],
+        "op_lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string"), "lit", 1)
+    assert table.read().filter(F.col("conv_id") == "E").count() == 0
+    dlq = read_quarantine(table, "lit").collect()
+    assert [r["_reason"] for r in dlq] == ["constraint:role_known"]
+    # and a batch with a VALID role still merges
+    merge_batch(table, spark.createDataFrame(
+        [(21, "insert", "F", 0, "user", "f0")],
+        "op_lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string"), "lit", 2)
+    assert table.read().filter(F.col("conv_id") == "F").count() == 1

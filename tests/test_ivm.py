@@ -149,3 +149,98 @@ def test_streaming_maintains_view_per_epoch(spark, tmp_path):
     )
     assert view.applied_through() == base.snapshot().snapshot_id
     _assert_view_matches(view)
+
+
+def _role_view(spark, base, root):
+    from maestro_spark.ivm import MaterializedView
+
+    return MaterializedView(
+        spark, base, root,
+        key_cols=["conv_id", "role"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long"))
+             .alias("total_chars"),
+            F.max("ts").alias("last_ts"),
+        ],
+        columns=["conv_id", "role", "text", "ts"],
+        query_id="ivm-role-stats",
+    )
+
+
+def _assert_mv_matches(view, keys):
+    got = view.read().orderBy(*keys).toPandas()
+    exp = view.expected().orderBy(*keys).toPandas()
+    assert len(got) == len(exp), (len(got), len(exp))
+    for col in got.columns:
+        assert (got[col].fillna(-1).values == exp[col].fillna(-1).values).all(), col
+
+
+def test_declared_view_staged_refresh_reconverges(spark):
+    """The generalized MaterializedView (r4 verdict ask #2): a multi-key
+    (conv_id, role) declaration rides the SAME delta machinery — staged
+    refresh reconverges to the full recompute at every stage."""
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d, n_convs=60, segments=3)
+    sids = [s for s in base.snapshot_ids() if s > 0]
+    view = _role_view(spark, base, f"{d}/role_view")
+    for sid in sids[:: max(1, len(sids) // 3)] + [sids[-1]]:
+        view.refresh(to_snapshot=sid)
+    _assert_mv_matches(view, ["conv_id", "role"])
+
+
+def test_declared_view_delete_tombstones_vanished_groups(spark):
+    """Deleting every turn of one role inside a conversation must tombstone
+    exactly that (conv, role) group — the vanished-group detection over the
+    encoded multi-key."""
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d, n_convs=40, segments=2)
+    view = _role_view(spark, base, f"{d}/role_view")
+    view.refresh()
+    _assert_mv_matches(view, ["conv_id", "role"])
+    # pick a conv and delete all its 'user' turns
+    victim = base.read().filter(F.col("role") == "user").head()["conv_id"]
+    rows = base.read().filter(
+        (F.col("conv_id") == victim) & (F.col("role") == "user")
+    ).select("conv_id", "turn_idx").collect()
+    max_lsn = int(base.snapshot().stats.get("max_lsn") or 0)
+    events = spark.createDataFrame(
+        [(max_lsn + 1 + i, "delete", r["conv_id"], r["turn_idx"])
+         for i, r in enumerate(rows)],
+        "op_lsn long, op string, conv_id string, turn_idx int")
+    merge_batch(base, events, "kill-role", 1)
+    view.refresh()
+    got = view.read().filter(
+        (F.col("conv_id") == victim) & (F.col("role") == "user"))
+    assert got.count() == 0
+    _assert_mv_matches(view, ["conv_id", "role"])
+
+
+def test_declared_view_idempotent_and_validates(spark):
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d, n_convs=20, segments=1)
+    view = _role_view(spark, base, f"{d}/role_view")
+    assert view.refresh() is not None
+    assert view.refresh() is None          # already current
+    _assert_mv_matches(view, ["conv_id", "role"])
+    from maestro_spark.ivm import MaterializedView
+
+    with pytest.raises(ValueError, match="conv_id in key_cols"):
+        MaterializedView(spark, base, f"{d}/bad", key_cols=["role"],
+                         aggs=[F.count(F.lit(1)).alias("n")])
+    with pytest.raises(ValueError, match="unknown key"):
+        MaterializedView(spark, base, f"{d}/bad2",
+                         key_cols=["conv_id", "nope"],
+                         aggs=[F.count(F.lit(1)).alias("n")])
+    # full-only opt-in: a role-keyed (cross-conversation) view still works,
+    # every refresh a full recompute
+    v = MaterializedView(
+        spark, base, f"{d}/role_only",
+        key_cols=["role"],
+        aggs=[F.count(F.lit(1)).alias("n_turns")],
+        columns=["role"],
+        query_id="ivm-role-only", allow_full_only=True)
+    v.refresh()
+    got = {r["role"]: r["n_turns"] for r in v.read().collect()}
+    exp = {r["role"]: r["n_turns"] for r in v.expected().collect()}
+    assert got == exp

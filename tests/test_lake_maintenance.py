@@ -985,3 +985,41 @@ def test_describe_reports_everything_metadata_only(spark, tmp_path, capsys,
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     assert cli(["describe", "--table", t.root]) in (0, None)
     assert '"turn_nonneg"' in capsys.readouterr().out
+
+
+def test_zorder_key_default_bits_fit_four_columns(spark):
+    """r4 ADVICE: the default bits must fit 4 columns in a signed long
+    (compact()/the CLI never pass bits), and a payload column named with a
+    '__' prefix must survive a clustered rewrite."""
+    from maestro_spark.ops import zorder_key
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    assert df.withColumn("z", zorder_key(df, ["a", "b", "c", "d"])).head() is not None
+
+
+def test_dunder_payload_column_survives_clustered_compaction(spark, tmp_path):
+    """r4 ADVICE: write_bucket_files drops only ordering HELPERS (e.g. __z),
+    never a schema column that happens to be named with a '__' prefix."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from maestro_spark import schema as S
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.merge import merge_batch
+
+    payload = T.StructType([
+        *S.TRANSCRIPT_FIELDS,
+        T.StructField("__note", T.StringType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "lk"), payload, n_buckets=2)
+    ev = T.StructType([
+        T.StructField("op_lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        *payload.fields,
+    ])
+    merge_batch(t, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", None,
+          dt.datetime(2025, 1, 1), "KEEPME")], ev), "q", 0)
+    t.compact(cluster_by=["__note"])
+    assert t.read().head()["__note"] == "KEEPME"
