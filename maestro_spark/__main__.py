@@ -446,16 +446,43 @@ def main(argv: list[str] | None = None) -> int:
             from maestro_spark.lake import register_catalog
 
             views.extend(register_catalog(spark, args.warehouse))
+        tables: dict[str, LakeTable] = {}
         for spec in args.table:
             root, _, name = spec.partition("=")
             view = name or os.path.basename(os.path.normpath(root))
-            LakeTable(spark, root).create_view(view, snapshot_id=args.snapshot)
+            tables[view] = LakeTable(spark, root)
+            tables[view].create_view(view, snapshot_id=args.snapshot)
             views.append(view)
         if not views:
             raise SystemExit("sql: pass --table and/or --warehouse")
-        df = spark.sql(args.query)
-        df.show(args.limit, truncate=40)
-        print(json.dumps({"rows": df.count(), "views": views}))
+        from maestro_spark import sqldml
+
+        if sqldml.is_dml(args.query):
+            # write verbs compile onto the fenced DML builders; the target
+            # must be one of the --table views (not a read-only warehouse
+            # registration)
+            target = None
+            for view, tbl in tables.items():
+                try:
+                    snap = sqldml.execute_dml(tbl, args.query, name=view)
+                    target = view
+                    break
+                except ValueError as e:
+                    if "targets" not in str(e):
+                        raise
+            if target is None:
+                raise SystemExit(
+                    "sql: DML target is not among the --table views"
+                )
+            print(json.dumps({
+                "dml": True, "view": target,
+                "snapshot": snap.snapshot_id if snap else None,
+                "rows": tables[target].read().count(),
+            }))
+        else:
+            df = spark.sql(args.query)
+            df.show(args.limit, truncate=40)
+            print(json.dumps({"rows": df.count(), "views": views}))
     elif args.cmd == "ivm":
         from maestro_spark.ivm import ConvStatsView
 

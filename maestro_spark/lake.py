@@ -675,7 +675,25 @@ class LakeTable:
         ts=None,
     ) -> DataFrame:
         """One-shot SQL over this table: register it as view ``name``
-        (default ``t``) and run ``query`` through the session."""
+        (default ``t``) and run ``query`` through the session.
+
+        WRITE statements (``INSERT INTO`` / ``UPDATE`` / ``DELETE FROM`` /
+        ``MERGE INTO`` — see maestro_spark.sqldml for the accepted grammar)
+        compile onto the engine's fenced DML builders, execute exactly-once,
+        and return the table's POST-STATEMENT live rows (the view is
+        re-registered at the new snapshot so follow-up SELECTs see it)."""
+        from maestro_spark import sqldml
+
+        if sqldml.is_dml(query):
+            if snapshot_id is not None or ts is not None:
+                raise ValueError("DML cannot target a time-travel pin")
+            # register the PRE-statement view first: INSERT … SELECT FROM t
+            # and MERGE … USING (SELECT … FROM t) read the statement-start
+            # snapshot (standard SQL semantics); re-register after so
+            # follow-up SELECTs see the post-statement state
+            self.create_view(name)
+            sqldml.execute_dml(self, query, name=name)
+            return self.create_view(name)
         self.create_view(name, snapshot_id=snapshot_id, ts=ts)
         return self.spark.sql(query)
 

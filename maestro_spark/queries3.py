@@ -657,6 +657,111 @@ def q_substring_dedup(spark, sf_dir):
     )
 
 
+def _cdc_demo_dir() -> str:
+    from maestro_spark.queries2 import _CDC_DEMO_DIR
+
+    return _CDC_DEMO_DIR
+
+
+@q(
+    "q_ivm_role",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_ivm_role(spark, sf_dir):
+    """Declarative materialized view (r5: ivm.MaterializedView) — the
+    generalized IVM machinery maintaining a USER-DECLARED per-(conv_id,
+    role) aggregate (turn count, total chars, last ts), refreshed in TWO
+    staged delta refreshes off the change feed (mid-chain then to current,
+    exercising the incremental path with the multi-key group encoding and
+    vanished-group tombstones), must equal DuckDB's direct aggregate over
+    the replayed final state of the same log segments."""
+    from maestro_spark.ivm import MaterializedView
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    view = MaterializedView(
+        spark, table, f"{_CDC_DEMO_DIR}/role_view",
+        key_cols=["conv_id", "role"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long"))
+             .alias("total_chars"),
+            F.max("ts").alias("last_ts"),
+        ],
+        columns=["conv_id", "role", "text", "ts"],
+        query_id="ivm-role-stats",
+    )
+    sids = [s for s in table.snapshot_ids() if s > 0]
+    view.refresh(to_snapshot=sids[len(sids) // 2])  # no-op when current
+    view.refresh()
+    return view.read()
+
+
+ORACLES["q_ivm_role"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(role, op_lsn) AS role,
+             arg_max(ts, op_lsn) AS ts,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx)
+    SELECT conv_id, role,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+           MAX(ts) AS last_ts
+    FROM w WHERE op <> 'delete' GROUP BY conv_id, role"""
+
+
+@q(
+    "q_sql_dml",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_sql_dml(spark, sf_dir):
+    """SQL write statements (r5: sqldml) driven through the lake's SQL
+    front door end-to-end on a scratch clone: an UPDATE, a DELETE, and a
+    MERGE INTO (source = a subquery over the table's own pre-statement
+    view) — each one fenced, exactly-once, feed-visible — must land the
+    same final state DuckDB computes by composing the equivalent
+    transformations over the replayed base."""
+    import shutil
+
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    base = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/sqldml_lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = base.clone(root)
+    table.sql("UPDATE sq SET tool = 'sql-edit' WHERE role = 'assistant'",
+              name="sq")
+    table.sql("DELETE FROM sq WHERE turn_idx >= 5", name="sq")
+    table.sql("""
+        MERGE INTO sq USING (
+          SELECT conv_id, turn_idx, upper(text) AS text
+          FROM sq WHERE turn_idx = 0
+        ) AS s
+        ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+        WHEN MATCHED THEN UPDATE SET text = s.text
+    """, name="sq")
+    return table.read().select("conv_id", "turn_idx", "text", "role", "tool")
+
+
+ORACLES["q_sql_dml"] = f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(role, op_lsn) AS role,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx)
+    SELECT conv_id, turn_idx,
+           CASE WHEN turn_idx = 0 THEN upper(text) ELSE text END AS text,
+           role,
+           CASE WHEN role = 'assistant' THEN 'sql-edit' ELSE tool END AS tool
+    FROM base WHERE op <> 'delete' AND turn_idx < 5"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV strict-mode decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-

@@ -1,0 +1,322 @@
+"""SQL write statements over lake tables (r4 verdict ask #3).
+
+The engine's read-side SQL front door (``LakeTable.sql`` / ``register_
+catalog``) serves SELECTs through the session; this module gives the WRITE
+verbs the same ergonomics by parsing a RESTRICTED grammar of ``INSERT
+INTO`` / ``UPDATE`` / ``DELETE FROM`` / ``MERGE INTO`` statement text and
+compiling it onto the engine's fenced DML builders (maestro_spark.dml) —
+so a SQL statement gets the full native-write contract for free: fenced
+statement LSN, exactly-once commit, CommitConflict re-plan, change-feed
+visibility, IVM maintenance, constraint gating, and schema evolution.
+
+Restricted grammar (anything outside it raises a clear ValueError — the
+engine REFUSES rather than mis-executes):
+
+    INSERT INTO <t> (c1, ...) VALUES (v1, ...) [, (…) …]
+    INSERT INTO <t> [(c1, ...)] SELECT …
+    UPDATE <t> SET c1 = e1 [, …] [WHERE p]
+    DELETE FROM <t> [WHERE p]
+    MERGE INTO <t> [[AS] t] USING (<src name> | (SELECT …)) [[AS] s]
+      ON <key equality on (conv_id, turn_idx)>
+      WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
+      WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | INSERT (…) VALUES (…)
+      WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
+
+Design choices:
+- expressions are NEVER re-implemented: every value/assignment/predicate
+  substring is handed to Spark (``F.expr`` / ``spark.sql``) so the SQL
+  dialect inside expressions is exactly Spark's;
+- the statement's target name must match the registered view name — a
+  statement aimed at a different table refuses instead of silently writing
+  this one;
+- MERGE aliases are pinned to ``t`` (target) and ``s`` (source), Delta's
+  documentation convention, and the ON clause must be the table key
+  equality (the builder's identity rule; see dml.MergeInto) — anything
+  else refuses with the reason.
+
+Scale: the module is pure statement-compilation — the plans that run are
+IDENTICAL to the native builders' (one fenced merge epoch; MERGE is one
+join + one exchange, plan-gated in tests/test_plan_quality.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from maestro_spark import schema as S
+from maestro_spark.dml import MergeInto, delete_where, update_where, upsert
+from maestro_spark.lake import LakeTable, Snapshot
+
+_VERB_RE = re.compile(r"^\s*(insert|update|delete|merge)\b", re.I)
+
+
+def is_dml(sql: str) -> bool:
+    """True when the statement text starts with a write verb."""
+    return bool(_VERB_RE.match(sql or ""))
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, outside single-quoted strings."""
+    parts, buf, depth, i = [], [], 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'" and not (j + 1 < len(s) and s[j + 1] == "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            buf.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(text: str) -> dict[str, str]:
+    """``c1 = e1, c2 = e2`` -> {c1: e1, ...} (exprs stay Spark SQL text)."""
+    out: dict[str, str] = {}
+    for part in _split_top(text):
+        m = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", part, re.S)
+        if not m:
+            raise ValueError(f"cannot parse assignment {part!r} (want col = expr)")
+        col = m.group(1)
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice")
+        out[col] = m.group(2).strip()
+    if not out:
+        raise ValueError("SET clause has no assignments")
+    return out
+
+
+def _require_target(stmt_name: str, name: str) -> None:
+    if stmt_name.lower() != name.lower():
+        raise ValueError(
+            f"statement targets {stmt_name!r} but this table is registered "
+            f"as {name!r} — refusing to write a different table"
+        )
+
+
+def _strip_ident(tok: str) -> str:
+    return tok.strip().strip("`\"")
+
+
+# --------------------------------------------------------------------- verbs
+def _exec_insert(table: LakeTable, sql: str, name: str, query_id: str):
+    m = re.match(
+        r"^\s*insert\s+into\s+([A-Za-z_][\w.]*)\s*"
+        r"(\(([^)]*)\))?\s*(values\b|select\b)(.*)$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported INSERT (want: INSERT INTO <t> [(cols)] VALUES "
+            "(...)[, ...] | INSERT INTO <t> [(cols)] SELECT ...)"
+        )
+    _require_target(_strip_ident(m.group(1)), name)
+    cols = [_strip_ident(c) for c in _split_top(m.group(3))] if m.group(3) else None
+    kw, rest = m.group(4).lower(), m.group(5).strip()
+    spark = table.spark
+    if kw.startswith("values"):
+        if not cols:
+            cols = [f.name for f in table.snapshot().payload_schema().fields]
+        # Spark parses every literal/expression: VALUES text passes verbatim
+        df = spark.sql(
+            f"SELECT * FROM VALUES {rest} AS v({', '.join(cols)})"
+        )
+    else:
+        df = spark.sql(sql[m.start(4):])
+        if cols:
+            if len(cols) != len(df.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(cols)} names but the "
+                    f"SELECT produces {len(df.columns)} columns"
+                )
+            df = df.toDF(*cols)
+    missing = [k for k in S.KEY_COLS if k not in df.columns]
+    if missing:
+        raise ValueError(f"INSERT must provide key columns {missing}")
+    return upsert(table, df, query_id=query_id)
+
+
+def _exec_update(table: LakeTable, sql: str, name: str, query_id: str):
+    m = re.match(
+        r"^\s*update\s+([A-Za-z_][\w.]*)\s+set\s+(.*?)(?:\s+where\s+(.*))?\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError("unsupported UPDATE (want: UPDATE <t> SET c = e[, ...] [WHERE p])")
+    _require_target(_strip_ident(m.group(1)), name)
+    assigns = {c: F.expr(e) for c, e in _parse_assignments(m.group(2)).items()}
+    bad = set(assigns) & set(S.KEY_COLS)
+    if bad:
+        raise ValueError(f"cannot UPDATE key columns {sorted(bad)}")
+    pred = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+    return update_where(table, pred, assigns, query_id=query_id)
+
+
+def _exec_delete(table: LakeTable, sql: str, name: str, query_id: str):
+    m = re.match(
+        r"^\s*delete\s+from\s+([A-Za-z_][\w.]*)\s*(?:where\s+(.*))?\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError("unsupported DELETE (want: DELETE FROM <t> [WHERE p])")
+    _require_target(_strip_ident(m.group(1)), name)
+    pred = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+    return delete_where(table, pred, query_id=query_id)
+
+
+def _validate_merge_on(on_text: str) -> None:
+    """The ON clause must be exactly the key equality (any order, either
+    side first): the builder defines row identity by the table key and
+    cannot honor an arbitrary join condition (see dml.MergeInto)."""
+    seen: set[str] = set()
+    for part in re.split(r"\band\b", on_text, flags=re.I):
+        m = re.match(
+            r"^\s*([st])\s*\.\s*([A-Za-z_]\w*)\s*=\s*([st])\s*\.\s*([A-Za-z_]\w*)\s*$",
+            part.strip(),
+        )
+        if not m:
+            raise ValueError(
+                f"MERGE ON must be key equality over aliases s/t; cannot "
+                f"accept {part.strip()!r}"
+            )
+        a_side, a_col, b_side, b_col = m.groups()
+        if {a_side, b_side} != {"s", "t"} or a_col != b_col or a_col not in S.KEY_COLS:
+            raise ValueError(
+                f"MERGE ON must equate the table key {S.KEY_COLS} between "
+                f"s and t; cannot accept {part.strip()!r}"
+            )
+        seen.add(a_col)
+    if seen != set(S.KEY_COLS):
+        raise ValueError(
+            f"MERGE ON must cover the full table key {S.KEY_COLS}; got {sorted(seen)}"
+        )
+
+
+def _exec_merge(table: LakeTable, sql: str, name: str, query_id: str):
+    m = re.match(
+        r"^\s*merge\s+into\s+([A-Za-z_][\w.]*)\s*(?:as\s+)?(t\b)?\s*"
+        r"using\s+(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*)\s*(?:as\s+)?(s\b)?\s*"
+        r"on\s+(.*?)\s*(when\s+.*)$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported MERGE (want: MERGE INTO <t> [AS t] USING <src>|(SELECT …) "
+            "[AS s] ON <key equality> WHEN … THEN …)"
+        )
+    _require_target(_strip_ident(m.group(1)), name)
+    _validate_merge_on(m.group(5))  # grammar first: refuse before any IO
+    src_text = m.group(3).strip()
+    spark = table.spark
+    if src_text.startswith("("):
+        source = spark.sql(src_text[1:-1])
+    else:
+        source = spark.table(_strip_ident(src_text))
+
+    builder = MergeInto(table, source)
+    when_text = m.group(6)
+    clause_re = re.compile(
+        r"when\s+(not\s+matched\s+by\s+source|not\s+matched(?:\s+by\s+target)?|matched)"
+        r"\s*(?:and\s+(.*?))?\s*then\s+"
+        r"(update\s+set\s+.*?|delete|insert\s*\*|insert\s*\([^)]*\)\s*values\s*\(.*?\))"
+        r"\s*(?=when\s+|$)",
+        re.I | re.S,
+    )
+    consumed = 0
+    for cm in clause_re.finditer(when_text):
+        if when_text[consumed:cm.start()].strip():
+            raise ValueError(
+                f"cannot parse MERGE clause text "
+                f"{when_text[consumed:cm.start()].strip()!r}"
+            )
+        consumed = cm.end()
+        cat = re.sub(r"\s+", " ", cm.group(1).lower())
+        cond = cm.group(2)
+        action = cm.group(3).strip()
+        act = action.lower()
+        if cat == "matched":
+            if act == "delete":
+                builder.when_matched_delete(condition=cond)
+            elif act.startswith("update set"):
+                builder.when_matched_update(
+                    set=_parse_assignments(action[len("update set"):]),
+                    condition=cond,
+                )
+            else:
+                raise ValueError("WHEN MATCHED supports UPDATE SET … or DELETE")
+        elif cat == "not matched by source":
+            if act == "delete":
+                builder.when_not_matched_by_source_delete(condition=cond)
+            elif act.startswith("update set"):
+                builder.when_not_matched_by_source_update(
+                    set=_parse_assignments(action[len("update set"):]),
+                    condition=cond,
+                )
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE SET … or DELETE"
+                )
+        else:  # not matched [by target]
+            if act == "insert *" or act == "insert*":
+                builder.when_not_matched_insert(condition=cond)
+            elif act.startswith("insert"):
+                im = re.match(
+                    r"insert\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$", action,
+                    re.I | re.S,
+                )
+                if not im:
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports INSERT * or INSERT (cols) VALUES (exprs)"
+                    )
+                cols = [_strip_ident(c) for c in _split_top(im.group(1))]
+                exprs = _split_top(im.group(2))
+                if len(cols) != len(exprs):
+                    raise ValueError(
+                        f"INSERT lists {len(cols)} columns but {len(exprs)} values"
+                    )
+                builder.when_not_matched_insert(
+                    values=dict(zip(cols, exprs)), condition=cond
+                )
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT * or INSERT (cols) VALUES (exprs)"
+                )
+    if when_text[consumed:].strip():
+        raise ValueError(
+            f"cannot parse MERGE clause text {when_text[consumed:].strip()!r}"
+        )
+    return builder.execute(query_id=query_id)
+
+
+def execute_dml(
+    table: LakeTable, sql: str, name: str = "t", query_id: str = "sqldml"
+) -> Snapshot | None:
+    """Parse one DML statement and run it through the fenced native
+    builders. Returns the committed Snapshot (None when the statement was
+    a no-op — empty batch or idempotent re-delivery)."""
+    verb = _VERB_RE.match(sql)
+    if not verb:
+        raise ValueError("not a DML statement (INSERT/UPDATE/DELETE/MERGE)")
+    fn = {
+        "insert": _exec_insert,
+        "update": _exec_update,
+        "delete": _exec_delete,
+        "merge": _exec_merge,
+    }[verb.group(1).lower()]
+    return fn(table, sql, name, query_id)

@@ -1,0 +1,177 @@
+"""SQL write statements (sqldml): INSERT/UPDATE/DELETE/MERGE statement text
+compiles onto the fenced native DML builders — same exactly-once commit,
+LSN fencing, change-feed visibility, and constraint gating as the Python
+API — and anything outside the restricted grammar refuses loudly."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark import schema as S
+from maestro_spark.lake import LakeTable
+from maestro_spark.merge import merge_batch, read_quarantine
+from maestro_spark.sqldml import execute_dml, is_dml
+
+TS = dt.datetime(2025, 1, 1, 12)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(5, "insert", "A", 0, "user", "a0", "search", TS),
+         (6, "insert", "A", 1, "assistant", "a1", None, TS),
+         (7, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 0)
+    return t
+
+
+def test_is_dml_detects_verbs():
+    assert is_dml("  INSERT INTO t VALUES (1)")
+    assert is_dml("update t set x = 1")
+    assert is_dml("DELETE FROM t")
+    assert is_dml("Merge Into t USING s ON ...")
+    assert not is_dml("SELECT * FROM t")
+    assert not is_dml("WITH x AS (SELECT 1) SELECT * FROM x")
+
+
+def test_insert_values_and_select(spark, table):
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                       "VALUES ('C', 0, 'user', 'c0'), ('C', 1, 'assistant', 'c,1')")
+    got = {r["turn_idx"]: r["text"]
+           for r in table.read().filter(F.col("conv_id") == "C").collect()}
+    assert got == {0: "c0", 1: "c,1"}  # comma INSIDE a literal parses fine
+    table.create_view("t")
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                       "SELECT concat(conv_id, '_x'), turn_idx, role, upper(text) "
+                       "FROM t WHERE conv_id = 'C'")
+    got = {r["turn_idx"]: r["text"]
+           for r in table.read().filter(F.col("conv_id") == "C_x").collect()}
+    assert got == {0: "C0", 1: "C,1"}
+    # the statement is one epoch in the change feed like any other write
+    feed = table.changes(0)
+    assert feed.filter(F.col("conv_id") == "C_x").count() == 2
+
+
+def test_update_and_delete(spark, table):
+    execute_dml(table, "UPDATE t SET text = upper(text), tool = 'edited' "
+                       "WHERE conv_id = 'A'")
+    rows = {r["turn_idx"]: (r["text"], r["tool"])
+            for r in table.read().filter(F.col("conv_id") == "A").collect()}
+    assert rows == {0: ("A0", "edited"), 1: ("A1", "edited")}
+    execute_dml(table, "DELETE FROM t WHERE conv_id = 'B'")
+    assert table.read().filter(F.col("conv_id") == "B").count() == 0
+    # the delete is a TOMBSTONE: a late lower-LSN re-delivery stays dead
+    merge_batch(table, spark.createDataFrame(
+        [(7, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "late", 9)
+    assert table.read().filter(F.col("conv_id") == "B").count() == 0
+
+
+def test_merge_statement_full_vocabulary(spark, table):
+    spark.createDataFrame(
+        [("A", 0, "merged"), ("D", 0, "d0")],
+        "conv_id string, turn_idx int, text string",
+    ).createOrReplaceTempView("src")
+    execute_dml(table, """
+        MERGE INTO t USING src AS s
+        ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+        WHEN MATCHED AND t.role = 'user' THEN UPDATE SET text = s.text
+        WHEN NOT MATCHED THEN
+          INSERT (conv_id, turn_idx, text, role) VALUES (s.conv_id, s.turn_idx, s.text, 'user')
+        WHEN NOT MATCHED BY SOURCE AND t.conv_id = 'B' THEN DELETE
+    """)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert got[("A", 0)] == "merged"      # matched + condition hit
+    assert got[("A", 1)] == "a1"          # matched, condition false -> untouched
+    assert got[("D", 0)] == "d0"          # not matched -> inserted
+    assert ("B", 0) not in got            # not matched by source -> deleted
+    # subquery source + INSERT *
+    execute_dml(table, """
+        MERGE INTO t USING (SELECT 'E' AS conv_id, 0 AS turn_idx, 'e0' AS text) AS s
+        ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert table.read().filter(F.col("conv_id") == "E").head()["text"] == "e0"
+
+
+def test_refusals_are_loud_and_precise(spark, table):
+    with pytest.raises(ValueError, match="refusing to write a different table"):
+        execute_dml(table, "UPDATE other SET text = 'x'")
+    with pytest.raises(ValueError, match="key columns"):
+        execute_dml(table, "UPDATE t SET conv_id = 'x'")
+    with pytest.raises(ValueError, match="equate the table key"):
+        execute_dml(table, "MERGE INTO t USING src ON s.text = t.text "
+                           "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="full table key"):
+        execute_dml(table, "MERGE INTO t USING src ON s.conv_id = t.conv_id "
+                           "WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="unsupported INSERT"):
+        execute_dml(table, "INSERT OVERWRITE t VALUES (1)")
+    with pytest.raises(ValueError, match="not a DML"):
+        execute_dml(table, "SELECT 1")
+    with pytest.raises(ValueError, match="assignment"):
+        execute_dml(table, "UPDATE t SET nonsense WHERE true")
+
+
+def test_lake_sql_routes_dml_and_returns_post_state(spark, table):
+    out = table.sql("UPDATE t SET tool = 'via-sql' WHERE conv_id = 'A'")
+    assert {r["tool"] for r in out.filter(F.col("conv_id") == "A").collect()} \
+        == {"via-sql"}
+    # follow-up SELECT through the same front door sees the new state
+    n = table.sql("SELECT count(*) AS n FROM t WHERE tool = 'via-sql'").head()["n"]
+    assert n == 2
+    with pytest.raises(ValueError, match="time-travel"):
+        table.sql("DELETE FROM t", snapshot_id=1)
+
+
+def test_sql_dml_respects_constraints(spark, table):
+    """The statement flows through the SAME merge gate as the binlog tail:
+    a CHECK constraint dead-letters the violating SQL rows."""
+    table.add_constraint("role_known", "role in ('user', 'assistant')")
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                       "VALUES ('Z', 0, 'gremlin', 'z0')", query_id="sqlbad")
+    assert table.read().filter(F.col("conv_id") == "Z").count() == 0
+    dlq = read_quarantine(table, "sqlbad").collect()
+    assert [r["_reason"] for r in dlq] == ["constraint:role_known"]
+
+
+def test_sql_dml_fence_replans_against_racer(spark, table, monkeypatch):
+    """The statement LSN is fenced: simulate a racer landing a higher LSN
+    between plan and commit — the statement re-plans and still applies."""
+    from maestro_spark import dml as dml_mod
+
+    real = dml_mod.max_live_lsn
+    calls = {"n": 0}
+
+    def stale_then_real(table_, snapshot_id=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # racer: commit a higher-LSN row AFTER this plan read
+            merge_batch(table_, table_.spark.createDataFrame(
+                [(100, "insert", "R", 0, "user", "r0", None, TS)],
+                S.CHANGE_EVENT_SCHEMA), "racer", 1)
+            return 0  # stale answer -> fenced commit must conflict + re-plan
+        return real(table_, snapshot_id)
+
+    monkeypatch.setattr(dml_mod, "max_live_lsn", stale_then_real)
+    execute_dml(table, "UPDATE t SET tool = 'fenced' WHERE conv_id = 'A'")
+    assert calls["n"] >= 2  # re-planned at least once
+    assert {r["tool"] for r in table.read().filter(F.col("conv_id") == "A").collect()} \
+        == {"fenced"}
+    assert table.read().filter(F.col("conv_id") == "R").count() == 1
+
+
+def test_cli_sql_accepts_dml(spark, table, capsys, monkeypatch):
+    from maestro_spark.__main__ import main as cli
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = cli(["sql", "UPDATE lake SET tool = 'cli' WHERE conv_id = 'B'",
+              "--table", f"{table.root}=lake"])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert '"dml": true' in out
+    assert table.read().filter(F.col("conv_id") == "B").head()["tool"] == "cli"
