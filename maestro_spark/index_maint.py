@@ -579,6 +579,7 @@ class MaintainedIvfIndex:
 
 
 _TXT_META = "_maint_text_meta.json"
+_DOCLEN = "_doclen"  # per-doc token-count side table (BM25 corpus stats)
 
 
 class MaintainedTextIndex:
@@ -600,6 +601,13 @@ class MaintainedTextIndex:
     Tokenization is deterministic and engine-portable: lowercase,
     ``[^a-z0-9]+`` splits, empties dropped; ``tf`` = occurrences per
     (key, term) for relevance ordering.
+
+    Retrieval surface (r5): :meth:`search` (single term, tf-ranked),
+    :meth:`search_all` (AND, summed tf), :meth:`search_bm25` (OR/AND with
+    Robertson-idf BM25 — df derived from the probe's own pruned candidate
+    scan, doc length riding the term rows, corpus stats from the O(delta)
+    ``_doclen`` side table), :meth:`search_phrase` (adjacency + order,
+    exact via candidate-bounded base post-filter).
     """
 
     def __init__(
@@ -622,20 +630,36 @@ class MaintainedTextIndex:
     _mark = MaintainedLshIndex._mark
 
     def _term_rows(self, rows: DataFrame) -> DataFrame:
-        """(keys, text, _lsn) → (keys, _lsn, term, tf, _tb) — explode +
-        one hash agg, pure codegen."""
+        """(keys, text, _lsn) → (keys, _lsn, term, tf, dl, _tb) — explode +
+        one hash agg, pure codegen. ``dl`` (doc length in tokens) rides
+        every term row so BM25's length normalization needs NO join at
+        probe time."""
         toks = F.filter(
             F.split(F.lower(F.col(self.text_col)), "[^a-z0-9]+"),
             lambda x: x != F.lit(""),
         )
         return (
-            rows.withColumn("term", F.explode(toks))
-            .groupBy(*S.KEY_COLS, S.LSN_COL, "term")
+            rows.withColumn("_toks", toks)
+            .withColumn("dl", F.size("_toks").cast("int"))
+            .withColumn("term", F.explode("_toks"))
+            .groupBy(*S.KEY_COLS, S.LSN_COL, "dl", "term")
             .agg(F.count("*").cast("int").alias("tf"))
             .withColumn(
                 "_tb",
                 F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
             )
+        )
+
+    def _doclen_rows(self, rows: DataFrame) -> DataFrame:
+        """(keys, text, _lsn) → one (keys, dl, _lsn) row per doc version —
+        the corpus-stats side table (N docs, avg doc length for BM25),
+        maintained O(delta) under the same LSN/tombstone discipline."""
+        toks = F.filter(
+            F.split(F.lower(F.col(self.text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+        return rows.select(
+            *S.KEY_COLS, F.size(toks).cast("int").alias("dl"), S.LSN_COL
         )
 
     def _append(self, terms: DataFrame, mode: str) -> None:
@@ -649,20 +673,28 @@ class MaintainedTextIndex:
 
     # -------------------------------------------------------------- refresh
     def refresh(self) -> dict | None:
+        meta_path = os.path.join(self.dir, _TXT_META)
+        if not os.path.exists(meta_path):
+            return self.rebuild()
+        if json.load(open(meta_path)).get("v") != 2:
+            return self.rebuild()  # pre-BM25 layout (no dl/_doclen): upgrade
         frm = self.applied_through()
         to = self.base.snapshot().snapshot_id
         if to <= frm:
             return None
-        if not os.path.exists(os.path.join(self.dir, _TXT_META)):
-            return self.rebuild()
         try:
             feed = self.base.changes(frm, to)
         except (FileNotFoundError, ValueError):
             return self.rebuild()
         ups = feed.filter(
             (F.col("op") == "upsert") & F.col(self.text_col).isNotNull()
-        ).select(*S.KEY_COLS, self.text_col, F.col("lsn").alias(S.LSN_COL))
+        ).select(
+            *S.KEY_COLS, self.text_col, F.col("lsn").alias(S.LSN_COL)
+        ).localCheckpoint(eager=True)  # feeds BOTH writes below: scan once
         self._append(self._term_rows(ups), mode="append")
+        self._doclen_rows(ups).write.mode("append").parquet(
+            os.path.join(self.dir, _DOCLEN)
+        )
         (
             feed.select(*S.KEY_COLS, F.col("lsn").alias("t_lsn"))
             .write.mode("append")
@@ -677,78 +709,58 @@ class MaintainedTextIndex:
         to = self.base.snapshot().snapshot_id
         live = self.base.read_resolved(columns=[self.text_col]).filter(
             ~F.col(S.DELETED_COL) & F.col(self.text_col).isNotNull()
-        ).select(*S.KEY_COLS, self.text_col, S.LSN_COL)
+        ).select(
+            *S.KEY_COLS, self.text_col, S.LSN_COL
+        ).localCheckpoint(eager=True)
         shutil.rmtree(os.path.join(self.dir, _TOMBS), ignore_errors=True)
         self._append(self._term_rows(live), mode="overwrite")
+        self._doclen_rows(live).write.mode("overwrite").parquet(
+            os.path.join(self.dir, _DOCLEN)
+        )
         json.dump(
-            {"text_col": self.text_col, "n_buckets": self.n_buckets},
+            {"text_col": self.text_col, "n_buckets": self.n_buckets, "v": 2},
             open(os.path.join(self.dir, _TXT_META), "w"),
         )
         self._mark(self.applied_through(), to)
         return {"from": 0, "to": to, "rebuild": True}
 
     # ---------------------------------------------------------------- probe
-    def search(self, term: str, k: int | None = None) -> DataFrame:
-        """Keys of live rows containing ``term``, ordered by tf desc then
-        key — ONE partition directory scanned, per-key max-LSN dedupe,
-        tombstone dominance. ``term`` must be a single token of the index's
-        tokenizer."""
-        from maestro_spark.keyhash import bucket_of
+    def _tokens(self, text: str) -> list[str]:
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
 
-        if not os.path.exists(os.path.join(self.dir, _TXT_META)):
-            raise ValueError("text index not built yet — call refresh()")
-        toks = [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
-        if len(toks) != 1:
-            raise ValueError(f"search wants one token, got {toks!r}")
-        t = toks[0]
-        cand = (
-            self.spark.read.parquet(self.dir)
-            .filter(F.col("_tb") == bucket_of(t, self.n_buckets))
-            .filter(F.col("term") == t)
-        )
-        latest = (
-            cand.groupBy(*S.KEY_COLS)
-            .agg(F.max_by(F.struct("tf", S.LSN_COL), F.col(S.LSN_COL)).alias("_w"))
-            .select(*S.KEY_COLS, "_w.*")
-        )
+    def _anti_tombstones(self, df: DataFrame) -> DataFrame:
+        """Drop rows whose key was deleted/updated past the row's LSN —
+        the shared LSN-dominance discipline of every probe."""
         tdir = os.path.join(self.dir, _TOMBS)
-        if os.path.isdir(tdir):
-            tombs = (
-                self.spark.read.parquet(tdir)
-                .groupBy(*S.KEY_COLS)
-                .agg(F.max("t_lsn").alias("t_lsn"))
-                .withColumnRenamed("conv_id", "_t_conv")
-                .withColumnRenamed("turn_idx", "_t_turn")
-            )
-            latest = latest.join(
-                F.broadcast(tombs),
-                on=(
-                    (F.col("conv_id") == F.col("_t_conv"))
-                    & (F.col("turn_idx") == F.col("_t_turn"))
-                    & (F.col("t_lsn") > F.col(S.LSN_COL))
-                ),
-                how="left_anti",
-            )
-        out = latest.select(*S.KEY_COLS, "tf").orderBy(
-            F.col("tf").desc(), *S.KEY_COLS
+        if not os.path.isdir(tdir):
+            return df
+        tombs = (
+            self.spark.read.parquet(tdir)
+            .groupBy(*S.KEY_COLS)
+            .agg(F.max("t_lsn").alias("t_lsn"))
+            .withColumnRenamed("conv_id", "_t_conv")
+            .withColumnRenamed("turn_idx", "_t_turn")
         )
-        return out.limit(k) if k else out
+        return df.join(
+            F.broadcast(tombs),
+            on=(
+                (F.col("conv_id") == F.col("_t_conv"))
+                & (F.col("turn_idx") == F.col("_t_turn"))
+                & (F.col("t_lsn") > F.col(S.LSN_COL))
+            ),
+            how="left_anti",
+        )
 
-    def search_all(self, query: str, k: int | None = None) -> DataFrame:
-        """AND search: live rows containing EVERY token of ``query``,
-        ranked by summed tf. One pruned scan over the union of the tokens'
-        bucket partitions (still ≤ n_tokens of n_buckets directories), one
-        hash agg enforcing per-key distinct-term completeness, then the
-        same max-LSN + tombstone discipline as :meth:`search` — applied
-        per (key, term) BEFORE the completeness count so a stale index row
-        can neither satisfy nor break the AND."""
+    def _candidates(self, toks: list[str]) -> DataFrame:
+        """Live (key, term, tf, dl) rows for the query tokens: one pruned
+        scan over the tokens' bucket partitions (≤ n_tokens of n_buckets
+        directories), per-(key, term) max-LSN dedupe, tombstone dominance
+        — applied BEFORE any completeness/ranking logic so a stale index
+        row can neither satisfy nor break a query."""
         from maestro_spark.keyhash import bucket_of
 
         if not os.path.exists(os.path.join(self.dir, _TXT_META)):
             raise ValueError("text index not built yet — call refresh()")
-        toks = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
-        if not toks:
-            raise ValueError("search_all wants at least one token")
         buckets = sorted({bucket_of(t, self.n_buckets) for t in toks})
         cand = (
             self.spark.read.parquet(self.dir)
@@ -757,29 +769,39 @@ class MaintainedTextIndex:
         )
         latest = (
             cand.groupBy(*S.KEY_COLS, "term")
-            .agg(F.max_by(F.struct("tf", S.LSN_COL), F.col(S.LSN_COL)).alias("_w"))
+            .agg(
+                F.max_by(
+                    F.struct("tf", "dl", S.LSN_COL), F.col(S.LSN_COL)
+                ).alias("_w")
+            )
             .select(*S.KEY_COLS, "term", "_w.*")
         )
-        tdir = os.path.join(self.dir, _TOMBS)
-        if os.path.isdir(tdir):
-            tombs = (
-                self.spark.read.parquet(tdir)
-                .groupBy(*S.KEY_COLS)
-                .agg(F.max("t_lsn").alias("t_lsn"))
-                .withColumnRenamed("conv_id", "_t_conv")
-                .withColumnRenamed("turn_idx", "_t_turn")
-            )
-            latest = latest.join(
-                F.broadcast(tombs),
-                on=(
-                    (F.col("conv_id") == F.col("_t_conv"))
-                    & (F.col("turn_idx") == F.col("_t_turn"))
-                    & (F.col("t_lsn") > F.col(S.LSN_COL))
-                ),
-                how="left_anti",
-            )
+        return self._anti_tombstones(latest)
+
+    def search(self, term: str, k: int | None = None) -> DataFrame:
+        """Keys of live rows containing ``term``, ordered by tf desc then
+        key — ONE partition directory scanned. ``term`` must be a single
+        token of the index's tokenizer."""
+        toks = self._tokens(term)
+        if len(toks) != 1:
+            raise ValueError(f"search wants one token, got {toks!r}")
         out = (
-            latest.groupBy(*S.KEY_COLS)
+            self._candidates(toks)
+            .select(*S.KEY_COLS, "tf")
+            .orderBy(F.col("tf").desc(), *S.KEY_COLS)
+        )
+        return out.limit(k) if k else out
+
+    def search_all(self, query: str, k: int | None = None) -> DataFrame:
+        """AND search: live rows containing EVERY token of ``query``,
+        ranked by summed tf. One pruned scan + one hash agg enforcing
+        per-key distinct-term completeness."""
+        toks = sorted(set(self._tokens(query)))
+        if not toks:
+            raise ValueError("search_all wants at least one token")
+        out = (
+            self._candidates(toks)
+            .groupBy(*S.KEY_COLS)
             .agg(
                 F.countDistinct("term").alias("_nt"),
                 F.sum("tf").cast("long").alias("tf"),
@@ -789,3 +811,140 @@ class MaintainedTextIndex:
             .orderBy(F.col("tf").desc(), *S.KEY_COLS)
         )
         return out.limit(k) if k else out
+
+    # ------------------------------------------------------------ BM25 rank
+    def corpus_stats(self) -> tuple[int, float]:
+        """(N live docs, average doc length) from the ``_doclen`` side
+        table — one map-side-combined aggregate over one compact row per
+        doc version (NOT the term index), the same LSN/tombstone
+        discipline as every probe."""
+        ddir = os.path.join(self.dir, _DOCLEN)
+        if not os.path.isdir(ddir):
+            raise ValueError("text index not built yet — call refresh()")
+        latest = (
+            self.spark.read.parquet(ddir)
+            .groupBy(*S.KEY_COLS)
+            .agg(F.max_by(F.struct("dl", S.LSN_COL), F.col(S.LSN_COL)).alias("_w"))
+            .select(*S.KEY_COLS, "_w.*")
+        )
+        row = (
+            self._anti_tombstones(latest)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            )
+            .head()
+        )
+        return int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+    def search_bm25(
+        self,
+        query: str,
+        k: int | None = None,
+        mode: str = "or",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """BM25-ranked search (Robertson/Sparck-Jones idf, the
+        always-positive ``ln(1 + (N-df+0.5)/(df+0.5))`` form): live rows
+        matching ANY (``mode='or'``) or ALL (``mode='and'``) query tokens,
+        scored ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``.
+
+        Everything is derived from ONE pruned candidate scan: per-term
+        document frequencies are counted over the candidates themselves
+        (small — one row per matching (doc, term) — and by construction
+        exactly consistent with the index the query reads), ``dl`` rides
+        the term rows, and the corpus stats come from the O(docs)
+        ``_doclen`` aggregate. No side lookups, no full-index scan.
+        Returns (keys, score) with score rounded to 6 decimals for
+        engine-portable deterministic ordering (ties broken by key)."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        toks = sorted(set(self._tokens(query)))
+        if not toks:
+            raise ValueError("search_bm25 wants at least one token")
+        n_docs, avgdl = self.corpus_stats()
+        cand = self._candidates(toks)
+        # df per query term, counted over the live candidates (exact, and
+        # tiny: ≤ |matching docs| × |tokens| rows feed the count)
+        df_tbl = cand.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("_df")
+        )
+        scored = cand.join(F.broadcast(df_tbl), "term")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.lit(max(avgdl, 1e-9))
+        )
+        contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom
+        out = (
+            scored.groupBy(*S.KEY_COLS)
+            .agg(
+                F.countDistinct("term").alias("_nt"),
+                F.round(F.sum(contrib), 6).alias("score"),
+            )
+        )
+        if mode == "and":
+            out = out.filter(F.col("_nt") == len(toks))
+        out = out.select(*S.KEY_COLS, "score").orderBy(
+            F.col("score").desc(), *S.KEY_COLS
+        )
+        return out.limit(k) if k else out
+
+    def search_phrase(self, phrase: str, k: int | None = None) -> DataFrame:
+        """PHRASE search: live rows where the query tokens appear adjacent
+        and in order (under the index tokenizer — any non-alnum run counts
+        as one separator). Two-stage: the AND index probe yields the
+        (small) candidate set, then one bucket-pruned base read
+        post-filters candidates against the actual text with a single
+        regex — exact, and the base scan is bounded by the candidates'
+        key-buckets, never the table. Returns (keys, n_occurrences)."""
+        toks = self._tokens(phrase)
+        if not toks:
+            raise ValueError("search_phrase wants at least one token")
+        cand = (
+            self._candidates(sorted(set(toks)))
+            .groupBy(*S.KEY_COLS)
+            .agg(F.countDistinct("term").alias("_nt"))
+            .filter(F.col("_nt") == len(set(toks)))
+            .select(*S.KEY_COLS)
+            .localCheckpoint(eager=True)  # bucket list + semi-join reuse it
+        )
+        n_buckets = self.base.snapshot().n_buckets
+        from maestro_spark.lake import bucket_expr
+
+        buckets = sorted(
+            r["b"]
+            for r in cand.select(
+                bucket_expr("conv_id", n_buckets).alias("b")
+            ).distinct().collect()
+        )
+        if not buckets:
+            return self.spark.createDataFrame(
+                [], "conv_id string, turn_idx int, n_occurrences long"
+            )
+        # token-sequence regex over the normalized text: adjacency = one
+        # non-alnum run; (?<![a-z0-9]) / (?![a-z0-9]) guard partial-token
+        # matches without consuming separators (so back-to-back phrase
+        # instances both count)
+        pat = (
+            "(?<![a-z0-9])"
+            + "[^a-z0-9]+".join(re.escape(t) for t in toks)
+            + "(?![a-z0-9])"
+        )
+        rows = (
+            self.base.read(buckets=buckets, columns=[*S.KEY_COLS, self.text_col])
+            .join(F.broadcast(cand), S.KEY_COLS, "left_semi")
+            .withColumn(
+                "n_occurrences",
+                F.regexp_count(F.lower(F.col(self.text_col)), F.lit(pat)).cast("long"),
+            )
+            .filter(F.col("n_occurrences") > 0)
+            .select(*S.KEY_COLS, "n_occurrences")
+            .orderBy(F.col("n_occurrences").desc(), *S.KEY_COLS)
+        )
+        return rows.limit(k) if k else rows

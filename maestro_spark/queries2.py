@@ -824,6 +824,17 @@ def _finalize_registration_order() -> None:
         # keeps the window-function family in-window; E3 stays
         # oracle-checked locally via check_oracles)
         "q_term_search",
+        # round 5 rotations (every entrant proven oracle-exact out-of-window
+        # via check_oracles first; displaced rows listed in secondary with
+        # rationale — the window stays exactly 50):
+        # NEW capability rows of this round:
+        "q_ivm_role",   # declarative MaterializedView (generalized IVM)
+        "q_sql_dml",    # SQL INSERT/UPDATE/DELETE/MERGE front door
+        "q_bm25",       # BM25-ranked search on the maintained text index
+        # never-windowed machinery the r4 verdict asked to certify (#5):
+        "q_alter",      # ALTER TABLE — now METADATA-ONLY rename/drop (r5)
+        "q_token_est",  # subword token estimate (engine-parity regex)
+        "q_knn_join",   # per-row k-NN join (3rd similarity family row)
     ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
@@ -837,10 +848,6 @@ def _finalize_registration_order() -> None:
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
         "q_ingest_json",
-        # round 4: ALTER TABLE end-to-end, out-of-window first
-        "q_alter",
-        # round 4: subword token estimate (engine-parity regex), out-of-window
-        "q_token_est",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw
@@ -859,10 +866,21 @@ def _finalize_registration_order() -> None:
         # E4's last-ignore-nulls machinery is also inside the in-window
         # q_join_asof oracle)
         "q_win_firstval", "q_win_last",
-        # q_knn_join traded out for q_rep_filter: similarity already holds
-        # two in-window oracle rows (ann_bruteforce, embed_neardup); the
-        # repetition filter is a NEW curation family row
-        "q_knn_join",
+        # round 5 demotions — each one's machinery stays exercised by an
+        # in-window row and ALL stay oracle-checked locally per round:
+        # - q_dedup_maxlsn: max-LSN dedup IS the in-window flagship
+        #   q_cdc_replay (K2's engine path runs there end-to-end)
+        # - q_count_distinct: exact-distinct aggregation also runs inside
+        #   the in-window q_heavy_hitters / q_agg_basic family
+        # - q_collect_ordered: ordered-collect's sort machinery is pinned
+        #   in-window by q_topk (TakeOrdered plan gate)
+        # - q_fn_math: 3rd scalar-function family row (string + date stay)
+        # - q_join_outer: 8th join-family row; left-outer machinery also
+        #   runs inside q_join_asof's build, full outer stays via q_join_full
+        # - q_text_stats: its length/punct/stopword scoring composes
+        #   verbatim inside the in-window q_curate capstone
+        "q_dedup_maxlsn", "q_count_distinct", "q_collect_ordered",
+        "q_fn_math", "q_join_outer", "q_text_stats",
         # scalar-family seconds and the B4 twin (q_quarantine now carries
         # the error-channel signal) yield their slots to the promoted
         # curation capstones; all four were driver-green in r1 and stay

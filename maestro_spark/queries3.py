@@ -762,6 +762,68 @@ ORACLES["q_sql_dml"] = f"""
     FROM base WHERE op <> 'delete' AND turn_idx < 5"""
 
 
+@q(
+    "q_bm25",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_bm25(spark, sf_dir):
+    """BM25-ranked OR search on the maintained inverted text index (r5):
+    the probe derives per-term document frequencies from its own pruned
+    candidate scan, doc lengths ride the term rows, and corpus stats come
+    from the O(delta)-maintained _doclen side table — the scores must
+    equal DuckDB computing the same Robertson-idf BM25 (k1=1.2, b=0.75)
+    from the replayed live state with the same tokenizer, rounded to 6
+    decimals on both sides."""
+    from maestro_spark.index_maint import MaintainedTextIndex
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    idx = MaintainedTextIndex(
+        spark, table, f"{_CDC_DEMO_DIR}/text_idx", n_buckets=16
+    )
+    idx.refresh()
+    return idx.search_bm25("7 3", mode="or")
+
+
+ORACLES["q_bm25"] = f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    live AS (
+      SELECT conv_id, turn_idx, text FROM base
+      WHERE op <> 'delete' AND text IS NOT NULL),
+    dl AS (
+      SELECT conv_id, turn_idx,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS dl
+      FROM live),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl),
+    toks AS (
+      SELECT conv_id, turn_idx, t.tok
+      FROM live, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok IN ('7', '3')),
+    tf AS (
+      SELECT conv_id, turn_idx, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY conv_id, turn_idx, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+    SELECT t.conv_id, t.turn_idx,
+           ROUND(SUM(
+             ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * 2.2
+             / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / c.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN df d USING (tok)
+    JOIN dl l ON l.conv_id = t.conv_id AND l.turn_idx = t.turn_idx
+    CROSS JOIN corpus c
+    GROUP BY t.conv_id, t.turn_idx"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV strict-mode decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-

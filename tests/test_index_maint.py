@@ -480,3 +480,123 @@ def test_text_index_search_all_and_semantics(spark, tmp_path):
         {r["conv_id"] for r in idx.search("spark").collect()}
     with pytest.raises(ValueError, match="at least one"):
         idx.search_all("...")
+
+
+def test_text_index_bm25_matches_python_oracle_across_epochs(spark, tmp_path):
+    """BM25 ranking (r5): scores equal a pure-Python BM25 over base's
+    CURRENT live rows (same tokenizer, Robertson idf, k1=1.2 b=0.75) across
+    insert/update/delete epochs; OR and AND modes; probe ≡ fresh rebuild."""
+    import datetime as dt
+    import math
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from maestro_spark.index_maint import MaintainedTextIndex
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "bm_lake"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "d0", 0, None, "spark shuffle exchange spark spark", None, TS),
+         (2, "insert", "d1", 0, None, "parquet zone maps and spark", None, TS),
+         (3, "insert", "d2", 0, None, "catalyst optimizer spark shuffle", None, TS),
+         (4, "insert", "d3", 0, None, "gardens and prose", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    idx = MaintainedTextIndex(spark, base, str(tmp_path / "bm_idx"), n_buckets=8)
+    idx.refresh()
+    merge_batch(base, spark.createDataFrame(
+        [(10, "update", "d3", 0, None, "spark spark spark shuffle", None, TS),
+         (11, "delete", "d1", 0, None, None, None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    idx.refresh()
+
+    def py_bm25(query, mode, k1=1.2, b=0.75):
+        docs = {(r["conv_id"], r["turn_idx"]):
+                [t for t in _re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+                for r in base.read().collect() if r["text"] is not None}
+        toks = sorted({t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t})
+        n = len(docs)
+        avgdl = sum(map(len, docs.values())) / n
+        out = {}
+        for key, words in docs.items():
+            hit_terms = [t for t in toks if t in words]
+            if not hit_terms or (mode == "and" and len(hit_terms) < len(toks)):
+                continue
+            s = 0.0
+            for t in hit_terms:
+                df = sum(1 for w in docs.values() if t in w)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                tf = words.count(t)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(words) / avgdl))
+            out[key] = round(s, 6)
+        return out
+
+    for query, mode in (("spark shuffle", "or"), ("spark shuffle", "and"),
+                        ("parquet", "or"), ("absent words", "or")):
+        got = {(r["conv_id"], r["turn_idx"]): r["score"]
+               for r in idx.search_bm25(query, mode=mode).collect()}
+        exp = py_bm25(query, mode)
+        assert set(got) == set(exp), (query, mode, got, exp)
+        for key in exp:
+            assert abs(got[key] - exp[key]) < 1e-5, (query, mode, key)
+
+    # probe ≡ fresh rebuild
+    idx2 = MaintainedTextIndex(spark, base, str(tmp_path / "bm_idx2"), n_buckets=8)
+    idx2.rebuild()
+    assert sorted(map(tuple, idx.search_bm25("spark shuffle").collect())) == \
+        sorted(map(tuple, idx2.search_bm25("spark shuffle").collect()))
+    # top-1 under OR: d3 (spark x3 + shuffle, short doc)
+    assert idx.search_bm25("spark shuffle", k=1).head()["conv_id"] == "d3"
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        idx.search_bm25("spark", mode="xor")
+
+
+def test_text_index_phrase_search_exact(spark, tmp_path):
+    """Phrase search: adjacency + order under the index tokenizer, exact
+    vs a Python regex over live text; index candidates prune the base
+    read; updates/deletes respected; a v1 (pre-BM25) index upgrades."""
+    import datetime as dt
+    import json as _json
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from maestro_spark.index_maint import _TXT_META, MaintainedTextIndex
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "ph_lake"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "d0", 0, None, "the zone maps prune files", None, TS),
+         (2, "insert", "d1", 0, None, "maps zone the — zone maps, zone maps!", None, TS),
+         (3, "insert", "d2", 0, None, "zone of maps", None, TS),
+         (4, "insert", "d3", 0, None, "ZONE  MAPS (case and runs)", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    idx = MaintainedTextIndex(spark, base, str(tmp_path / "ph_idx"), n_buckets=8)
+    idx.refresh()
+
+    got = {(r["conv_id"], r["turn_idx"]): r["n_occurrences"]
+           for r in idx.search_phrase("zone maps").collect()}
+    assert got == {("d0", 0): 1, ("d1", 0): 2, ("d3", 0): 1}, got
+
+    # delete a hit, update another to break the phrase -> both vanish
+    merge_batch(base, spark.createDataFrame(
+        [(10, "delete", "d1", 0, None, None, None, TS),
+         (11, "update", "d3", 0, None, "zone then maps", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    idx.refresh()
+    got = {(r["conv_id"], r["turn_idx"]): r["n_occurrences"]
+           for r in idx.search_phrase("zone maps").collect()}
+    assert got == {("d0", 0): 1}, got
+    assert idx.search_phrase("absent phrase").count() == 0
+
+    # a v1 meta (pre-BM25 layout) upgrades via rebuild on next refresh
+    meta = _os.path.join(idx.dir, _TXT_META)
+    m = _json.load(open(meta)); m.pop("v"); _json.dump(m, open(meta, "w"))
+    merge_batch(base, spark.createDataFrame(
+        [(12, "insert", "d9", 0, None, "zone maps again", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 2)
+    r = idx.refresh()
+    assert r and r.get("rebuild")
+    assert ("d9", 0) in {(x["conv_id"], x["turn_idx"])
+                         for x in idx.search_phrase("zone maps").collect()}
