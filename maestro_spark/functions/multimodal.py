@@ -7,9 +7,15 @@ pipelines, batch shapes, partition sizing — is real and tested. Codecs
 filter types, 8-bit gray/gray+alpha/RGB/RGBA non-interlaced) and WAV (via
 stdlib ``wave``, 8/16-bit PCM) are REAL decoders needing zero external
 libraries; strict mode decodes them end to end. Formats that genuinely
-require external codec libraries (JPEG, video containers) remain STUBBED:
+require external codec libraries (video containers) remain STUBBED:
 strict mode raises ``NotImplementedError`` for them, test mode produces a
 deterministic fake derived from the bytes, clearly marked below.
+
+Round 5: baseline sequential JPEG joins the real-decoder set
+(functions/jpeg.py — pure numpy Huffman + dequant + IDCT + chroma
+upsample, validated against independently-encoded real-world files).
+Only video containers and exotic JPEG modes (progressive/arithmetic/
+12-bit) remain declared strict-mode stubs.
 
 Scale notes encoded in the design:
 - media rows are big → ``repartition`` by size budget before mapInPandas so
@@ -191,16 +197,21 @@ def audio_feature_vec(samples: np.ndarray) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, strict: bool) -> np.ndarray:
-    """Strict mode: REAL decode for PNG (stdlib, above); other image
-    formats (JPEG etc.) need external codec libs absent from this
-    container and raise. Test mode: deterministic 8-dim fake from the
-    bytes (unchanged fake-codec contract)."""
+    """Strict mode: REAL decode for PNG (stdlib, above) and baseline
+    sequential JPEG (functions/jpeg.py — pure numpy Huffman + IDCT, any
+    sampling factors, restart intervals; round 5). Progressive/arithmetic
+    JPEG and other formats raise. Test mode: deterministic 8-dim fake
+    from the bytes (unchanged fake-codec contract)."""
     if strict:
         if payload[:8] == _PNG_MAGIC:
             return image_feature_vec(decode_png(payload))
+        if payload[:2] == b"\xff\xd8":
+            from maestro_spark.functions.jpeg import decode_jpeg
+
+            return image_feature_vec(decode_jpeg(payload))
         raise NotImplementedError(
-            "non-PNG image decode requires a codec library (e.g. Pillow) not "
-            "present in this environment; wire the real decoder here"
+            "unsupported image format (PNG and baseline JPEG decode natively; "
+            "anything else needs an external codec library)"
         )
     arr = np.frombuffer(payload[:64], dtype=np.uint8).astype(np.float32)
     return arr.reshape(8, 8).mean(axis=1) / 255.0
@@ -366,6 +377,14 @@ def synthetic_real_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
                 for j in range(h * w * ch)
             ]
             px = np.array(vals, dtype=np.uint8).reshape(h, w, ch)
+            if i % 4 == 2:  # every other image row is a REAL baseline JPEG
+                from maestro_spark.functions.jpeg import encode_jpeg
+
+                rows.append(
+                    (i, "image", bytearray(encode_jpeg(px, quality=90)),
+                     ("jpeg", w, h, None))
+                )
+                continue
             rows.append(
                 (i, "image", bytearray(encode_png(px)), ("png", w, h, None))
             )

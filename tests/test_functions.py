@@ -803,3 +803,72 @@ def test_subword_count_engine_parity_and_shape(spark):
     assert got == duck
     # "Hello" "," " world" "!" -> 4 pieces; null/empty -> 0
     assert got[0] == 4 and got[2] == 0 and got[-1] == 0
+
+
+def test_jpeg_codec_roundtrip_and_spec_independence():
+    """Baseline JPEG decode (r5): encoder-twin round trip within lossy
+    bounds at several qualities, flat-color near-exactness, determinism,
+    AND decode of an INDEPENDENTLY-encoded fixture (a third-party-encoder
+    2x2 flat-gray baseline JPEG, embedded; from the IPython test suite,
+    BSD) — proving the decoder implements the spec, not just its twin."""
+    import base64
+
+    import numpy as np
+    import pytest
+
+    from maestro_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([
+        (x * 255 // (w - 1)).astype(np.uint8),
+        (y * 255 // (h - 1)).astype(np.uint8),
+        ((x * 3 + y * 5) % 256).astype(np.uint8),
+    ], axis=-1)
+    for q, bound in ((95, 4.0), (75, 8.0)):
+        out = decode_jpeg(encode_jpeg(px, quality=q))
+        assert out.shape == px.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < bound, q
+    flat = np.full((16, 16, 3), 137, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, 90)) == 137).all()
+    g = ((x + y) % 256).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, 95))  # grayscale -> replicated RGB
+    assert og.shape == (h, w, 3) and (og[..., 0] == og[..., 1]).all()
+    assert encode_jpeg(px, 90) == encode_jpeg(px, 90)  # deterministic
+
+    # independently-encoded fixture: 2x2, flat 128-gray, 4:2:0 baseline
+    fixture = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8U"
+        "HRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA"
+        "/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+        "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJico"
+        "KSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKT"
+        "lJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo"
+        "6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+    )
+    out = decode_jpeg(fixture)
+    assert out.shape == (2, 2, 3)
+    assert np.abs(out.astype(int) - 128).max() <= 1  # flat mid-gray
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_strict_mode_decodes_real_jpeg_media(spark):
+    """synthetic_real_media now plants REAL baseline JPEG rows (i%4==2);
+    the strict mapInPandas pipeline decodes them end to end and the
+    features match a local decode of the same bytes."""
+    import numpy as np
+
+    from maestro_spark.functions import multimodal as mm
+    from maestro_spark.functions.jpeg import decode_jpeg
+
+    media = mm.synthetic_real_media(spark, n=16)
+    jpegs = {r["media_id"]: bytes(r["payload"])
+             for r in media.filter(F.col("meta.codec") == "jpeg").collect()}
+    assert len(jpegs) == 4  # ids 2, 6, 10, 14
+    feats = {r["media_id"]: np.array(r["feature"])
+             for r in mm.extract_image_features(media, strict=True).collect()}
+    for mid, payload in jpegs.items():
+        exp = mm.image_feature_vec(decode_jpeg(payload))
+        assert np.allclose(feats[mid], exp, atol=1e-6), mid
