@@ -96,11 +96,23 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("--table", required=True, help="the coordinator table")
 
     iv = sub.add_parser(
-        "ivm", help="refresh the per-conversation stats view off the change feed"
+        "ivm", help="refresh a materialized view off the change feed "
+                    "(default: the per-conversation stats view; pass "
+                    "--keys/--aggs to declare your own)"
     )
     iv.add_argument("--table", required=True)
     iv.add_argument("--view", required=True)
     iv.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot")
+    iv.add_argument("--keys", default=None,
+                    help="comma-separated GROUP BY columns (declarative view)")
+    iv.add_argument("--aggs", default=None,
+                    help="SQL aggregate list, each aliased — e.g. "
+                         "\"count(1) AS n_turns, max(ts) AS last_ts\"")
+    iv.add_argument("--columns", default=None,
+                    help="comma-separated base columns the aggs touch "
+                         "(scan pruning; default: all payload columns)")
+    iv.add_argument("--query-id", default="ivm-view", dest="ivm_query_id",
+                    help="epoch-key namespace for a declarative view")
 
     ln = sub.add_parser("lineage", help="per-epoch lineage/metrics rollup")
     ln.add_argument("--table", required=True)
@@ -144,13 +156,16 @@ def main(argv: list[str] | None = None) -> int:
 
     al = sub.add_parser(
         "alter",
-        help="ALTER TABLE: --add name:type (metadata-only) | "
-             "--rename old:new | --drop name (one COW rewrite each)",
+        help="ALTER TABLE (all metadata-only): --add name:type | "
+             "--rename old:new | --drop name [--erase = immediate RTBF "
+             "rewrite instead of the deferred-excision mask]",
     )
     al.add_argument("--table", required=True)
     al.add_argument("--add", default=None, metavar="NAME:TYPE")
     al.add_argument("--rename", default=None, metavar="OLD:NEW")
     al.add_argument("--drop", default=None, metavar="NAME")
+    al.add_argument("--erase", action="store_true",
+                    help="with --drop: rewrite now (RTBF) instead of masking")
 
     de = sub.add_parser(
         "describe",
@@ -373,7 +388,9 @@ def main(argv: list[str] | None = None) -> int:
             old, _, new = args.rename.partition(":")
             out["rename"] = ddl.rename_column(table, old, new).snapshot_id
         if args.drop:
-            out["drop"] = ddl.drop_column(table, args.drop).snapshot_id
+            out["drop"] = ddl.drop_column(
+                table, args.drop, erase=args.erase
+            ).snapshot_id
         out["schema"] = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in table.snapshot().payload_schema().fields
@@ -484,10 +501,32 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.limit, truncate=40)
             print(json.dumps({"rows": df.count(), "views": views}))
     elif args.cmd == "ivm":
-        from maestro_spark.ivm import ConvStatsView
+        from maestro_spark.ivm import ConvStatsView, MaterializedView
 
         table = LakeTable(spark, args.table)
-        view = ConvStatsView(spark, table, args.view)
+        if bool(args.keys) != bool(args.aggs):
+            raise SystemExit("ivm: --keys and --aggs go together")
+        if args.keys:
+            from pyspark.sql import functions as _F
+
+            from maestro_spark.sqldml import _split_top
+
+            # depth-aware split (an agg like percentile(x, 0.5) holds
+            # commas); each item carries its alias — Spark's own parser
+            # handles the expression dialect
+            aggs = [_F.expr(part) for part in _split_top(args.aggs)]
+            view = MaterializedView(
+                spark, table, args.view,
+                key_cols=[k.strip() for k in args.keys.split(",")],
+                aggs=aggs,
+                columns=(
+                    [c.strip() for c in args.columns.split(",")]
+                    if args.columns else None
+                ),
+                query_id=args.ivm_query_id,
+            )
+        else:
+            view = ConvStatsView(spark, table, args.view)
         snap = view.refresh(to_snapshot=args.to_snapshot)
         print(json.dumps({
             "refreshed": snap is not None,

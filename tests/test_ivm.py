@@ -244,3 +244,41 @@ def test_declared_view_idempotent_and_validates(spark):
     got = {r["role"]: r["n_turns"] for r in v.read().collect()}
     exp = {r["role"]: r["n_turns"] for r in v.expected().collect()}
     assert got == exp
+
+
+def test_cli_declarative_view_and_alter_erase(spark, tmp_path, capsys, monkeypatch):
+    """CLI surface for the r5 features: `ivm --keys/--aggs` declares and
+    refreshes a MaterializedView; `alter --drop --erase` takes the
+    immediate-RTBF path (data files rewritten), plain --drop is
+    metadata-only (zero files written)."""
+    import json as _json
+    import tempfile
+
+    from maestro_spark.__main__ import main as cli
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d, n_convs=20, segments=1)
+
+    rc = cli(["ivm", "--table", base.root, "--view", f"{d}/cli_view",
+              "--keys", "conv_id,role",
+              "--aggs", "count(1) AS n_turns, max(ts) AS last_ts",
+              "--columns", "conv_id,role,ts",
+              "--query-id", "cli-role"])
+    assert rc in (0, None)
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["refreshed"] and out["view_rows"] > 0
+    view = _role_view(spark, base, f"{d}/cli_view2")  # independent recompute
+    view.refresh()
+    assert out["view_rows"] == view.read().count()
+
+    files_before = {p for ps in base.snapshot().files.values() for p in ps}
+    rc = cli(["alter", "--table", base.root, "--drop", "tool"])
+    assert rc in (0, None)
+    assert {p for ps in base.snapshot().files.values() for p in ps} == files_before
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = cli(["alter", "--table", base.root, "--drop", "text", "--erase"])
+    assert rc in (0, None)
+    assert {p for ps in base.snapshot().files.values() for p in ps} != files_before
+    cols = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["schema"]
+    assert not any(c.startswith("text:") or c.startswith("tool:") for c in cols)
