@@ -13,9 +13,12 @@ deterministic fake derived from the bytes, clearly marked below.
 
 Round 5: baseline sequential JPEG joins the real-decoder set
 (functions/jpeg.py — pure numpy Huffman + dequant + IDCT + chroma
-upsample, validated against independently-encoded real-world files).
-Only video containers and exotic JPEG modes (progressive/arithmetic/
-12-bit) remain declared strict-mode stubs.
+upsample, validated against independently-encoded real-world files), and
+so does uncompressed-DIB AVI video (functions/video.py — RIFF chunk walk,
+bottom-up BGR24 frames, cadence-sampled decode). Only genuinely
+compressed video (H.264/VP9/...) and exotic JPEG modes (progressive/
+arithmetic/12-bit) remain declared strict-mode stubs — those are the
+formats that truly need external codec libraries.
 
 Scale notes encoded in the design:
 - media rows are big → ``repartition`` by size budget before mapInPandas so
@@ -314,6 +317,81 @@ def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_sampled", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def extract_video_features(
+    df: DataFrame, strict: bool = False, every_ms: int = 500
+) -> DataFrame:
+    """Arrow-batched video feature extraction: strict mode REALLY decodes
+    uncompressed-DIB AVI payloads (functions/video.py, stdlib + numpy),
+    samples frames at an ``every_ms`` cadence (only the sampled frames are
+    ever materialized — a long clip never decodes in full), and emits the
+    8-segment temporal luminance envelope + fps + frame counts. Compressed
+    containers raise (they need external codec libraries). Test mode keeps
+    the deterministic fake-from-bytes contract."""
+    from maestro_spark.functions import video as V
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, fpss, totals, sampled, sizes = [], [], [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    fpss.append(None)
+                    totals.append(0)
+                    sampled.append(0)
+                    sizes.append(0)
+                    continue
+                b = bytes(p)
+                sizes.append(len(b))
+                if strict:
+                    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                        raise NotImplementedError(
+                            "compressed video decode requires a codec "
+                            "library not present in this environment "
+                            "(uncompressed-DIB AVI decodes natively)"
+                        )
+                    _, fps0, n_total = V.decode_avi(b, frame_indices=[])
+                    idx = V.sample_indices(n_total, fps0, every_ms)
+                    frames, fps0, n_total = V.decode_avi(b, frame_indices=idx)
+                    feats.append(V.video_feature_vec(frames).tolist())
+                    fpss.append(fps0)
+                    totals.append(n_total)
+                    sampled.append(len(idx))
+                else:
+                    arr = np.frombuffer(b[:64], dtype=np.uint8).astype(np.float32)
+                    feats.append((arr.reshape(8, 8).mean(axis=1) / 255.0).tolist())
+                    fpss.append(10)
+                    totals.append(max(1, len(b) // 64))
+                    sampled.append(1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "fps": pd.array(fpss, dtype="Int32"),
+                    "n_frames": pd.array(totals, dtype="Int32"),
+                    "n_sampled": pd.array(sampled, dtype="Int32"),
+                    "n_bytes": sizes,
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, VIDEO_FEATURES_SCHEMA)
+    )
+
+
 def encode_png(pixels: np.ndarray) -> bytes:
     """Minimal stdlib PNG ENCODER (filter 0 scanlines) — the fixture twin
     of :func:`decode_png`, also usable to ship decoded artifacts back out.
@@ -357,20 +435,37 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 500) -> DataFrame:
     )
 
 
-def synthetic_real_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+def synthetic_real_media(
+    spark, n: int = 16, seed: int = 42, with_video: bool = False
+) -> DataFrame:
     """Deterministic REAL media table: even ids carry genuine PNG payloads
     (seeded pixel patterns through :func:`encode_png`), odd ids genuine WAV
     payloads (seeded square-ish PCM via the stdlib ``wave`` writer) — the
     strict-mode decode path runs end to end on these with zero external
-    libraries. No RNG (replay-equality rules): all bytes derive from
-    (seed, media_id)."""
+    libraries. ``with_video=True`` additionally makes every ``i % 3 == 2``
+    row a genuine uncompressed-DIB AVI clip (functions/video.py encoder).
+    No RNG (replay-equality rules): all bytes derive from (seed, media_id)."""
     import io
     import struct
     import wave
 
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if with_video and i % 3 == 2:
+            from maestro_spark.functions.video import encode_avi
+
+            h, w, nf = 8 + (i % 2) * 4, 8, 6 + (i % 4)
+            vals = [
+                (seed * 151 + i * 911 + j * 97 + (j * j) % 241) % 256
+                for j in range(nf * h * w * 3)
+            ]
+            clip = np.array(vals, dtype=np.uint8).reshape(nf, h, w, 3)
+            fps = 10
+            rows.append(
+                (i, "video", bytearray(encode_avi(clip, fps=fps)),
+                 ("avi", w, h, nf * 1000 // fps))
+            )
+        elif i % 2 == 0:
             h, w, ch = 8 + (i % 3) * 4, 8, 3
             vals = [
                 (seed * 131 + i * 977 + j * 89 + (j * j) % 251) % 256

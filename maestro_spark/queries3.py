@@ -824,18 +824,19 @@ ORACLES["q_bm25"] = f"""
     GROUP BY t.conv_id, t.turn_idx"""
 
 
-@q("q_media_decode")  # rows-only: real stdlib PNG/WAV strict-mode decode
+@q("q_media_decode")  # rows-only: real stdlib PNG/WAV/JPEG/AVI strict decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-
-    generated) PNG and WAV payloads — the un-stubbed r4 codec path
-    (functions/multimodal.decode_png / decode_wav) driven through the same
+    generated) PNG/JPEG, WAV and uncompressed-AVI payloads — the un-stubbed
+    codec paths (functions/multimodal.decode_png / decode_wav,
+    functions/jpeg.py, functions/video.py) driven through the same
     Arrow-batched mapInPandas plumbing as the fake-codec q_media_features.
     Feature vectors fold to quantized BIGINT checksums (the driver
     canonicalizer cannot hash array cells); pytest keeps the array-typed
     and pixel-exact assertions."""
     from maestro_spark.functions import multimodal as mm
 
-    media = mm.synthetic_real_media(spark, n=16)
+    media = mm.synthetic_real_media(spark, n=16, with_video=True)
     checksum = F.aggregate(
         F.transform("feature", lambda x: F.floor(x * 1000).cast("long")),
         F.lit(0).cast("long"),
@@ -849,4 +850,8 @@ def q_media_decode(spark, sf_dir):
         "media_id", F.lit("audio").alias("kind"), "n_bytes",
         checksum.alias("feature_checksum"),
     )
-    return img.unionByName(aud)
+    vid = mm.extract_video_features(media, strict=True).select(
+        "media_id", F.lit("video").alias("kind"), "n_bytes",
+        checksum.alias("feature_checksum"),
+    )
+    return img.unionByName(aud).unionByName(vid)

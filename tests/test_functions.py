@@ -780,7 +780,7 @@ def test_q_media_decode_is_deterministic(spark):
     b = sorted(map(tuple, QUERIES["q_media_decode"](spark, "unused").collect()))
     assert a == b and len(a) == 16
     kinds = {r[1] for r in a}
-    assert kinds == {"image", "audio"}
+    assert kinds == {"image", "audio", "video"}  # AVI joined the set in r5
 
 
 def test_subword_count_engine_parity_and_shape(spark):
@@ -872,3 +872,94 @@ def test_strict_mode_decodes_real_jpeg_media(spark):
     for mid, payload in jpegs.items():
         exp = mm.image_feature_vec(decode_jpeg(payload))
         assert np.allclose(feats[mid], exp, atol=1e-6), mid
+
+
+def test_avi_codec_roundtrip_and_spec_independence():
+    """Uncompressed-AVI video codec (r5): encoder-twin LOSSLESS round trip
+    (incl. odd widths exercising 4-byte stride padding), cadence sampling,
+    top-down (negative biHeight) handling, and refusal of compressed
+    payloads — the last multimodal stub un-stubbed for the one container
+    shape that needs no external codec library."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from maestro_spark.functions.video import (
+        decode_avi, encode_avi, sample_indices, video_feature_vec,
+    )
+
+    nf, h, w = 7, 12, 9  # odd width -> padded stride
+    j = np.arange(nf * h * w * 3, dtype=np.int64)
+    clip = ((j * 31 + (j * j) % 97) % 256).astype(np.uint8).reshape(nf, h, w, 3)
+    data = encode_avi(clip, fps=5)
+    out, fps, total = decode_avi(data)
+    assert fps == 5 and total == nf
+    assert (out == clip).all()  # LOSSLESS — uncompressed DIB
+    assert encode_avi(clip, fps=5) == data  # deterministic
+
+    # sampled decode == the same frames of a full decode
+    idx = sample_indices(total, fps, every_ms=400)  # every 2nd frame
+    assert idx == [0, 2, 4, 6]
+    sub, _, _ = decode_avi(data, frame_indices=idx)
+    assert (sub == clip[idx]).all()
+
+    vec = video_feature_vec(sub)
+    assert vec.shape == (8,) and vec.dtype == np.float32
+    assert (vec >= 0).all() and (vec <= 1).all()
+
+    # spec independence: flip biHeight positive->negative (top-down) and
+    # rewrite the frame rows in top-down order — decode must match still
+    pos = data.find(struct.pack("<Ii", 40, w))  # strf BITMAPINFOHEADER
+    assert pos > 0
+    td = bytearray(data)
+    td[pos + 8 : pos + 12] = struct.pack("<i", -h)
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    off = 0
+    for _ in range(nf):
+        off = td.index(b"00db", off) + 8
+        rows = np.frombuffer(bytes(td[off : off + frame_bytes]), np.uint8)
+        td[off : off + frame_bytes] = rows.reshape(h, stride)[::-1].tobytes()
+        off += frame_bytes
+    out_td, _, _ = decode_avi(bytes(td))
+    assert (out_td == clip).all()
+
+    # compressed AVI refuses with a clear error
+    comp = bytearray(data)
+    comp[pos + 16 : pos + 20] = struct.pack("<I", 0x34363248)  # 'H264'
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_avi(bytes(comp))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_strict_mode_decodes_real_avi_media(spark):
+    """synthetic_real_media(with_video=True) plants REAL uncompressed AVI
+    clips (i%3==2); the strict mapInPandas pipeline decodes + samples them
+    end to end and features match a local decode of the same bytes."""
+    import numpy as np
+
+    from maestro_spark.functions import multimodal as mm
+    from maestro_spark.functions.video import (
+        decode_avi, sample_indices, video_feature_vec,
+    )
+
+    media = mm.synthetic_real_media(spark, n=12, with_video=True)
+    avis = {r["media_id"]: bytes(r["payload"])
+            for r in media.filter(F.col("kind") == "video").collect()}
+    assert set(avis) == {2, 5, 8, 11}
+    got = {r["media_id"]: r for r in
+           mm.extract_video_features(media, strict=True, every_ms=300).collect()}
+    assert set(got) == set(avis)
+    for mid, b in avis.items():
+        _, fps, total = decode_avi(b, frame_indices=[])
+        idx = sample_indices(total, fps, every_ms=300)
+        frames, _, _ = decode_avi(b, frame_indices=idx)
+        exp = video_feature_vec(frames)
+        r = got[mid]
+        assert r["fps"] == fps and r["n_frames"] == total
+        assert r["n_sampled"] == len(idx) and r["n_bytes"] == len(b)
+        assert np.allclose(np.array(r["feature"], dtype=np.float32), exp)
+    # image/audio extraction still sees only its own kind
+    assert mm.extract_image_features(media, strict=True).count() == 4

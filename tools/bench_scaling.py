@@ -34,25 +34,31 @@ def main() -> None:
     from maestro_spark.gen import GenConfig, write_log_distributed
     from maestro_spark.session import get_spark
 
-    d = tempfile.mkdtemp(prefix="maestro_scale_")
+    # MAESTRO_SCALE_REUSE_DIR: point at a prior run's tempdir to skip the
+    # ~4 min generation (same seed/shape => identical log) and keep the dir
+    # afterwards for further re-runs in this session.
+    reuse = os.environ.get("MAESTRO_SCALE_REUSE_DIR")
+    d = reuse if reuse else tempfile.mkdtemp(prefix="maestro_scale_")
     results = {}
     all_trials: list[dict] = []
     try:
-        # generate on the executors (write_log_distributed) — the driver-side
-        # generator caps at ~50k events/s, which would dwarf the measured
-        # replay at this input size. Session is stopped before the trials so
-        # every measured JVM is fresh.
-        n_convs = max(20, n_events // 21)
-        seg_rows = max(1, n_events // (n_shards * n_epochs))
-        t0 = time.time()
-        gspark = get_spark("scale-gen", master="local[32]", shuffle_partitions=32)
-        gspark.sparkContext.setLogLevel("ERROR")
-        n_gen = write_log_distributed(
-            gspark, GenConfig(seed=42, n_convs=n_convs, segment_rows=seg_rows),
-            f"{d}/log", n_shards=n_shards,
-        )
-        gspark.stop()
-        print(f"generated {n_gen} events in {time.time()-t0:.1f}s", file=sys.stderr)
+        if not (reuse and os.path.isdir(f"{d}/log")):
+            # generate on the executors (write_log_distributed) — the
+            # driver-side generator caps at ~50k events/s, which would dwarf
+            # the measured replay at this input size. Session is stopped
+            # before the trials so every measured JVM is fresh.
+            n_convs = max(20, n_events // 21)
+            seg_rows = max(1, n_events // (n_shards * n_epochs))
+            t0 = time.time()
+            gspark = get_spark("scale-gen", master="local[32]", shuffle_partitions=32)
+            gspark.sparkContext.setLogLevel("ERROR")
+            n_gen = write_log_distributed(
+                gspark, GenConfig(seed=42, n_convs=n_convs, segment_rows=seg_rows),
+                f"{d}/log", n_shards=n_shards,
+            )
+            gspark.stop()
+            print(f"generated {n_gen} events in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
 
         # this sandbox shows phantom host load (steal) — interleave the two
         # levels AND the pure-CPU calibration job within each trial, keep the
@@ -147,7 +153,8 @@ def main() -> None:
         print(json.dumps(summary))
         _write_md(summary, results, all_trials)
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        if not reuse:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _write_md(summary: dict, results: dict, all_trials: list[dict] | None = None) -> None:
