@@ -179,7 +179,18 @@ def _minhash_banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
 def _minhash_pairs_from_banded(banded: DataFrame, k: int) -> DataFrame:
     a = banded.alias("a")
     b_ = banded.alias("b")
-    cand = (
+    # estimate jaccard BEFORE the pair-dedup exchange: the signature match
+    # count is pure codegen in the join stage, so the distinct() shuffles
+    # 24-byte (id_a, id_b, est_jaccard) rows instead of both k-long
+    # signatures (~0.5 KiB/pair at k=32) — multi-band collisions produce
+    # identical rows (est_jaccard is a pure function of the pair), so
+    # distinct() is exact dedup
+    matches = F.aggregate(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -189,18 +200,9 @@ def _minhash_pairs_from_banded(banded: DataFrame, k: int) -> DataFrame:
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            (matches / F.lit(k)).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return cand.withColumn("est_jaccard", matches / F.lit(k)).select(
-        "id_a", "id_b", "est_jaccard"
+        .distinct()
     )
 
 
@@ -318,12 +320,19 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
             & (F.col("a.block") == F.col("b.block"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        # refine BEFORE the pair-dedup exchange: hamming is pure codegen in
+        # the join stage, so only surviving near-dups shuffle — a pair that
+        # collides in several bands yields identical rows, so distinct() is
+        # exact dedup (Catalyst cannot push the filter below a first()-style
+        # dropDuplicates itself; measured 236k→~0.5k rows into the exchange
+        # at sf0.1)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -405,12 +414,15 @@ def simhash_near_pairs_indexed(
             & (F.col("a.block") == F.col("b.block"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        # same refine-before-dedup ordering as simhash_near_pairs: only
+        # true near-dups reach the distinct() exchange
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -386,13 +386,14 @@ class MaintainedSimhashIndex:
                 & (F.col("a._id") < F.col("b._id")),
             )
             .select(
-                F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
             )
-            .dropDuplicates(["id_a", "id_b"])
-            .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+            # refine-before-dedup (same ordering as simhash_near_pairs):
+            # only surviving near-dups reach the distinct() exchange
             .filter(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming")
+            .distinct()
         )
 
 
