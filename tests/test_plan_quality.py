@@ -111,3 +111,24 @@ def test_merge_into_compiles_to_single_join(spark, tmp_path):
     )
     plan = batch._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join ") == 1, plan
+
+
+def test_neardup_miners_refine_before_dedup_exchange(spark):
+    """The banded near-dup miners must refine INSIDE the join stage so only
+    surviving pairs reach the pair-dedup exchange (Catalyst cannot push a
+    filter below dropDuplicates' first() aggregates — the pre-r5 shape
+    shuffled every band collision, 236k rows vs ~0.5k survivors at sf0.1;
+    minhash additionally shipped both k-long signatures through it)."""
+    # simhash: the hamming predicate must sit BELOW the exchange
+    plan = _plan(spark, "q_simhash")
+    assert "bit_count" in plan, plan
+    exch = plan.index("Exchange")
+    assert "bit_count" in plan[exch:], plan  # refine inside the join stage
+    assert "first(" not in plan, plan  # distinct over slim rows, no first()
+
+    # minhash: the dedup exchange must carry no signature arrays
+    plan = _plan(spark, "q_minhash_lsh")
+    assert "first(" not in plan, plan
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Exchange hashpartitioning"):
+            assert "sig" not in line, line
