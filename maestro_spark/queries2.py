@@ -848,6 +848,10 @@ def _finalize_registration_order() -> None:
         # / components / curation rows they would otherwise displace from a
         # bounded driver window
         "q_ingest_json",
+        # 3rd text-index row (q_term_search + q_bm25 are in-window): the
+        # phrase probe's oracle certification lives here without shifting
+        # the proven 50-window
+        "q_phrase",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

@@ -824,6 +824,56 @@ ORACLES["q_bm25"] = f"""
     GROUP BY t.conv_id, t.turn_idx"""
 
 
+@q(
+    "q_phrase",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_phrase(spark, sf_dir):
+    """PHRASE search on the maintained inverted text index (r5): the AND
+    index probe yields candidates, then one bucket-pruned base read
+    post-filters adjacency+order with a single regex. The oracle counts
+    the same phrase by token-array adjacency over the replayed live state
+    (RE2 has no lookarounds, so DuckDB cannot run the engine's regex
+    verbatim) — equivalent whenever the phrase cannot self-overlap, which
+    'turn 7 rev' (distinct tokens) guarantees. Certifies the tokenizer,
+    candidate completeness, and the adjacency semantics across engines."""
+    from maestro_spark.index_maint import MaintainedTextIndex
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    idx = MaintainedTextIndex(
+        spark, table, f"{_CDC_DEMO_DIR}/text_idx", n_buckets=16
+    )
+    idx.refresh()
+    return idx.search_phrase("turn 7 rev")
+
+
+ORACLES["q_phrase"] = f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    live AS (
+      SELECT conv_id, turn_idx, text FROM base
+      WHERE op <> 'delete' AND text IS NOT NULL),
+    toks AS (
+      SELECT conv_id, turn_idx,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM live),
+    pos AS (
+      SELECT conv_id, turn_idx, arr,
+             unnest(arr) AS tok, generate_subscripts(arr, 1) AS i
+      FROM toks)
+    SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pos
+    WHERE tok = 'turn' AND i + 2 <= len(arr)
+      AND arr[i + 1] = '7' AND arr[i + 2] = 'rev'
+    GROUP BY conv_id, turn_idx"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV/JPEG/AVI strict decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-
