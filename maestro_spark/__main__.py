@@ -227,6 +227,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="pin every view to this snapshot id (time travel)")
     sq.add_argument("--limit", type=int, default=20)
 
+    se = sub.add_parser(
+        "search", help="term/AND/BM25/phrase search via a maintained inverted text index"
+    )
+    se.add_argument("table", help="lake table root")
+    se.add_argument("query", help="search text (term mode wants a single token)")
+    se.add_argument(
+        "--index", default=None,
+        help="index dir (default <table>/_text_idx); created on first use, "
+             "kept O(delta) fresh off the change feed",
+    )
+    se.add_argument("--mode", choices=["term", "and", "bm25", "phrase"], default="bm25")
+    se.add_argument("--bm25-mode", choices=["or", "and"], default="or",
+                    help="token combination for --mode bm25")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--no-refresh", action="store_true",
+                    help="probe the index as-is (skip the O(delta) refresh)")
+
     sub.add_parser("bench", help="run the benchmark contract (bench.py)")
 
     args = p.parse_args(argv)
@@ -500,6 +518,28 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.sql(args.query)
             df.show(args.limit, truncate=40)
             print(json.dumps({"rows": df.count(), "views": views}))
+    elif args.cmd == "search":
+        import os
+
+        from maestro_spark.index_maint import MaintainedTextIndex
+
+        table = LakeTable(spark, args.table)
+        idx_dir = args.index or os.path.join(
+            os.path.normpath(args.table), "_text_idx"
+        )
+        idx = MaintainedTextIndex(spark, table, idx_dir, text_col=args.text_col)
+        if not args.no_refresh:
+            idx.refresh()
+        if args.mode == "term":
+            df = idx.search(args.query, k=args.k)
+        elif args.mode == "and":
+            df = idx.search_all(args.query, k=args.k)
+        elif args.mode == "phrase":
+            df = idx.search_phrase(args.query, k=args.k)
+        else:
+            df = idx.search_bm25(args.query, k=args.k, mode=args.bm25_mode)
+        df.show(args.k, truncate=40)
+        print(json.dumps({"hits": df.count(), "mode": args.mode, "index": idx_dir}))
     elif args.cmd == "ivm":
         from maestro_spark.ivm import ConvStatsView, MaterializedView
 

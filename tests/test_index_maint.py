@@ -600,3 +600,43 @@ def test_text_index_phrase_search_exact(spark, tmp_path):
     assert r and r.get("rebuild")
     assert ("d9", 0) in {(x["conv_id"], x["turn_idx"])
                          for x in idx.search_phrase("zone maps").collect()}
+
+
+def test_cli_search_subcommand(spark, tmp_path, capsys, monkeypatch):
+    """CLI `search`: builds/refreshes a maintained text index next to the
+    table and serves all four probe modes; a follow-up --no-refresh probe
+    after new commits sees the stale index (proving the flag skips the
+    refresh), and a plain re-run picks the new doc up."""
+    import json as _json
+
+    from maestro_spark.__main__ import main
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "cli_lake"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "d0", 0, None, "zone maps prune files", None, TS),
+         (2, "insert", "d1", 0, None, "zone maps and blooms", None, TS),
+         (3, "insert", "d2", 0, None, "unrelated prose", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+
+    # the CLI stops its session on exit; the test session must survive
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run("search", base.root, "zone maps", "--mode", "phrase")
+    assert out["hits"] == 2 and out["index"].endswith("_text_idx")
+    assert run("search", base.root, "blooms", "--mode", "term")["hits"] == 1
+    assert run("search", base.root, "zone blooms", "--mode", "and")["hits"] == 1
+    assert run("search", base.root, "zone maps", "--mode", "bm25")["hits"] == 2
+
+    merge_batch(base, spark.createDataFrame(
+        [(4, "insert", "d9", 0, None, "zone maps zone maps", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    stale = run("search", base.root, "zone maps", "--mode", "phrase",
+                "--no-refresh")
+    assert stale["hits"] == 2  # refresh skipped: new doc invisible
+    fresh = run("search", base.root, "zone maps", "--mode", "phrase")
+    assert fresh["hits"] == 3
