@@ -492,7 +492,29 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("sql: pass --table and/or --warehouse")
         from maestro_spark import sqldml
 
-        if sqldml.is_dml(args.query):
+        if sqldml.is_ddl(args.query):
+            # ALTER TABLE routes onto the metadata-only DDL builders; the
+            # target must be one of the --table views
+            target = None
+            for view, tbl in tables.items():
+                try:
+                    snap = sqldml.execute_ddl(tbl, args.query, name=view)
+                    target = view
+                    break
+                except ValueError as e:
+                    if "targets" not in str(e):
+                        raise
+            if target is None:
+                raise SystemExit(
+                    "sql: DDL target is not among the --table views"
+                )
+            print(json.dumps({
+                "ddl": True, "view": target,
+                "snapshot": snap.snapshot_id,
+                "schema": [f.name for f in
+                           tables[target].snapshot().payload_schema().fields],
+            }))
+        elif sqldml.is_dml(args.query):
             # write verbs compile onto the fenced DML builders; the target
             # must be one of the --table views (not a read-only warehouse
             # registration)

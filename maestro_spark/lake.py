@@ -681,9 +681,16 @@ class LakeTable:
         ``MERGE INTO`` — see maestro_spark.sqldml for the accepted grammar)
         compile onto the engine's fenced DML builders, execute exactly-once,
         and return the table's POST-STATEMENT live rows (the view is
-        re-registered at the new snapshot so follow-up SELECTs see it)."""
+        re-registered at the new snapshot so follow-up SELECTs see it).
+        ``ALTER TABLE`` statements route onto the metadata-only DDL builders
+        (maestro_spark.ddl) the same way."""
         from maestro_spark import sqldml
 
+        if sqldml.is_ddl(query):
+            if snapshot_id is not None or ts is not None:
+                raise ValueError("DDL cannot target a time-travel pin")
+            sqldml.execute_ddl(self, query, name=name)
+            return self.create_view(name)
         if sqldml.is_dml(query):
             if snapshot_id is not None or ts is not None:
                 raise ValueError("DML cannot target a time-travel pin")

@@ -320,3 +320,53 @@ def execute_dml(
         "merge": _exec_merge,
     }[verb.group(1).lower()]
     return fn(table, sql, name, query_id)
+
+
+# ---------------------------------------------------------------------- DDL
+_DDL_RE = re.compile(r"^\s*alter\s+table\b", re.I)
+
+
+def is_ddl(sql: str) -> bool:
+    """True when the statement text starts with ALTER TABLE."""
+    return bool(_DDL_RE.match(sql or ""))
+
+
+def execute_ddl(table: LakeTable, sql: str, name: str = "t") -> Snapshot:
+    """Parse one ALTER TABLE statement and run it through the engine's
+    metadata-only DDL builders (maestro_spark.ddl) — the SQL twin of
+    :func:`execute_dml`, with the same refusal discipline (anything
+    outside the grammar raises rather than mis-executes). Accepted forms::
+
+        ALTER TABLE <t> ADD COLUMN <col> <type>
+        ALTER TABLE <t> RENAME COLUMN <old> TO <new>
+        ALTER TABLE <t> DROP COLUMN <col> [ERASE]
+        ALTER TABLE <t> ALTER COLUMN <col> TYPE <type>     (widen only)
+
+    ``<type>`` strings go to Spark's DDL parser verbatim (so the dialect
+    is exactly Spark's); ``DROP COLUMN … ERASE`` opts into the immediate
+    RTBF rewrite instead of the default masked drop (physical excision on
+    the compaction cadence)."""
+    m = re.match(r"^\s*alter\s+table\s+([A-Za-z_][\w.]*)\s+(.*?)\s*;?\s*$",
+                 sql, re.I | re.S)
+    if not m:
+        raise ValueError("cannot parse ALTER TABLE statement")
+    _require_target(_strip_ident(m.group(1)), name)
+    from maestro_spark import ddl
+
+    rest = m.group(2)
+    if am := re.match(r"^add\s+column\s+([A-Za-z_]\w*)\s+(\S.*)$", rest, re.I | re.S):
+        return ddl.add_column(table, _strip_ident(am.group(1)), am.group(2).strip())
+    if rm := re.match(r"^rename\s+column\s+([A-Za-z_]\w*)\s+to\s+([A-Za-z_]\w*)$",
+                      rest, re.I):
+        return ddl.rename_column(table, _strip_ident(rm.group(1)),
+                                 _strip_ident(rm.group(2)))
+    if dm := re.match(r"^drop\s+column\s+([A-Za-z_]\w*)(\s+erase)?$", rest, re.I):
+        return ddl.drop_column(table, _strip_ident(dm.group(1)),
+                               erase=bool(dm.group(2)))
+    if wm := re.match(r"^alter\s+column\s+([A-Za-z_]\w*)\s+type\s+(\S.*)$",
+                      rest, re.I | re.S):
+        return ddl.widen_column(table, _strip_ident(wm.group(1)), wm.group(2).strip())
+    raise ValueError(
+        f"unsupported ALTER TABLE form {rest!r} — accepted: ADD COLUMN, "
+        "RENAME COLUMN … TO …, DROP COLUMN [ERASE], ALTER COLUMN … TYPE …"
+    )

@@ -175,3 +175,72 @@ def test_cli_sql_accepts_dml(spark, table, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert '"dml": true' in out
     assert table.read().filter(F.col("conv_id") == "B").head()["tool"] == "cli"
+
+
+def test_ddl_statements_route_to_metadata_builders(spark, table):
+    """ALTER TABLE text compiles onto the ddl builders: add / rename /
+    widen / drop are all metadata-only commits (zero data files written),
+    and DROP ... ERASE opts into the immediate RTBF rewrite."""
+    from maestro_spark.sqldml import execute_ddl, is_ddl
+
+    assert is_ddl("  ALTER TABLE t ADD COLUMN x string")
+    assert not is_ddl("SELECT 1") and not is_ddl("UPDATE t SET x = 1")
+
+    def files(snap):
+        return {p for ps in snap.files.values() for p in ps}
+
+    before = files(table.snapshot())
+    s1 = execute_ddl(table, "ALTER TABLE t ADD COLUMN score double")
+    s2 = execute_ddl(table, "ALTER TABLE t RENAME COLUMN score TO rating")
+    s3 = execute_ddl(table, "ALTER TABLE t ALTER COLUMN turn_count TYPE bigint") \
+        if "turn_count" in [f.name for f in table.snapshot().schema.fields] \
+        else None
+    assert files(table.snapshot()) == before  # all metadata-only so far
+    assert s1.snapshot_id < s2.snapshot_id
+    cols = [f.name for f in table.snapshot().payload_schema().fields]
+    assert "rating" in cols and "score" not in cols
+    assert table.read().filter(F.col("rating").isNotNull()).count() == 0
+
+    # masked drop: still zero data files written
+    execute_ddl(table, "ALTER TABLE t DROP COLUMN rating")
+    assert files(table.snapshot()) == before
+    assert "rating" not in [f.name for f in table.snapshot().payload_schema().fields]
+
+    # ERASE drop: the immediate rewrite path (files DO change)
+    execute_ddl(table, "ALTER TABLE t ADD COLUMN secret string")
+    execute_dml(table, "UPDATE t SET secret = 'classified' WHERE conv_id = 'A'")
+    execute_ddl(table, "ALTER TABLE t DROP COLUMN secret ERASE")
+    assert files(table.snapshot()) != files(table.snapshot(1))
+    # RTBF completion = expiry + vacuum drop the superseded pre-rewrite files
+    table.expire_snapshots(keep_last=1)
+    table.vacuum(manifest_grace_seconds=0)
+    import subprocess
+    grep = subprocess.run(["grep", "-r", "classified", table.root],
+                          capture_output=True)
+    assert grep.returncode != 0  # bytes physically gone
+
+    # refusals: wrong target, unsupported form, time-travel pin
+    with pytest.raises(ValueError, match="targets"):
+        execute_ddl(table, "ALTER TABLE other ADD COLUMN x string")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_ddl(table, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')")
+    with pytest.raises(ValueError, match="time-travel"):
+        table.sql("ALTER TABLE t ADD COLUMN y string", snapshot_id=1)
+
+
+def test_ddl_via_sql_front_door_and_cli(spark, table, capsys, monkeypatch):
+    """table.sql and the CLI both route ALTER TABLE; the post-statement
+    view serves the new schema immediately."""
+    import json as _json
+
+    df = table.sql("ALTER TABLE conv ADD COLUMN note string", name="conv")
+    assert "note" in df.columns
+
+    from maestro_spark.__main__ import main
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = main(["sql", "ALTER TABLE lake RENAME COLUMN note TO remark",
+               "--table", table.root])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ddl"] is True and "remark" in out["schema"]
+    assert "remark" in table.sql("SELECT * FROM t").columns
