@@ -492,7 +492,31 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("sql: pass --table and/or --warehouse")
         from maestro_spark import sqldml
 
-        if sqldml.is_ddl(args.query):
+        if sqldml.is_mv(args.query):
+            # CREATE/REFRESH MATERIALIZED VIEW routes onto the incremental-
+            # view machinery; the base must be one of the --table views
+            # (CREATE names it in FROM; REFRESH is matched by the view's
+            # own persisted base_root)
+            mv, target = None, None
+            for view, tbl in tables.items():
+                try:
+                    mv = sqldml.execute_mv(tbl, args.query, name=view)
+                    target = view
+                    break
+                except ValueError as e:
+                    if "targets" not in str(e) and "declared over" not in str(e):
+                        raise
+            if mv is None:
+                raise SystemExit(
+                    "sql: the view's base table is not among the --table views"
+                )
+            print(json.dumps({
+                "materialized_view": True, "base": target,
+                "view_root": mv.table.root,
+                "rows": mv.read().count(),
+                "applied_through": mv.applied_through(),
+            }))
+        elif sqldml.is_ddl(args.query):
             # ALTER TABLE routes onto the metadata-only DDL builders; the
             # target must be one of the --table views
             target = None

@@ -517,3 +517,99 @@ class ConvStatsView(MaterializedView):
             columns=_AGG_COLS,
             query_id=_QUERY_ID,
         )
+
+
+# ------------------------------------------------------- persisted views
+_MV_FILE = "_mv.json"
+
+
+def declare(
+    spark: SparkSession,
+    base: LakeTable,
+    root: str,
+    key_cols: list[str],
+    agg_exprs: list[str],
+    columns: list[str] | None = None,
+    query_id: str = "sql-mv",
+    allow_full_only: bool = False,
+) -> MaterializedView:
+    """Declare a PERSISTED materialized view: the declaration itself —
+    key columns + aggregate expression TEXT + the base table root — is
+    written to ``<root>/_mv.json`` so any later process (the SQL front
+    door's ``REFRESH MATERIALIZED VIEW``, the CLI, a scheduler) can
+    reconstruct and refresh the view without re-stating the query.
+
+    Aggregates are Spark SQL expression strings (``"count(*) AS n"``) —
+    text is the persistable form, and Spark's own parser remains the only
+    expression implementation (same rule as maestro_spark.sqldml).
+    Re-declaring an existing root verifies the stored declaration matches
+    and REFUSES on any difference (two declarations over one root would
+    corrupt the cursor; see MaterializedView.query_id docs)."""
+    import json as _json
+
+    from maestro_spark.lake import _atomic_write_json
+
+    decl = {
+        "base_root": os.path.abspath(base.root),
+        "key_cols": list(key_cols),
+        "agg_exprs": list(agg_exprs),
+        "columns": list(columns) if columns else None,
+        "query_id": query_id,
+        "allow_full_only": allow_full_only,
+    }
+    path = os.path.join(root, _MV_FILE)
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = _json.load(fh)
+        if prev != decl:
+            diff = sorted(k for k in decl if prev.get(k) != decl[k])
+            raise ValueError(
+                f"view at {root!r} already holds a DIFFERENT declaration "
+                f"(differs in {diff}) — refusing; drop the view directory "
+                "or declare a new root"
+            )
+    mv = MaterializedView(
+        spark,
+        base,
+        root,
+        key_cols=key_cols,
+        aggs=[F.expr(e) for e in agg_exprs],
+        columns=columns,
+        query_id=query_id,
+        allow_full_only=allow_full_only,
+    )
+    if not os.path.exists(path):
+        _atomic_write_json(path, decl, exclusive=False)
+    return mv
+
+
+def load(
+    spark: SparkSession, root: str, base: LakeTable | None = None
+) -> MaterializedView:
+    """Reconstruct a :func:`declare`-persisted view from its own root.
+    ``base`` defaults to opening the declared base root; pass it to assert
+    the view belongs to a specific table (refuses on mismatch)."""
+    import json as _json
+
+    path = os.path.join(root, _MV_FILE)
+    if not os.path.exists(path):
+        raise ValueError(f"{root!r} holds no declared materialized view")
+    with open(path) as fh:
+        decl = _json.load(fh)
+    if base is None:
+        base = LakeTable(spark, decl["base_root"])
+    elif os.path.abspath(base.root) != decl["base_root"]:
+        raise ValueError(
+            f"view at {root!r} is declared over {decl['base_root']!r}, "
+            f"not {os.path.abspath(base.root)!r}"
+        )
+    return declare(
+        spark,
+        base,
+        root,
+        key_cols=decl["key_cols"],
+        agg_exprs=decl["agg_exprs"],
+        columns=decl["columns"],
+        query_id=decl["query_id"],
+        allow_full_only=decl["allow_full_only"],
+    )

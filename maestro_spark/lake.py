@@ -683,9 +683,17 @@ class LakeTable:
         and return the table's POST-STATEMENT live rows (the view is
         re-registered at the new snapshot so follow-up SELECTs see it).
         ``ALTER TABLE`` statements route onto the metadata-only DDL builders
-        (maestro_spark.ddl) the same way."""
+        (maestro_spark.ddl) the same way, and ``CREATE/REFRESH MATERIALIZED
+        VIEW`` onto the incremental-view machinery (maestro_spark.ivm) —
+        those return the refreshed VIEW's live rows."""
         from maestro_spark import sqldml
 
+        if sqldml.is_mv(query):
+            if snapshot_id is not None or ts is not None:
+                raise ValueError(
+                    "materialized-view DDL cannot target a time-travel pin"
+                )
+            return sqldml.execute_mv(self, query, name=name).read()
         if sqldml.is_ddl(query):
             if snapshot_id is not None or ts is not None:
                 raise ValueError("DDL cannot target a time-travel pin")

@@ -370,3 +370,123 @@ def execute_ddl(table: LakeTable, sql: str, name: str = "t") -> Snapshot:
         f"unsupported ALTER TABLE form {rest!r} — accepted: ADD COLUMN, "
         "RENAME COLUMN … TO …, DROP COLUMN [ERASE], ALTER COLUMN … TYPE …"
     )
+
+
+# ------------------------------------------------------ materialized views
+_MV_RE = re.compile(r"^\s*(create|refresh)\s+materialized\s+view\b", re.I)
+_MV_TARGET = r"('[^']+'|\"[^\"]+\"|[A-Za-z_]\w*)"
+
+
+def is_mv(sql: str) -> bool:
+    """True when the statement is CREATE/REFRESH MATERIALIZED VIEW."""
+    return bool(_MV_RE.match(sql or ""))
+
+
+def _mv_root(target: str, table: LakeTable) -> str:
+    """Quoted target = literal view path; bare identifier = a sibling
+    directory of the base root (``<base.root>__mv_<ident>``) so views
+    travel with their table without the caller inventing paths."""
+    t = target.strip()
+    if t[0] in "'\"":
+        return t[1:-1]
+    return f"{table.root.rstrip('/')}__mv_{t}"
+
+
+def _derive_scan_columns(exprs: list[str], table: LakeTable) -> list[str]:
+    """Heuristic scan-pruning set for a view declaration: identifiers
+    appearing OUTSIDE string literals in the aggregate expressions,
+    intersected with the base payload schema (same literal-stripping rule
+    the constraint gate uses — see merge.py). Wrong is safe: a miss makes
+    the declaration probe fail loudly and the caller retries unpruned."""
+    payload = {f.name for f in table.snapshot().payload_schema().fields}
+    no_lits = re.sub(r"'(?:[^']|'')*'", "''", " ".join(exprs))
+    words = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", no_lits))
+    return sorted(words & payload)
+
+
+def execute_mv(table: LakeTable, sql: str, name: str = "t"):
+    """Compile one materialized-view statement onto the engine's
+    incremental-view machinery (maestro_spark.ivm) and refresh it to the
+    base table's current snapshot. Accepted forms::
+
+        CREATE MATERIALIZED VIEW <view> AS
+          SELECT <key cols…, agg_expr AS alias, …> FROM <t> GROUP BY <key cols>
+        REFRESH MATERIALIZED VIEW <view>
+
+    ``<view>`` is a quoted path (``'/data/conv_stats'``) or a bare name
+    (view lives beside the base root — see :func:`_mv_root`). The select
+    list must echo exactly the GROUP BY columns plus ALIASED aggregate
+    expressions (expression text goes to Spark's parser verbatim and is
+    PERSISTED in the view root, so REFRESH needs only the view path).
+    CREATE of an already-declared identical view just reopens it (so the
+    statement is idempotent); a differing declaration refuses. Both forms
+    return the refreshed :class:`maestro_spark.ivm.MaterializedView`.
+    Scale: refresh work is delta-proportional (changed-conv bucket pruning,
+    crossover rule) — the statement never implies a full recompute unless
+    the view's own machinery chooses one."""
+    from maestro_spark import ivm
+
+    rm = re.match(
+        rf"^\s*refresh\s+materialized\s+view\s+{_MV_TARGET}\s*;?\s*$", sql, re.I
+    )
+    if rm:
+        mv = ivm.load(table.spark, _mv_root(rm.group(1), table), base=table)
+        mv.refresh()
+        return mv
+
+    cm = re.match(
+        rf"^\s*create\s+materialized\s+view\s+{_MV_TARGET}\s+as\s+"
+        r"select\s+(.*?)\s+from\s+([A-Za-z_][\w.]*)\s+group\s+by\s+(.*?)\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if not cm:
+        raise ValueError(
+            "unsupported materialized-view statement (want: CREATE "
+            "MATERIALIZED VIEW <view> AS SELECT … FROM <t> GROUP BY …, or "
+            "REFRESH MATERIALIZED VIEW <view>)"
+        )
+    _require_target(_strip_ident(cm.group(3)), name)
+    keys = [_strip_ident(k) for k in _split_top(cm.group(4))]
+    bad_keys = [k for k in keys if not re.fullmatch(r"[A-Za-z_]\w*", k)]
+    if bad_keys:
+        raise ValueError(
+            f"GROUP BY must list bare base columns; cannot accept {bad_keys}"
+        )
+    echoed, agg_exprs = [], []
+    for item in _split_top(cm.group(2)):
+        if re.fullmatch(r"[A-Za-z_]\w*", _strip_ident(item)):
+            echoed.append(_strip_ident(item))
+            continue
+        am = re.match(r"^(.*\S)\s+as\s+([A-Za-z_]\w*)\s*$", item, re.I | re.S)
+        if not am:
+            raise ValueError(
+                f"aggregate select item {item!r} needs an alias "
+                "(… AS name) — view column names must be explicit"
+            )
+        agg_exprs.append(f"{am.group(1)} AS {am.group(2)}")
+    if sorted(echoed) != sorted(keys):
+        raise ValueError(
+            f"select list must echo exactly the GROUP BY columns "
+            f"{sorted(keys)}; got bare columns {sorted(echoed)}"
+        )
+    if not agg_exprs:
+        raise ValueError("view needs at least one aggregate select item")
+    root = _mv_root(cm.group(1), table)
+
+    def _declare(columns):
+        mv = ivm.declare(
+            table.spark, table, root, key_cols=keys, agg_exprs=agg_exprs,
+            columns=columns,
+        )
+        mv.refresh()
+        return mv
+
+    try:
+        return _declare(_derive_scan_columns(agg_exprs, table) or None)
+    except Exception as e:  # noqa: BLE001 — unresolved-column ⇒ pruning miss
+        # declare() probes the plan BEFORE persisting the declaration, so a
+        # pruning miss leaves no _mv.json behind and the unpruned retry is
+        # a clean first declaration
+        if "UNRESOLVED_COLUMN" not in str(e):
+            raise
+        return _declare(None)

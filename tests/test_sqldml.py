@@ -244,3 +244,142 @@ def test_ddl_via_sql_front_door_and_cli(spark, table, capsys, monkeypatch):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["ddl"] is True and "remark" in out["schema"]
     assert "remark" in table.sql("SELECT * FROM t").columns
+
+
+# ------------------------------------------------- materialized-view DDL
+def _mv_oracle(table, sql):
+    """DuckDB-independent oracle: the same GROUP BY run straight on the
+    base table's live rows through the session."""
+    table.create_view("t")
+    return {tuple(r) for r in table.spark.sql(sql).collect()}
+
+
+def test_is_mv_detects_statements():
+    from maestro_spark.sqldml import is_mv
+
+    assert is_mv("CREATE MATERIALIZED VIEW v AS SELECT ...")
+    assert is_mv("  refresh   materialized view 'p'")
+    assert not is_mv("CREATE VIEW v AS SELECT 1")
+    assert not is_mv("SELECT * FROM t")
+
+
+def test_create_and_refresh_materialized_view_sql(spark, table, tmp_path):
+    """CREATE MATERIALIZED VIEW compiles onto ivm.MaterializedView, the
+    declaration persists in the view root, and REFRESH MATERIALIZED VIEW
+    folds later DML deltas in — matching a full GROUP BY recompute."""
+    stmt = (f"CREATE MATERIALIZED VIEW '{tmp_path}/mv' AS "
+            "SELECT conv_id, role, count(*) AS n, sum(length(text)) AS chars "
+            "FROM t GROUP BY conv_id, role")
+    got = table.sql(stmt)
+    assert sorted(got.columns) == ["chars", "conv_id", "n", "role"]
+    oracle = ("SELECT conv_id, role, count(*) AS n, "
+              "sum(length(text)) AS chars FROM t GROUP BY conv_id, role")
+    assert {tuple(r) for r in got.collect()} == _mv_oracle(table, oracle)
+
+    # identical re-CREATE is idempotent (reopen, not refuse)
+    again = table.sql(stmt)
+    assert again.count() == got.count()
+
+    # a DIFFERING declaration over the same root refuses loudly
+    with pytest.raises(ValueError, match="DIFFERENT declaration"):
+        table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/mv' AS "
+                  "SELECT conv_id, role, count(*) AS n FROM t "
+                  "GROUP BY conv_id, role")
+
+    # write through SQL DML, then REFRESH by view path alone — the refresh
+    # recompiles from the persisted declaration and folds only the delta
+    table.sql("INSERT INTO t (conv_id, turn_idx, role, text) "
+              "VALUES ('A', 2, 'user', 'a2'), ('Z', 0, 'user', 'z0')")
+    refreshed = table.sql(f"REFRESH MATERIALIZED VIEW '{tmp_path}/mv'")
+    assert {tuple(r) for r in refreshed.collect()} == _mv_oracle(table, oracle)
+
+
+def test_mv_bare_name_lives_beside_base_and_cli(spark, table, capsys,
+                                                monkeypatch):
+    """A bare view identifier places the view at <base>__mv_<name>; the
+    CLI sql subcommand drives both verbs end-to-end."""
+    import json as _json
+    import os
+
+    from maestro_spark.__main__ import main
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = main(["sql", "CREATE MATERIALIZED VIEW stats AS SELECT conv_id, "
+               "count(*) AS n FROM lake GROUP BY conv_id",
+               "--table", table.root + "=lake"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["materialized_view"] is True
+    assert out["view_root"] == table.root.rstrip("/") + "__mv_stats"
+    assert os.path.exists(os.path.join(out["view_root"], "_mv.json"))
+    assert out["rows"] == 2  # convs A and B
+
+    execute_dml(table, "DELETE FROM t WHERE conv_id = 'B'", name="t")
+    rc = main(["sql", "REFRESH MATERIALIZED VIEW stats",
+               "--table", table.root + "=lake"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 1  # B's group row tombstoned by the delta refresh
+
+
+def test_mv_refusals_and_pruning_retry(spark, table, tmp_path, monkeypatch):
+    """Grammar refusals are precise; a wrong scan-pruning guess falls back
+    to an unpruned declaration instead of failing the statement."""
+    with pytest.raises(ValueError, match="needs an alias"):
+        table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/v1' AS "
+                  "SELECT conv_id, count(*) FROM t GROUP BY conv_id")
+    with pytest.raises(ValueError, match="echo exactly"):
+        table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/v2' AS "
+                  "SELECT role, count(*) AS n FROM t GROUP BY conv_id")
+    with pytest.raises(ValueError, match="targets"):
+        table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/v3' AS "
+                  "SELECT conv_id, count(*) AS n FROM other GROUP BY conv_id")
+    with pytest.raises(ValueError, match="unsupported materialized-view"):
+        table.sql("CREATE MATERIALIZED VIEW v AS SELECT 1")
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/v4' AS "
+                  "SELECT conv_id FROM t GROUP BY conv_id")
+
+    # literal-stripping: 'tool' appears only inside a string literal, so
+    # the scan set is {role} — the pruned probe resolves and the result is
+    # exact (the constraint-gate lesson from ADVICE r4 applied here)
+    from maestro_spark import sqldml
+
+    assert sqldml._derive_scan_columns(
+        ["count_if(role = 'tool') AS n_tool"], table) == ["role"]
+    got = table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/v5' AS "
+                    "SELECT conv_id, count_if(role = 'tool') AS n_tool "
+                    "FROM t GROUP BY conv_id")
+    assert {tuple(r) for r in got.collect()} == _mv_oracle(
+        table, "SELECT conv_id, count_if(role = 'tool') AS n_tool "
+               "FROM t GROUP BY conv_id")
+
+    # a derivation MISS (simulated) retries unpruned and still succeeds,
+    # leaving no half-written declaration behind
+    monkeypatch.setattr(sqldml, "_derive_scan_columns",
+                        lambda exprs, tbl: ["role"])
+    got = table.sql(f"CREATE MATERIALIZED VIEW '{tmp_path}/v6' AS "
+                    "SELECT conv_id, max(length(text)) AS m "
+                    "FROM t GROUP BY conv_id")
+    assert {tuple(r) for r in got.collect()} == _mv_oracle(
+        table, "SELECT conv_id, max(length(text)) AS m "
+               "FROM t GROUP BY conv_id")
+
+
+def test_mv_declare_load_roundtrip_refuses_wrong_base(spark, table, tmp_path):
+    """ivm.declare persists; ivm.load reconstructs from the root alone and
+    refuses a mismatched base table."""
+    from maestro_spark import ivm
+
+    mv = ivm.declare(spark, table, str(tmp_path / "mv"),
+                     key_cols=["conv_id"], agg_exprs=["count(*) AS n"])
+    mv.refresh()
+    loaded = ivm.load(spark, str(tmp_path / "mv"))
+    assert loaded.base.root == table.root
+    assert {tuple(r) for r in loaded.read().collect()} == \
+           {tuple(r) for r in mv.read().collect()}
+    with pytest.raises(ValueError, match="no declared materialized view"):
+        ivm.load(spark, str(tmp_path / "nothing"))
+    other = LakeTable.create(spark, str(tmp_path / "other"), n_buckets=2)
+    with pytest.raises(ValueError, match="declared over"):
+        ivm.load(spark, str(tmp_path / "mv"), base=other)
