@@ -852,6 +852,10 @@ def _finalize_registration_order() -> None:
         # phrase probe's oracle certification lives here without shifting
         # the proven 50-window
         "q_phrase",
+        # SQL materialized-view DDL (r5, late): grammar + persisted
+        # declaration + load-by-path certified here; the underlying
+        # delta-refresh machinery is in-window via q_ivm_role/q_ivm_stats
+        "q_sql_mv",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

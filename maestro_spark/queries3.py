@@ -874,6 +874,61 @@ ORACLES["q_phrase"] = f"""
     GROUP BY conv_id, turn_idx"""
 
 
+@q(
+    "q_sql_mv",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_sql_mv(spark, sf_dir):
+    """Materialized-view DDL through the SQL front door (r5: sqldml
+    CREATE/REFRESH MATERIALIZED VIEW → ivm.declare/load): the statement
+    text declares a per-(conv_id, role) aggregate view, the declaration is
+    PERSISTED in the view root, and a follow-up REFRESH statement —
+    recompiled from the persisted declaration alone, no query restated —
+    folds the base's delta in. The result must equal DuckDB's direct
+    aggregate over the replayed final state. Exercises the statement
+    grammar, expression-text persistence, literal-stripped scan pruning,
+    and the load-by-path refresh end-to-end."""
+    import shutil
+
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/sql_mv"
+    shutil.rmtree(root, ignore_errors=True)
+    table.sql(
+        f"CREATE MATERIALIZED VIEW '{root}' AS "
+        "SELECT conv_id, role, count(*) AS n_turns, "
+        "sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool, "
+        "max(turn_idx) AS last_turn "
+        "FROM t GROUP BY conv_id, role"
+    )
+    from maestro_spark import ivm
+
+    # CREATE must have carried the cursor to the base's current snapshot;
+    # the REFRESH statement then recompiles purely from the persisted
+    # declaration (the staged-DELTA refresh path is q_ivm_role's oracle;
+    # SQL-DML-driven delta refresh is pinned in tests/test_sqldml.py)
+    sids = [s for s in table.snapshot_ids() if s > 0]
+    assert ivm.load(spark, root, base=table).applied_through() >= sids[-1]
+    return table.sql(f"REFRESH MATERIALIZED VIEW '{root}'")
+
+
+ORACLES["q_sql_mv"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(role, op_lsn) AS role,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx)
+    SELECT conv_id, role,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool,
+           MAX(turn_idx) AS last_turn
+    FROM w WHERE op <> 'delete' GROUP BY conv_id, role"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV/JPEG/AVI strict decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-
