@@ -493,29 +493,54 @@ def main(argv: list[str] | None = None) -> int:
         from maestro_spark import sqldml
 
         if sqldml.is_mv(args.query):
-            # CREATE/REFRESH MATERIALIZED VIEW routes onto the incremental-
-            # view machinery; the base must be one of the --table views
-            # (CREATE names it in FROM; REFRESH is matched by the view's
-            # own persisted base_root)
-            mv, target = None, None
+            # CREATE/REFRESH/DROP MATERIALIZED VIEW routes onto the
+            # incremental-view machinery; the base must be one of the
+            # --table views (CREATE names it in FROM; REFRESH/DROP are
+            # matched by the view's own persisted base_root)
+            mv, target, hit = None, None, False
             for view, tbl in tables.items():
                 try:
                     mv = sqldml.execute_mv(tbl, args.query, name=view)
-                    target = view
+                    target, hit = view, True
                     break
                 except ValueError as e:
                     if "targets" not in str(e) and "declared over" not in str(e):
                         raise
-            if mv is None:
+            if not hit:
                 raise SystemExit(
                     "sql: the view's base table is not among the --table views"
                 )
-            print(json.dumps({
-                "materialized_view": True, "base": target,
-                "view_root": mv.table.root,
-                "rows": mv.read().count(),
-                "applied_through": mv.applied_through(),
-            }))
+            if mv is None or isinstance(mv, str):  # DROP [IF EXISTS]
+                print(json.dumps({
+                    "materialized_view": True, "base": target,
+                    "dropped": mv,
+                }))
+            else:
+                print(json.dumps({
+                    "materialized_view": True, "base": target,
+                    "view_root": mv.table.root,
+                    "rows": mv.read().count(),
+                    "applied_through": mv.applied_through(),
+                }))
+        elif sqldml.is_maintenance(args.query):
+            # OPTIMIZE / VACUUM route onto the engine's own idempotent
+            # maintenance primitives; the target must be a --table view
+            summary, target = None, None
+            for view, tbl in tables.items():
+                try:
+                    summary = sqldml.execute_maintenance(
+                        tbl, args.query, name=view
+                    )
+                    target = view
+                    break
+                except ValueError as e:
+                    if "targets" not in str(e):
+                        raise
+            if summary is None:
+                raise SystemExit(
+                    "sql: maintenance target is not among the --table views"
+                )
+            print(json.dumps({"maintenance": True, "view": target, **summary}))
         elif sqldml.is_ddl(args.query):
             # ALTER TABLE routes onto the metadata-only DDL builders; the
             # target must be one of the --table views

@@ -693,7 +693,21 @@ class LakeTable:
                 raise ValueError(
                     "materialized-view DDL cannot target a time-travel pin"
                 )
-            return sqldml.execute_mv(self, query, name=name).read()
+            res = sqldml.execute_mv(self, query, name=name)
+            if res is None or isinstance(res, str):  # DROP [IF EXISTS]
+                return self.spark.createDataFrame(
+                    [(res,)], "dropped_view: string"
+                )
+            return res.read()
+        if sqldml.is_maintenance(query):
+            if snapshot_id is not None or ts is not None:
+                raise ValueError("maintenance cannot target a time-travel pin")
+            import json as _json
+
+            summary = sqldml.execute_maintenance(self, query, name=name)
+            return self.spark.createDataFrame(
+                [(summary["op"], _json.dumps(summary))], "op: string, summary: string"
+            )
         if sqldml.is_ddl(query):
             if snapshot_id is not None or ts is not None:
                 raise ValueError("DDL cannot target a time-travel pin")

@@ -21,6 +21,10 @@ engine REFUSES rather than mis-executes):
       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
       WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | INSERT (…) VALUES (…)
       WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
+    ALTER TABLE … (see execute_ddl — metadata-only DDL builders)
+    CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> GROUP BY …
+    REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
+    OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
 
 Design choices:
 - expressions are NEVER re-implemented: every value/assignment/predicate
@@ -373,12 +377,12 @@ def execute_ddl(table: LakeTable, sql: str, name: str = "t") -> Snapshot:
 
 
 # ------------------------------------------------------ materialized views
-_MV_RE = re.compile(r"^\s*(create|refresh)\s+materialized\s+view\b", re.I)
+_MV_RE = re.compile(r"^\s*(create|refresh|drop)\s+materialized\s+view\b", re.I)
 _MV_TARGET = r"('[^']+'|\"[^\"]+\"|[A-Za-z_]\w*)"
 
 
 def is_mv(sql: str) -> bool:
-    """True when the statement is CREATE/REFRESH MATERIALIZED VIEW."""
+    """True when the statement is CREATE/REFRESH/DROP MATERIALIZED VIEW."""
     return bool(_MV_RE.match(sql or ""))
 
 
@@ -412,6 +416,7 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
         CREATE MATERIALIZED VIEW <view> AS
           SELECT <key cols…, agg_expr AS alias, …> FROM <t> GROUP BY <key cols>
         REFRESH MATERIALIZED VIEW <view>
+        DROP MATERIALIZED VIEW [IF EXISTS] <view>
 
     ``<view>`` is a quoted path (``'/data/conv_stats'``) or a bare name
     (view lives beside the base root — see :func:`_mv_root`). The select
@@ -419,11 +424,18 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
     expressions (expression text goes to Spark's parser verbatim and is
     PERSISTED in the view root, so REFRESH needs only the view path).
     CREATE of an already-declared identical view just reopens it (so the
-    statement is idempotent); a differing declaration refuses. Both forms
-    return the refreshed :class:`maestro_spark.ivm.MaterializedView`.
+    statement is idempotent); a differing declaration refuses. CREATE and
+    REFRESH return the refreshed :class:`maestro_spark.ivm.MaterializedView`.
+    DROP verifies the target IS a declared view of THIS table (refuses on
+    an undeclared directory or another table's view — never an arbitrary
+    rmtree) and returns the removed root path; with IF EXISTS a missing
+    view is a no-op returning None.
     Scale: refresh work is delta-proportional (changed-conv bucket pruning,
     crossover rule) — the statement never implies a full recompute unless
     the view's own machinery chooses one."""
+    import os
+    import shutil
+
     from maestro_spark import ivm
 
     rm = re.match(
@@ -433,6 +445,25 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
         mv = ivm.load(table.spark, _mv_root(rm.group(1), table), base=table)
         mv.refresh()
         return mv
+
+    dm = re.match(
+        rf"^\s*drop\s+materialized\s+view\s+(if\s+exists\s+)?{_MV_TARGET}"
+        r"\s*;?\s*$",
+        sql, re.I,
+    )
+    if dm:
+        root = _mv_root(dm.group(2), table)
+        if not os.path.exists(os.path.join(root, ivm._MV_FILE)):
+            if dm.group(1):
+                return None
+            raise ValueError(
+                f"{root!r} holds no declared materialized view — refusing "
+                "to remove (DROP only deletes ivm.declare'd roots; use "
+                "IF EXISTS to no-op)"
+            )
+        ivm.load(table.spark, root, base=table)  # refuses another table's view
+        shutil.rmtree(root)
+        return root
 
     cm = re.match(
         rf"^\s*create\s+materialized\s+view\s+{_MV_TARGET}\s+as\s+"
@@ -490,3 +521,60 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
         if "UNRESOLVED_COLUMN" not in str(e):
             raise
         return _declare(None)
+
+
+# ------------------------------------------------------------- maintenance
+_MAINT_RE = re.compile(r"^\s*(optimize|vacuum)\b", re.I)
+
+
+def is_maintenance(sql: str) -> bool:
+    """True when the statement is OPTIMIZE / VACUUM."""
+    return bool(_MAINT_RE.match(sql or ""))
+
+
+def execute_maintenance(table: LakeTable, sql: str, name: str = "t") -> dict:
+    """Route a maintenance statement onto the engine's own idempotent
+    primitives (Delta SQL parity). Accepted forms::
+
+        OPTIMIZE <t> [ZORDER BY (c1, c2, …)]
+        VACUUM <t> [DRY RUN]
+
+    ``OPTIMIZE`` runs the one-call maintenance driver (fold delta tiers —
+    or a z-order clustered rewrite when ZORDER BY is given — backfill key
+    blooms, expire old snapshots, vacuum orphans; every step idempotent,
+    crash-safe by re-run). ``VACUUM`` removes orphan data files + stale
+    staging dirs + grace-protected unreferenced manifests; ``DRY RUN``
+    deletes nothing and reports the orphan count. Returns a JSON-able
+    summary dict (the statement's result row)."""
+    from maestro_spark.lake import optimize as _optimize
+
+    vm = re.match(
+        r"^\s*vacuum\s+([A-Za-z_][\w.]*)(\s+dry\s+run)?\s*;?\s*$", sql, re.I
+    )
+    if vm:
+        _require_target(_strip_ident(vm.group(1)), name)
+        if vm.group(2):
+            return {"op": "vacuum", "dry_run": True,
+                    "orphan_files": table.vacuum(dry_run=True)}
+        return {"op": "vacuum", "removed_files": table.vacuum()}
+
+    om = re.match(
+        r"^\s*optimize\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+zorder\s+by\s+\(?\s*([^);]+?)\s*\)?)?\s*;?\s*$",
+        sql, re.I,
+    )
+    if not om:
+        raise ValueError(
+            "unsupported maintenance statement (want: OPTIMIZE <t> "
+            "[ZORDER BY (cols…)], or VACUUM <t> [DRY RUN])"
+        )
+    _require_target(_strip_ident(om.group(1)), name)
+    if om.group(2):
+        cols = [_strip_ident(c) for c in _split_top(om.group(2))]
+        bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_]\w*", c)]
+        if bad:
+            raise ValueError(f"ZORDER BY wants bare column names; got {bad}")
+        summary = _optimize(table, cluster_by=cols, zorder=True)
+    else:
+        summary = _optimize(table)
+    return {"op": "optimize", **summary}

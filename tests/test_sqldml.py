@@ -383,3 +383,73 @@ def test_mv_declare_load_roundtrip_refuses_wrong_base(spark, table, tmp_path):
     other = LakeTable.create(spark, str(tmp_path / "other"), n_buckets=2)
     with pytest.raises(ValueError, match="declared over"):
         ivm.load(spark, str(tmp_path / "mv"), base=other)
+
+
+def test_drop_materialized_view_sql(spark, table, tmp_path):
+    """DROP MATERIALIZED VIEW removes only ivm-declared roots of THIS
+    table; IF EXISTS no-ops on a missing view."""
+    import os
+
+    root = str(tmp_path / "mv")
+    table.sql(f"CREATE MATERIALIZED VIEW '{root}' AS "
+              "SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id")
+    assert os.path.exists(os.path.join(root, "_mv.json"))
+
+    # another table's view refuses the drop (ownership via persisted base)
+    other = LakeTable.create(spark, str(tmp_path / "other"), n_buckets=2)
+    with pytest.raises(ValueError, match="declared over"):
+        other.sql(f"DROP MATERIALIZED VIEW '{root}'")
+    assert os.path.exists(root)
+
+    out = table.sql(f"DROP MATERIALIZED VIEW '{root}'")
+    assert out.columns == ["dropped_view"]
+    assert out.head()[0] == root
+    assert not os.path.exists(root)
+
+    with pytest.raises(ValueError, match="no declared materialized view"):
+        table.sql(f"DROP MATERIALIZED VIEW '{root}'")
+    assert table.sql(
+        f"DROP MATERIALIZED VIEW IF EXISTS '{root}'").head()[0] is None
+
+    # an arbitrary directory is NOT removable through this statement
+    os.makedirs(str(tmp_path / "notaview"))
+    with pytest.raises(ValueError, match="no declared materialized view"):
+        table.sql(f"DROP MATERIALIZED VIEW '{tmp_path}/notaview'")
+    assert os.path.exists(str(tmp_path / "notaview"))
+
+
+def test_maintenance_statements(spark, table, capsys, monkeypatch):
+    """OPTIMIZE / VACUUM statements route onto the engine's idempotent
+    maintenance primitives and report a summary row."""
+    import json as _json
+
+    # fragment the table a little so OPTIMIZE has tiers to fold
+    execute_dml(table, "UPDATE t SET text = upper(text) WHERE turn_idx = 0",
+                name="t")
+    row = table.sql("VACUUM t DRY RUN").head()
+    assert row["op"] == "vacuum"
+    assert _json.loads(row["summary"])["dry_run"] is True
+
+    row = table.sql("OPTIMIZE t").head()
+    assert row["op"] == "optimize"
+    summary = _json.loads(row["summary"])
+    assert "compact" in summary
+    # post-OPTIMIZE state unchanged semantically
+    assert table.read().filter(F.col("turn_idx") == 0).count() == 2
+
+    row = table.sql("OPTIMIZE t ZORDER BY (ts, turn_idx)").head()
+    assert _json.loads(row["summary"])["compact"]["mode"] == "zorder"
+    assert table.snapshot().stats.get("zorder") is True
+
+    with pytest.raises(ValueError, match="targets"):
+        table.sql("VACUUM other")
+    with pytest.raises(ValueError, match="unsupported maintenance"):
+        table.sql("OPTIMIZE t REWRITE EVERYTHING")
+
+    # CLI twin
+    from maestro_spark.__main__ import main
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = main(["sql", "VACUUM lake DRY RUN", "--table", table.root + "=lake"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["maintenance"] is True and out["op"] == "vacuum"
