@@ -580,6 +580,7 @@ def declare(
     )
     if not os.path.exists(path):
         _atomic_write_json(path, decl, exclusive=False)
+    _register(base, root)
     return mv
 
 
@@ -613,3 +614,81 @@ def load(
         query_id=decl["query_id"],
         allow_full_only=decl["allow_full_only"],
     )
+
+
+# ----------------------------------------------------------- view registry
+# The BASE table carries a registry of the persisted views declared over it
+# (<base.root>/_mv_registry/, one tiny marker file per view — writes are
+# race-free without CAS because concurrent declares write DISTINCT files
+# idempotently) so maintenance can fold every declared view BEFORE snapshot
+# expiry trims the change-feed horizon their delta refresh reads from. A
+# view that misses the fold stays CORRECT (refresh degrades to the
+# full-recompute fallback) — the registry is a cost guarantee, not a
+# correctness one.
+_REG_DIR = "_mv_registry"
+
+
+def _registry_path(base: LakeTable, root: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:16]
+    return os.path.join(base.root, _REG_DIR, f"{h}.json")
+
+
+def _register(base: LakeTable, root: str) -> None:
+    from maestro_spark.lake import _atomic_write_json
+
+    p = _registry_path(base, root)
+    if not os.path.exists(p):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        _atomic_write_json(p, {"root": os.path.abspath(root)}, exclusive=False)
+
+
+def undeclare(
+    spark: SparkSession, root: str, base: LakeTable | None = None
+) -> str:
+    """Remove a :func:`declare`-persisted view: verify the root IS a
+    declared view (of ``base``, when given — refuses another table's view),
+    delete the view table, and drop its registry marker from the base.
+    Returns the removed root path."""
+    import shutil
+
+    mv = load(spark, root, base=base)
+    shutil.rmtree(root)
+    try:
+        os.unlink(_registry_path(mv.base, root))
+    except FileNotFoundError:
+        pass
+    return os.path.abspath(root)
+
+
+def registered_views(
+    spark: SparkSession, base: LakeTable
+) -> list[MaterializedView]:
+    """Reconstruct every persisted view registered over ``base``. Stale
+    markers (a view directory removed out-of-band) are pruned, not
+    raised — table maintenance must never wedge on a vanished view."""
+    import json as _json
+
+    reg = os.path.join(base.root, _REG_DIR)
+    if not os.path.isdir(reg):
+        return []
+    out = []
+    for f in sorted(os.listdir(reg)):
+        p = os.path.join(reg, f)
+        if not f.endswith(".json"):
+            continue
+        with open(p) as fh:
+            root = _json.load(fh)["root"]
+        mv_path = os.path.join(root, _MV_FILE)
+        if not os.path.exists(mv_path):
+            os.unlink(p)
+            continue
+        with open(mv_path) as fh:
+            if _json.load(fh)["base_root"] != os.path.abspath(base.root):
+                # foreign declaration (e.g. a registry dir copied wholesale
+                # into another table root): not OUR view — prune the marker
+                os.unlink(p)
+                continue
+        out.append(load(spark, root, base=base))
+    return out

@@ -2481,6 +2481,7 @@ def optimize(
     blooms: bool = True,
     zorder: bool = False,
     refresh: list | None = None,
+    refresh_registered: bool = True,
 ) -> dict:
     """One-call table maintenance (the Iceberg OPTIMIZE / maintenance-job
     parity): fold delta tiers (or, with ``cluster_by``, run a clustered full
@@ -2492,11 +2493,23 @@ def optimize(
     the ``refresh()`` contract — ``ivm.ConvStatsView``, the
     ``index_maint.Maintained*Index`` family). They fold FIRST, before
     expiry/vacuum can trim the change-feed horizon their delta refresh
-    reads from.
+    reads from. ``refresh_registered`` (default on) additionally folds
+    every PERSISTED view in the table's own registry
+    (``ivm.registered_views`` — declared via ``ivm.declare`` or the SQL
+    ``CREATE MATERIALIZED VIEW``) the same way, so routine maintenance
+    never silently forces a declared view into the full-rebuild fallback
+    by expiring its feed horizon.
 
     Returns a step → outcome summary."""
     out: dict[str, object] = {}
     snap0 = table.snapshot().snapshot_id
+    refresh = list(refresh or [])
+    if refresh_registered:
+        from maestro_spark import ivm as _ivm
+
+        # a registry view also passed explicitly refreshes twice: the
+        # second fold sees a current cursor and no-ops — no dedupe needed
+        refresh += _ivm.registered_views(table.spark, table)
     if refresh:
         out["refreshed"] = [
             {type(v).__name__: v.refresh() is not None} for v in refresh

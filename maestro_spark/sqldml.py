@@ -434,7 +434,6 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
     crossover rule) — the statement never implies a full recompute unless
     the view's own machinery chooses one."""
     import os
-    import shutil
 
     from maestro_spark import ivm
 
@@ -461,9 +460,8 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
                 "to remove (DROP only deletes ivm.declare'd roots; use "
                 "IF EXISTS to no-op)"
             )
-        ivm.load(table.spark, root, base=table)  # refuses another table's view
-        shutil.rmtree(root)
-        return root
+        # refuses another table's view; also drops the registry marker
+        return ivm.undeclare(table.spark, root, base=table)
 
     cm = re.match(
         rf"^\s*create\s+materialized\s+view\s+{_MV_TARGET}\s+as\s+"

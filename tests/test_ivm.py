@@ -282,3 +282,66 @@ def test_cli_declarative_view_and_alter_erase(spark, tmp_path, capsys, monkeypat
     assert {p for ps in base.snapshot().files.values() for p in ps} != files_before
     cols = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])["schema"]
     assert not any(c.startswith("text:") or c.startswith("tool:") for c in cols)
+
+
+def test_registry_folds_declared_views_in_optimize(spark):
+    """declare() registers the view with its BASE table; optimize() folds
+    every registered view BEFORE expiry can trim its feed horizon; stale
+    and foreign registry markers are pruned, never raised; undeclare
+    deregisters."""
+    import os
+
+    from maestro_spark import ivm
+    from maestro_spark.lake import optimize
+    from maestro_spark.merge import merge_batch
+    from maestro_spark import schema as S
+    import datetime as dt
+
+    d = tempfile.mkdtemp()
+    base = _build_base(spark, d, n_convs=30, segments=2)
+    v1 = ivm.declare(spark, base, f"{d}/v1", key_cols=["conv_id"],
+                     agg_exprs=["count(*) AS n"])
+    v2 = ivm.declare(spark, base, f"{d}/v2", key_cols=["conv_id", "role"],
+                     agg_exprs=["max(turn_idx) AS last_turn"],
+                     query_id="sql-mv-2")
+    assert len(ivm.registered_views(spark, base)) == 2
+    v1.refresh()  # v2 left UNREFRESHED: optimize must bring it current
+
+    # advance the base, then optimize with aggressive expiry: the views
+    # must be folded first (delta path) and end exactly current
+    merge_batch(base, spark.createDataFrame(
+        [(10**9, "insert", "REGX", 0, "user", "x0", None,
+          dt.datetime(2025, 6, 1))], S.CHANGE_EVENT_SCHEMA), "reg", 99)
+    out = optimize(base, expire_keep_last=1)
+    assert len(out["refreshed"]) == 2
+    for v in (ivm.load(spark, f"{d}/v1"), ivm.load(spark, f"{d}/v2")):
+        got = {tuple(r) for r in v.read().collect()}
+        exp = {tuple(r) for r in v.expected().collect()}
+        assert got == exp
+        # optimize folded the real delta BEFORE its own maintenance commits
+        # (compact/expire), so the only thing left behind the cursor is the
+        # content-free maintenance snapshot itself
+        s = v.refresh()
+        assert s is None or s.stats.get("rows_in") == 0
+
+    # undeclare removes view + marker; optimize stops folding it
+    ivm.undeclare(spark, f"{d}/v2", base=base)
+    assert not os.path.exists(f"{d}/v2")
+    assert len(ivm.registered_views(spark, base)) == 1
+
+    # stale marker (view dir removed out-of-band) is pruned silently
+    import shutil
+    shutil.rmtree(f"{d}/v1")
+    assert ivm.registered_views(spark, base) == []
+    assert ivm.registered_views(spark, base) == []  # pruned, stays empty
+    assert "refreshed" not in optimize(base)
+
+    # foreign marker (registry dir copied into another table) is pruned
+    other = _build_base(spark, f"{d}/o", n_convs=5, segments=1)
+    v3 = ivm.declare(spark, other, f"{d}/v3", key_cols=["conv_id"],
+                     agg_exprs=["count(*) AS n"])
+    shutil.copytree(os.path.join(other.root, ivm._REG_DIR),
+                    os.path.join(base.root, ivm._REG_DIR),
+                    dirs_exist_ok=True)
+    assert ivm.registered_views(spark, base) == []
+    assert len(ivm.registered_views(spark, other)) == 1  # untouched
