@@ -522,6 +522,32 @@ def main(argv: list[str] | None = None) -> int:
                     "rows": mv.read().count(),
                     "applied_through": mv.applied_through(),
                 }))
+        elif sqldml.is_index(args.query):
+            # CREATE/REFRESH/DROP INDEX routes onto the feed-maintained
+            # index family; the base must be one of the --table views
+            idx, target, hit = None, None, False
+            for view, tbl in tables.items():
+                try:
+                    idx = sqldml.execute_index(tbl, args.query, name=view)
+                    target, hit = view, True
+                    break
+                except ValueError as e:
+                    if "targets" not in str(e) and "declared over" not in str(e):
+                        raise
+            if not hit:
+                raise SystemExit(
+                    "sql: the index's base table is not among the --table views"
+                )
+            if idx is None or isinstance(idx, str):  # DROP [IF EXISTS]
+                print(json.dumps({
+                    "index": True, "base": target, "dropped": idx,
+                }))
+            else:
+                print(json.dumps({
+                    "index": True, "base": target,
+                    "kind": type(idx).__name__, "root": idx.dir,
+                    "applied_through": idx.applied_through(),
+                }))
         elif sqldml.is_maintenance(args.query):
             # OPTIMIZE / VACUUM route onto the engine's own idempotent
             # maintenance primitives; the target must be a --table view

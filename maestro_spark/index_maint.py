@@ -949,3 +949,167 @@ class MaintainedTextIndex:
             .orderBy(F.col("n_occurrences").desc(), *S.KEY_COLS)
         )
         return rows.limit(k) if k else rows
+
+
+# -------------------------------------------------- persisted index registry
+# Same contract as maestro_spark.ivm's persisted views: the index
+# declaration (kind + constructor params + base root) is written to
+# ``<index_dir>/_index.json`` so any later process can reconstruct and
+# refresh it by path alone, and the BASE table carries a race-free marker
+# registry (``<base.root>/_idx_registry/``, one idempotent distinct file
+# per index) so ``lake.optimize`` folds every declared index BEFORE
+# snapshot expiry trims the change-feed horizon its O(delta) refresh reads
+# from. Missing the fold stays CORRECT (refresh degrades to the documented
+# rebuild fallback) — the registry is a cost guarantee.
+_IDX_REG_DIR = "_idx_registry"
+
+
+def _decl_path(index_dir: str) -> str:
+    """The declaration lives BESIDE the index directory
+    (``<index_dir>._index.json``), not inside it: every index class's
+    rebuild-as-compaction rewrites its directory with Spark overwrite
+    mode, which clears foreign files — a declaration stored inside would
+    vanish on the first refresh."""
+    import os as _os
+
+    return _os.path.abspath(index_dir).rstrip(_os.sep) + "._index.json"
+
+INDEX_KINDS = {
+    "text": MaintainedTextIndex,
+    "simhash": MaintainedSimhashIndex,
+    "lsh": MaintainedLshIndex,
+    "ivf": MaintainedIvfIndex,
+}
+# which constructor kwarg the indexed COLUMN binds to, per kind
+INDEX_COLUMN_PARAM = {
+    "text": "text_col",
+    "simhash": "text_col",
+    "lsh": "vec_col",
+    "ivf": "vec_col",
+}
+
+
+def _idx_registry_path(base: LakeTable, root: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:16]
+    return os.path.join(base.root, _IDX_REG_DIR, f"{h}.json")
+
+
+def declare_index(
+    spark: SparkSession,
+    base: LakeTable,
+    index_dir: str,
+    kind: str,
+    **params,
+):
+    """Declare a PERSISTED maintained index over ``base``. ``kind`` is one
+    of ``text`` / ``simhash`` / ``lsh`` / ``ivf``; ``params`` go to the
+    class constructor verbatim (validated against its signature so a typo
+    refuses with the accepted names). Re-declaring an existing root
+    verifies the stored declaration matches and refuses on any difference
+    (same rule as ivm.declare — two declarations over one root would
+    corrupt the cursor markers)."""
+    import inspect
+
+    from maestro_spark.lake import _atomic_write_json
+
+    if kind not in INDEX_KINDS:
+        raise ValueError(
+            f"unknown index kind {kind!r} — accepted: {sorted(INDEX_KINDS)}"
+        )
+    cls = INDEX_KINDS[kind]
+    allowed = [
+        p for p in inspect.signature(cls.__init__).parameters
+        if p not in ("self", "spark", "base", "index_dir")
+    ]
+    bad = sorted(set(params) - set(allowed))
+    if bad:
+        raise ValueError(
+            f"{kind} index does not accept {bad} — accepted: {allowed}"
+        )
+    decl = {
+        "base_root": os.path.abspath(base.root),
+        "kind": kind,
+        "params": dict(params),
+    }
+    path = _decl_path(index_dir)
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        if prev != decl:
+            diff = sorted(k for k in decl if prev.get(k) != decl[k])
+            raise ValueError(
+                f"index at {index_dir!r} already holds a DIFFERENT "
+                f"declaration (differs in {diff}) — refusing; drop the "
+                "index directory or declare a new root"
+            )
+    idx = cls(spark, base, index_dir, **params)
+    if not os.path.exists(path):
+        _atomic_write_json(path, decl, exclusive=False)
+    p = _idx_registry_path(base, index_dir)
+    if not os.path.exists(p):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        _atomic_write_json(
+            p, {"root": os.path.abspath(index_dir)}, exclusive=False
+        )
+    return idx
+
+
+def load_index(spark: SparkSession, root: str, base: LakeTable | None = None):
+    """Reconstruct a :func:`declare_index`-persisted index from its own
+    root. ``base`` defaults to opening the declared base root; pass it to
+    assert ownership (refuses another table's index)."""
+    path = _decl_path(root)
+    if not os.path.exists(path):
+        raise ValueError(f"{root!r} holds no declared index")
+    decl = json.load(open(path))
+    if base is None:
+        base = LakeTable(spark, decl["base_root"])
+    elif os.path.abspath(base.root) != decl["base_root"]:
+        raise ValueError(
+            f"index at {root!r} is declared over {decl['base_root']!r}, "
+            f"not {os.path.abspath(base.root)!r}"
+        )
+    return declare_index(spark, base, root, decl["kind"], **decl["params"])
+
+
+def undeclare_index(
+    spark: SparkSession, root: str, base: LakeTable | None = None
+) -> str:
+    """Remove a declared index: verify ownership, delete the index
+    directory, drop its registry marker. Returns the removed root."""
+    import shutil
+
+    idx = load_index(spark, root, base=base)
+    shutil.rmtree(root)
+    os.unlink(_decl_path(root))
+    try:
+        os.unlink(_idx_registry_path(idx.base, root))
+    except FileNotFoundError:
+        pass
+    return os.path.abspath(root)
+
+
+def registered_indexes(spark: SparkSession, base: LakeTable) -> list:
+    """Reconstruct every persisted index registered over ``base``; stale
+    markers (index removed out-of-band) and foreign markers (registry dir
+    copied wholesale into another table root) are pruned, never raised —
+    table maintenance must not wedge on a vanished index."""
+    reg = os.path.join(base.root, _IDX_REG_DIR)
+    if not os.path.isdir(reg):
+        return []
+    out = []
+    for f in sorted(os.listdir(reg)):
+        p = os.path.join(reg, f)
+        if not f.endswith(".json"):
+            continue
+        root = json.load(open(p))["root"]
+        decl_path = _decl_path(root)
+        if not os.path.exists(decl_path):
+            os.unlink(p)
+            continue
+        if json.load(open(decl_path))["base_root"] != os.path.abspath(base.root):
+            os.unlink(p)
+            continue
+        out.append(load_index(spark, root, base=base))
+    return out

@@ -708,6 +708,18 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [(summary["op"], _json.dumps(summary))], "op: string, summary: string"
             )
+        if sqldml.is_index(query):
+            if snapshot_id is not None or ts is not None:
+                raise ValueError("index DDL cannot target a time-travel pin")
+            res = sqldml.execute_index(self, query, name=name)
+            if res is None or isinstance(res, str):  # DROP [IF EXISTS]
+                return self.spark.createDataFrame(
+                    [(res,)], "dropped_index: string"
+                )
+            return self.spark.createDataFrame(
+                [(type(res).__name__, res.dir, res.applied_through())],
+                "index: string, root: string, applied_through: long",
+            )
         if sqldml.is_ddl(query):
             if snapshot_id is not None or ts is not None:
                 raise ValueError("DDL cannot target a time-travel pin")
@@ -2494,22 +2506,25 @@ def optimize(
     ``index_maint.Maintained*Index`` family). They fold FIRST, before
     expiry/vacuum can trim the change-feed horizon their delta refresh
     reads from. ``refresh_registered`` (default on) additionally folds
-    every PERSISTED view in the table's own registry
-    (``ivm.registered_views`` — declared via ``ivm.declare`` or the SQL
-    ``CREATE MATERIALIZED VIEW``) the same way, so routine maintenance
-    never silently forces a declared view into the full-rebuild fallback
-    by expiring its feed horizon.
+    every PERSISTED view and index in the table's own registries
+    (``ivm.registered_views`` / ``index_maint.registered_indexes`` —
+    declared via ``ivm.declare`` / ``index_maint.declare_index`` or the
+    SQL ``CREATE MATERIALIZED VIEW`` / ``CREATE INDEX``) the same way, so
+    routine maintenance never silently forces a declared view or index
+    into the full-rebuild fallback by expiring its feed horizon.
 
     Returns a step → outcome summary."""
     out: dict[str, object] = {}
     snap0 = table.snapshot().snapshot_id
     refresh = list(refresh or [])
     if refresh_registered:
+        from maestro_spark import index_maint as _im
         from maestro_spark import ivm as _ivm
 
-        # a registry view also passed explicitly refreshes twice: the
+        # a registry view/index also passed explicitly refreshes twice: the
         # second fold sees a current cursor and no-ops — no dedupe needed
         refresh += _ivm.registered_views(table.spark, table)
+        refresh += _im.registered_indexes(table.spark, table)
     if refresh:
         out["refreshed"] = [
             {type(v).__name__: v.refresh() is not None} for v in refresh

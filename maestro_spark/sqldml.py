@@ -576,3 +576,125 @@ def execute_maintenance(table: LakeTable, sql: str, name: str = "t") -> dict:
     else:
         summary = _optimize(table)
     return {"op": "optimize", **summary}
+
+
+# ----------------------------------------------------------------- indexes
+_IDX_RE = re.compile(r"^\s*(create|refresh|drop)\s+index\b", re.I)
+
+
+def is_index(sql: str) -> bool:
+    """True when the statement is CREATE/REFRESH/DROP INDEX."""
+    return bool(_IDX_RE.match(sql or ""))
+
+
+def _idx_root(target: str, table: LakeTable) -> str:
+    """Quoted target = literal index path; bare identifier = a sibling
+    directory of the base root (``<base.root>__idx_<ident>``)."""
+    t = target.strip()
+    if t[0] in "'\"":
+        return t[1:-1]
+    return f"{table.root.rstrip('/')}__idx_{t}"
+
+
+def _parse_with_params(text: str) -> dict:
+    """``k1 = 4, text_col = 'text'`` → typed dict (int / float / 'string'
+    literals only — these feed a constructor, not an expression)."""
+    out: dict[str, object] = {}
+    for part in _split_top(text):
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", part, re.S)
+        if not m:
+            raise ValueError(f"cannot parse WITH item {part!r} (want k = v)")
+        key, raw = m.group(1), m.group(2)
+        if re.fullmatch(r"-?\d+", raw):
+            out[key] = int(raw)
+        elif re.fullmatch(r"-?\d+\.\d+", raw):
+            out[key] = float(raw)
+        elif len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
+            out[key] = raw[1:-1].replace("''", "'")
+        else:
+            raise ValueError(
+                f"WITH value {raw!r} for {key!r} must be an int, a float, "
+                "or a 'quoted string'"
+            )
+    return out
+
+
+def execute_index(table: LakeTable, sql: str, name: str = "t"):
+    """Compile one index statement onto the feed-maintained index family
+    (maestro_spark.index_maint) and refresh it to the base table's current
+    snapshot. Accepted forms::
+
+        CREATE INDEX <idx> ON <t> USING <text|simhash|lsh|ivf> (<column>)
+          [WITH (param = value, …)]
+        REFRESH INDEX <idx>
+        DROP INDEX [IF EXISTS] <idx>
+
+    ``<idx>`` is a quoted path or a bare name (index lives beside the base
+    root — see :func:`_idx_root`). The indexed column binds to the kind's
+    column parameter (``text_col`` / ``vec_col``); WITH parameters go to
+    the class constructor after signature validation (a typo refuses with
+    the accepted names). The declaration persists in the index root
+    (``index_maint.declare_index``), so REFRESH needs only the path, the
+    index registers with the base table (``optimize`` folds it before
+    expiry), and an identical re-CREATE reopens while a divergent one
+    refuses. CREATE and REFRESH return the maintained index object
+    (``search*``/``probe`` per kind); DROP returns the removed root, or
+    None for an IF EXISTS no-op."""
+    import os
+
+    from maestro_spark import index_maint as IM
+
+    rm = re.match(
+        rf"^\s*refresh\s+index\s+{_MV_TARGET}\s*;?\s*$", sql, re.I
+    )
+    if rm:
+        idx = IM.load_index(table.spark, _idx_root(rm.group(1), table), base=table)
+        idx.refresh()
+        return idx
+
+    dm = re.match(
+        rf"^\s*drop\s+index\s+(if\s+exists\s+)?{_MV_TARGET}\s*;?\s*$", sql, re.I
+    )
+    if dm:
+        root = _idx_root(dm.group(2), table)
+        if not os.path.exists(IM._decl_path(root)):
+            if dm.group(1):
+                return None
+            raise ValueError(
+                f"{root!r} holds no declared index — refusing to remove "
+                "(DROP only deletes declare_index'd roots; use IF EXISTS "
+                "to no-op)"
+            )
+        return IM.undeclare_index(table.spark, root, base=table)
+
+    cm = re.match(
+        rf"^\s*create\s+index\s+{_MV_TARGET}\s+on\s+([A-Za-z_][\w.]*)\s+"
+        r"using\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+        r"(?:\s+with\s*\(\s*(.*?)\s*\))?\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if not cm:
+        raise ValueError(
+            "unsupported index statement (want: CREATE INDEX <idx> ON <t> "
+            "USING <text|simhash|lsh|ivf> (<column>) [WITH (k = v, …)], "
+            "REFRESH INDEX <idx>, or DROP INDEX [IF EXISTS] <idx>)"
+        )
+    _require_target(_strip_ident(cm.group(2)), name)
+    kind = cm.group(3).lower()
+    if kind not in IM.INDEX_KINDS:
+        raise ValueError(
+            f"unknown index kind {kind!r} — accepted: {sorted(IM.INDEX_KINDS)}"
+        )
+    params = _parse_with_params(cm.group(5)) if cm.group(5) else {}
+    col_param = IM.INDEX_COLUMN_PARAM[kind]
+    if col_param in params:
+        raise ValueError(
+            f"the indexed column is the (…) argument — do not also pass "
+            f"{col_param!r} in WITH"
+        )
+    params[col_param] = _strip_ident(cm.group(4))
+    idx = IM.declare_index(
+        table.spark, table, _idx_root(cm.group(1), table), kind, **params
+    )
+    idx.refresh()
+    return idx

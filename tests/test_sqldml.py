@@ -453,3 +453,82 @@ def test_maintenance_statements(spark, table, capsys, monkeypatch):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["maintenance"] is True and out["op"] == "vacuum"
+
+
+def test_index_sql_statements(spark, table, tmp_path, capsys, monkeypatch):
+    """CREATE/REFRESH/DROP INDEX compile onto the feed-maintained index
+    family: the declaration persists in the index root, the index
+    registers with its base table (optimize folds it), probes equal the
+    directly-constructed class, and refusals are precise."""
+    import json as _json
+    import os
+
+    from maestro_spark import index_maint as IM
+
+    root = str(tmp_path / "ti")
+    idx = table.sql(f"CREATE INDEX '{root}' ON t USING text (text) "
+                    "WITH (n_buckets = 8)")
+    assert idx.columns == ["index", "root", "applied_through"]
+    assert idx.head()["index"] == "MaintainedTextIndex"
+    # the declaration lives BESIDE the dir (rebuild overwrites the dir)
+    assert os.path.exists(root + "._index.json")
+
+    loaded = IM.load_index(spark, root, base=table)
+    assert loaded.n_buckets == 8
+    hits = {tuple(r)[:2] for r in loaded.search("a0").collect()}
+    assert hits == {("A", 0)}
+
+    # identical re-CREATE reopens; divergent declaration refuses
+    table.sql(f"CREATE INDEX '{root}' ON t USING text (text) "
+              "WITH (n_buckets = 8)")
+    with pytest.raises(ValueError, match="DIFFERENT declaration"):
+        table.sql(f"CREATE INDEX '{root}' ON t USING text (text) "
+                  "WITH (n_buckets = 16)")
+
+    # the index is REGISTERED: optimize folds new epochs into it
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                "VALUES ('Q', 0, 'user', 'zebra quux')", name="t")
+    from maestro_spark.lake import optimize
+    out = optimize(table)
+    assert any("MaintainedTextIndex" in d for d in out["refreshed"])
+    hits = {tuple(r)[:2]
+            for r in IM.load_index(spark, root).search("zebra").collect()}
+    assert hits == {("Q", 0)}
+
+    # REFRESH by path alone; DROP lifecycle incl. ownership + IF EXISTS
+    table.sql(f"REFRESH INDEX '{root}'")
+    other = LakeTable.create(spark, str(tmp_path / "otheridx"), n_buckets=2)
+    with pytest.raises(ValueError, match="declared over"):
+        other.sql(f"DROP INDEX '{root}'")
+    dropped = table.sql(f"DROP INDEX '{root}'")
+    assert dropped.head()["dropped_index"] == root
+    assert not os.path.exists(root)
+    assert not os.path.exists(root + "._index.json")
+    assert IM.registered_indexes(spark, table) == []
+    assert table.sql(f"DROP INDEX IF EXISTS '{root}'").head()[0] is None
+
+    # refusals: unknown kind, bad WITH param, duplicate column param
+    with pytest.raises(ValueError, match="unknown index kind"):
+        table.sql(f"CREATE INDEX '{tmp_path}/x' ON t USING btree (text)")
+    with pytest.raises(ValueError, match="does not accept"):
+        table.sql(f"CREATE INDEX '{tmp_path}/x' ON t USING text (text) "
+                  "WITH (nope = 3)")
+    with pytest.raises(ValueError, match="do not also pass"):
+        table.sql(f"CREATE INDEX '{tmp_path}/x' ON t USING text (text) "
+                  "WITH (text_col = 'text')")
+    with pytest.raises(ValueError, match="targets"):
+        table.sql(f"CREATE INDEX '{tmp_path}/x' ON other USING text (text)")
+
+    # bare name lives beside the base; CLI drives create + drop
+    from maestro_spark.__main__ import main
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = main(["sql", "CREATE INDEX terms ON lake USING text (text)",
+               "--table", table.root + "=lake"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["index"] is True and out["kind"] == "MaintainedTextIndex"
+    assert out["root"] == table.root.rstrip("/") + "__idx_terms"
+    rc = main(["sql", "DROP INDEX terms", "--table", table.root + "=lake"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dropped"].endswith("__idx_terms")
