@@ -1113,3 +1113,21 @@ def registered_indexes(spark: SparkSession, base: LakeTable) -> list:
             continue
         out.append(load_index(spark, root, base=base))
     return out
+
+
+def list_declared(base: LakeTable) -> list[dict]:
+    """Metadata-only listing of the indexes registered over ``base``
+    (persisted declarations read straight from disk — no Spark analysis,
+    no pruning side effects; serving `describe`)."""
+    reg = os.path.join(base.root, _IDX_REG_DIR)
+    if not os.path.isdir(reg):
+        return []
+    out = []
+    for f in sorted(os.listdir(reg)):
+        if not f.endswith(".json"):
+            continue
+        root = json.load(open(os.path.join(reg, f)))["root"]
+        p = _decl_path(root)
+        if os.path.exists(p):
+            out.append({"root": root, **json.load(open(p))})
+    return out

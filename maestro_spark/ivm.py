@@ -692,3 +692,23 @@ def registered_views(
                 continue
         out.append(load(spark, root, base=base))
     return out
+
+
+def list_declared(base: LakeTable) -> list[dict]:
+    """Metadata-only listing of the views registered over ``base`` (their
+    persisted declarations, read straight from disk — no Spark analysis,
+    no pruning side effects; serving `describe`)."""
+    import json as _json
+
+    reg = os.path.join(base.root, _REG_DIR)
+    if not os.path.isdir(reg):
+        return []
+    out = []
+    for f in sorted(os.listdir(reg)):
+        if not f.endswith(".json"):
+            continue
+        root = _json.load(open(os.path.join(reg, f)))["root"]
+        p = os.path.join(root, _MV_FILE)
+        if os.path.exists(p):
+            out.append({"root": root, **_json.load(open(p))})
+    return out

@@ -2482,7 +2482,21 @@ def describe(table: "LakeTable") -> dict:
         "bytes": size,
         "tags": table.tags(),
         "constraints": table.constraints(),
+        "materialized_views": _declared_views(table),
+        "indexes": _declared_indexes(table),
     }
+
+
+def _declared_views(table: "LakeTable") -> list[dict]:
+    from maestro_spark import ivm
+
+    return ivm.list_declared(table)
+
+
+def _declared_indexes(table: "LakeTable") -> list[dict]:
+    from maestro_spark import index_maint
+
+    return index_maint.list_declared(table)
 
 
 def optimize(

@@ -980,6 +980,19 @@ def test_describe_reports_everything_metadata_only(spark, tmp_path, capsys,
     assert d["tags"] == {"v1": t.snapshot().snapshot_id}
     assert d["constraints"] == {"turn_nonneg": "turn_idx >= 0"}
     assert "text:string" in d["schema"] and d["key"] == ["conv_id", "turn_idx"]
+    assert d["materialized_views"] == [] and d["indexes"] == []
+
+    # declared views/indexes show up with their persisted declarations —
+    # still metadata-only (declarations read straight from disk)
+    from maestro_spark import index_maint, ivm
+    mv = ivm.declare(spark, t, str(tmp_path / "dmv"), key_cols=["conv_id"],
+                     agg_exprs=["count(*) AS n"])
+    mv.refresh()
+    idx = index_maint.declare_index(spark, t, str(tmp_path / "didx"), "text")
+    idx.refresh()
+    d = describe(t)
+    assert [v["agg_exprs"] for v in d["materialized_views"]] == [["count(*) AS n"]]
+    assert [i["kind"] for i in d["indexes"]] == ["text"]
 
     from maestro_spark.__main__ import main as cli
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
