@@ -856,6 +856,10 @@ def _finalize_registration_order() -> None:
         # declaration + load-by-path certified here; the underlying
         # delta-refresh machinery is in-window via q_ivm_role/q_ivm_stats
         "q_sql_mv",
+        # SQL index DDL (r5, late): CREATE/REFRESH INDEX grammar + the
+        # persisted index declaration, probed vs the same DuckDB tokenizer
+        # ground truth that certifies the in-window q_term_search
+        "q_sql_index",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

@@ -929,6 +929,53 @@ ORACLES["q_sql_mv"] = f"""
     FROM w WHERE op <> 'delete' GROUP BY conv_id, role"""
 
 
+@q(
+    "q_sql_index",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_sql_index(spark, sf_dir):
+    """Index DDL through the SQL front door (r5 late: sqldml CREATE INDEX →
+    index_maint.declare_index): the statement declares a persisted
+    feed-maintained text index on a scratch root, a follow-up REFRESH INDEX
+    statement recompiles it by path alone, and a probe through the loaded
+    index must equal DuckDB tokenizing the replayed live state with the
+    same rules — certifying the statement grammar, the persisted index
+    declaration, and the load-by-path refresh end-to-end on top of the
+    already-certified index machinery (q_term_search)."""
+    import os
+    import shutil
+
+    from maestro_spark import index_maint as IM
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/sql_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    if os.path.exists(root + "._index.json"):
+        os.unlink(root + "._index.json")
+    table.sql(
+        f"CREATE INDEX '{root}' ON t USING text (text) WITH (n_buckets = 8)"
+    )
+    table.sql(f"REFRESH INDEX '{root}'")  # load-by-path, cursor no-op
+    return IM.load_index(spark, root, base=table).search("rev")
+
+
+ORACLES["q_sql_index"] = f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    live AS (SELECT conv_id, turn_idx, text FROM base WHERE op <> 'delete'),
+    toks AS (
+      SELECT conv_id, turn_idx, t.tok
+      FROM live, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> '')
+    SELECT conv_id, turn_idx, CAST(COUNT(*) AS INTEGER) AS tf
+    FROM toks WHERE tok = 'rev' GROUP BY conv_id, turn_idx"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV/JPEG/AVI strict decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-
