@@ -685,8 +685,35 @@ class LakeTable:
         ``ALTER TABLE`` statements route onto the metadata-only DDL builders
         (maestro_spark.ddl) the same way, and ``CREATE/REFRESH MATERIALIZED
         VIEW`` onto the incremental-view machinery (maestro_spark.ivm) —
-        those return the refreshed VIEW's live rows."""
+        those return the refreshed VIEW's live rows.
+
+        SELECTs accept INLINE time travel on the view name — Delta's
+        ``<name> VERSION AS OF 3`` / ``<name> TIMESTAMP AS OF '…'``,
+        Iceberg's ``FOR VERSION AS OF``, and SQL:2011's ``FOR SYSTEM_TIME
+        AS OF`` spellings. ``VERSION AS OF`` takes a snapshot id or a
+        quoted TAG name (:meth:`tag`); ``TIMESTAMP AS OF`` takes a quoted
+        ISO datetime or epoch seconds (:meth:`snapshot_id_at`). The clause
+        is equivalent to the ``snapshot_id=`` kwarg (pass one or the
+        other); several clauses must agree on one snapshot, and a clause on
+        a write statement refuses — history is immutable."""
         from maestro_spark import sqldml
+
+        query, tt_pins = sqldml.extract_time_travel(query, name)
+        if tt_pins:
+            if snapshot_id is not None or ts is not None:
+                raise ValueError(
+                    "pass the time-travel pin inline OR as a kwarg, not both"
+                )
+            snapshot_id = self._resolve_tt_pins(tt_pins)
+            for routed in (
+                sqldml.is_mv, sqldml.is_maintenance, sqldml.is_index,
+                sqldml.is_ddl, sqldml.is_dml,
+            ):
+                if routed(query):
+                    raise ValueError(
+                        "time travel is read-only: a write/DDL statement "
+                        "cannot target VERSION/TIMESTAMP AS OF"
+                    )
 
         if sqldml.is_mv(query):
             if snapshot_id is not None or ts is not None:
@@ -737,6 +764,33 @@ class LakeTable:
             return self.create_view(name)
         self.create_view(name, snapshot_id=snapshot_id, ts=ts)
         return self.spark.sql(query)
+
+    def _resolve_tt_pins(self, pins: list[tuple[str, str]]) -> int:
+        """Resolve inline time-travel clauses (from
+        ``sqldml.extract_time_travel``) to ONE snapshot id: tags via
+        :meth:`ref`, timestamps via :meth:`snapshot_id_at`, bare numbers as
+        snapshot ids / epoch seconds. Clauses that disagree refuse — one
+        registered view reads one snapshot."""
+        import datetime as _dt
+
+        sids: set[int] = set()
+        for kind, raw in pins:
+            if raw[0] in "'\"":
+                lit = raw[1:-1]
+                if kind == "VERSION":
+                    sids.add(self.ref(lit))
+                else:
+                    sids.add(self.snapshot_id_at(_dt.datetime.fromisoformat(lit)))
+            elif kind == "VERSION":
+                sids.add(self.snapshot(int(raw)).snapshot_id)  # validates
+            else:
+                sids.add(self.snapshot_id_at(float(raw)))
+        if len(sids) != 1:
+            raise ValueError(
+                f"conflicting time-travel pins resolve to snapshots "
+                f"{sorted(sids)} — all clauses must agree on one snapshot"
+            )
+        return sids.pop()
 
     def plan_ts_scan(
         self, lo, hi, snapshot_id: int | None = None

@@ -1007,3 +1007,43 @@ def q_media_decode(spark, sf_dir):
         checksum.alias("feature_checksum"),
     )
     return img.unionByName(aud).unionByName(vid)
+
+
+@q(
+    "q_sql_timetravel",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_sql_timetravel(spark, sf_dir):
+    """Inline SQL time travel (r5): the statement text pins the view with
+    Delta's ``VERSION AS OF`` — here via a named TAG — and the per-role
+    aggregate over that historical snapshot must equal DuckDB replaying
+    ONLY the log segments the pinned epoch had ingested. Certifies the
+    clause grammar, tag resolution, and that a pinned read serves the
+    immutable historical state regardless of every commit that followed."""
+    from maestro_spark.queries2 import _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    # the snapshot produced by replay epoch 1 (segments 0-1 applied)
+    (sid,) = [
+        s for s in table.snapshot_ids()
+        if table.snapshot(s).epoch_key == "demo:1"
+    ]
+    table.tag("after-epoch-1", sid, replace=True)
+    return table.sql(
+        "SELECT role, count(*) AS n_turns, "
+        "count(DISTINCT conv_id) AS n_convs "
+        "FROM t VERSION AS OF 'after-epoch-1' GROUP BY role"
+    )
+
+
+ORACLES["q_sql_timetravel"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(role, op_lsn) AS role,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet(['{_cdc_demo_dir()}/log/segment-00000.parquet',
+                         '{_cdc_demo_dir()}/log/segment-00001.parquet'])
+      GROUP BY conv_id, turn_idx)
+    SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM w WHERE op <> 'delete' GROUP BY role"""

@@ -62,6 +62,78 @@ def is_dml(sql: str) -> bool:
     return bool(_VERB_RE.match(sql or ""))
 
 
+# Inline time travel (Delta `t VERSION AS OF 3` / `t TIMESTAMP AS OF '…'`,
+# Iceberg `t FOR VERSION AS OF 3`, SQL:2011 `t FOR SYSTEM_TIME AS OF …`).
+# The clause attaches to a table reference, so the pattern anchors on an
+# identifier. Matching runs over a LITERAL-MASKED copy of the statement so
+# 'VERSION AS OF 9' inside a quoted value can never match (values are
+# spliced back from the original text by span).
+_TT_RE = re.compile(
+    r"(?P<ident>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"(?:FOR\s+)?(?P<kind>SYSTEM_VERSION|SYSTEM_TIME|VERSION|TIMESTAMP)"
+    r"\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|\"[^\"]*\"|\d+(?:\.\d+)?)",
+    re.I,
+)
+
+
+def _mask_literal_bodies(s: str) -> str:
+    """Same-length copy with the INTERIOR of quoted literals blanked
+    (quotes kept, '' escapes honored) — regex spans stay valid on the
+    original text."""
+    out = list(s)
+    i = 0
+    while i < len(s):
+        q = s[i]
+        if q in ("'", '"'):
+            j = i + 1
+            while j < len(s):
+                if s[j] == q:
+                    if q == "'" and j + 1 < len(s) and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, len(s))):
+                out[k] = "\x00"
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def extract_time_travel(sql: str, name: str) -> tuple[str, list[tuple[str, str]]]:
+    """Find and STRIP inline time-travel clauses on view ``name``.
+
+    Returns ``(stripped_sql, pins)`` where each pin is ``(kind, raw_value)``
+    with kind normalized to ``VERSION`` (snapshot id or tag literal) or
+    ``TIMESTAMP`` (ISO literal or epoch-seconds number). A clause attached
+    to any OTHER identifier refuses — this front door serves exactly one
+    registered view, and silently ignoring a pin on a joined name would
+    read the wrong snapshot. Resolution (tag → id, ts → id, conflicting
+    pins) happens in :meth:`LakeTable.sql`, which owns the snapshot chain."""
+    pins: list[tuple[str, str]] = []
+    out: list[str] = []
+    last = 0
+    for m in _TT_RE.finditer(_mask_literal_bodies(sql)):
+        ident = sql[m.start("ident") : m.end("ident")]
+        if ident.lower() != name.lower():
+            raise ValueError(
+                f"time-travel clause on {ident!r}, but this front door "
+                f"serves only view {name!r} — register the other table's "
+                "view pinned (create_view(snapshot_id=…)) instead"
+            )
+        kind = m.group("kind").upper()
+        kind = {"SYSTEM_VERSION": "VERSION", "SYSTEM_TIME": "TIMESTAMP"}.get(
+            kind, kind
+        )
+        pins.append((kind, sql[m.start("val") : m.end("val")]))
+        out.append(sql[last : m.end("ident")])  # keep the table reference
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out), pins
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren depth 0, outside single-quoted strings."""
     parts, buf, depth, i = [], [], 0, 0

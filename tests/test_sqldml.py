@@ -532,3 +532,81 @@ def test_index_sql_statements(spark, table, tmp_path, capsys, monkeypatch):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["dropped"].endswith("__idx_terms")
+
+
+# --------------------------------------------------- inline time travel (r5)
+
+
+def test_inline_time_travel_version_tag_timestamp(spark, table):
+    import datetime as _dt
+
+    s1 = table.snapshot().snapshot_id
+    merge_batch(table, spark.createDataFrame(
+        [(8, "update", "A", 0, "user", "a0-v2", None, TS),
+         (9, "insert", "E", 0, "user", "e0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 1)
+    s2 = table.snapshot().snapshot_id
+
+    # VERSION AS OF <id>: pre-update text, no E conversation
+    old = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.sql(
+        f"SELECT conv_id, turn_idx, text FROM t VERSION AS OF {s1}"
+    ).collect()}
+    assert old[("A", 0)] == "a0" and ("E", 0) not in old
+    # Iceberg FOR VERSION AS OF spelling, and the current snapshot
+    assert table.sql(
+        f"SELECT count(*) AS n FROM t FOR VERSION AS OF {s2}"
+    ).head()["n"] == 4
+    assert table.sql("SELECT count(*) AS n FROM t").head()["n"] == 4
+
+    # VERSION AS OF '<tag>'
+    table.tag("rel", s1)
+    assert table.sql(
+        "SELECT count(*) AS n FROM t VERSION AS OF 'rel'"
+    ).head()["n"] == 3
+
+    # TIMESTAMP AS OF epoch-seconds and ISO (and SQL:2011 SYSTEM_TIME)
+    t1 = table.snapshot(s1).committed_at
+    assert table.snapshot(s2).committed_at > t1  # test precondition
+    assert table.sql(
+        f"SELECT count(*) AS n FROM t TIMESTAMP AS OF {t1!r}"
+    ).head()["n"] == 3
+    iso = _dt.datetime.fromtimestamp(t1).isoformat()
+    assert table.sql(
+        f"SELECT count(*) AS n FROM t FOR SYSTEM_TIME AS OF '{iso}'"
+    ).head()["n"] == 3
+
+    # two agreeing clauses (self-join at one pin) work; the view is pinned
+    assert table.sql(
+        f"SELECT count(*) AS n FROM t VERSION AS OF {s1} "
+        f"JOIN (SELECT 1) ON 1=1"
+    ).head()["n"] == 3
+
+
+def test_inline_time_travel_refusals(spark, table):
+    s1 = table.snapshot().snapshot_id
+    merge_batch(table, spark.createDataFrame(
+        [(9, "insert", "E", 0, "user", "e0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 1)
+    s2 = table.snapshot().snapshot_id
+
+    with pytest.raises(ValueError, match="inline OR as a kwarg"):
+        table.sql(f"SELECT * FROM t VERSION AS OF {s1}", snapshot_id=s1)
+    with pytest.raises(ValueError, match="read-only"):
+        table.sql(f"DELETE FROM t VERSION AS OF {s1} WHERE 1=1")
+    with pytest.raises(ValueError, match="read-only"):
+        table.sql(f"UPDATE t FOR VERSION AS OF {s1} SET text = 'x'")
+    with pytest.raises(ValueError, match="must agree"):
+        table.sql(f"SELECT t1.* FROM t VERSION AS OF {s1} t1, "
+                  f"t VERSION AS OF {s2} t2")
+    with pytest.raises(ValueError, match="serves only view"):
+        table.sql("SELECT * FROM other VERSION AS OF 1")
+    with pytest.raises(KeyError, match="no tag"):
+        table.sql("SELECT * FROM t VERSION AS OF 'nope'")
+    with pytest.raises(FileNotFoundError):  # unknown snapshot id
+        table.sql("SELECT * FROM t VERSION AS OF 9999")
+    # a literal containing the clause text is data, not a pin
+    table.create_view("t")
+    execute_dml(table, "UPDATE t SET text = 'was VERSION AS OF 9' "
+                       "WHERE conv_id = 'E'")
+    got = table.read().filter(F.col("conv_id") == "E").head()["text"]
+    assert got == "was VERSION AS OF 9"
