@@ -14,11 +14,13 @@ deterministic fake derived from the bytes, clearly marked below.
 Round 5: baseline sequential JPEG joins the real-decoder set
 (functions/jpeg.py — pure numpy Huffman + dequant + IDCT + chroma
 upsample, validated against independently-encoded real-world files), and
-so does uncompressed-DIB AVI video (functions/video.py — RIFF chunk walk,
-bottom-up BGR24 frames, cadence-sampled decode). Only genuinely
-compressed video (H.264/VP9/...) and exotic JPEG modes (progressive/
-arithmetic/12-bit) remain declared strict-mode stubs — those are the
-formats that truly need external codec libraries.
+so does AVI video (functions/video.py — RIFF chunk walk, cadence-sampled
+decode) in BOTH uncompressed-DIB (bottom-up BGR24) and Motion-JPEG form
+(each sampled '00dc' chunk decodes through the JPEG codec; unsampled
+frames never decode). Only inter-frame-compressed video (H.264/VP9/...)
+and exotic JPEG modes (progressive/arithmetic/12-bit) remain declared
+strict-mode stubs — those are the formats that truly need external codec
+libraries.
 
 Scale notes encoded in the design:
 - media rows are big → ``repartition`` by size budget before mapInPandas so
@@ -333,12 +335,13 @@ def extract_video_features(
     df: DataFrame, strict: bool = False, every_ms: int = 500
 ) -> DataFrame:
     """Arrow-batched video feature extraction: strict mode REALLY decodes
-    uncompressed-DIB AVI payloads (functions/video.py, stdlib + numpy),
-    samples frames at an ``every_ms`` cadence (only the sampled frames are
-    ever materialized — a long clip never decodes in full), and emits the
-    8-segment temporal luminance envelope + fps + frame counts. Compressed
-    containers raise (they need external codec libraries). Test mode keeps
-    the deterministic fake-from-bytes contract."""
+    uncompressed-DIB and Motion-JPEG AVI payloads (functions/video.py,
+    stdlib + numpy), samples frames at an ``every_ms`` cadence (only the
+    sampled frames are ever materialized OR JPEG-decoded — a long clip
+    never decodes in full), and emits the 8-segment temporal luminance
+    envelope + fps + frame counts. Inter-frame-compressed containers raise
+    (they need external codec libraries). Test mode keeps the
+    deterministic fake-from-bytes contract."""
     from maestro_spark.functions import video as V
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -359,7 +362,8 @@ def extract_video_features(
                         raise NotImplementedError(
                             "compressed video decode requires a codec "
                             "library not present in this environment "
-                            "(uncompressed-DIB AVI decodes natively)"
+                            "(uncompressed-DIB and Motion-JPEG AVI "
+                            "decode natively)"
                         )
                     _, fps0, n_total = V.decode_avi(b, frame_indices=[])
                     idx = V.sample_indices(n_total, fps0, every_ms)
@@ -443,7 +447,8 @@ def synthetic_real_media(
     payloads (seeded square-ish PCM via the stdlib ``wave`` writer) — the
     strict-mode decode path runs end to end on these with zero external
     libraries. ``with_video=True`` additionally makes every ``i % 3 == 2``
-    row a genuine uncompressed-DIB AVI clip (functions/video.py encoder).
+    row a genuine AVI clip — alternating uncompressed-DIB and Motion-JPEG
+    containers (functions/video.py encoders).
     No RNG (replay-equality rules): all bytes derive from (seed, media_id)."""
     import io
     import struct
@@ -452,7 +457,7 @@ def synthetic_real_media(
     rows = []
     for i in range(n):
         if with_video and i % 3 == 2:
-            from maestro_spark.functions.video import encode_avi
+            from maestro_spark.functions.video import encode_avi, encode_avi_mjpeg
 
             h, w, nf = 8 + (i % 2) * 4, 8, 6 + (i % 4)
             vals = [
@@ -461,8 +466,11 @@ def synthetic_real_media(
             ]
             clip = np.array(vals, dtype=np.uint8).reshape(nf, h, w, 3)
             fps = 10
+            # alternate container: every other clip is Motion-JPEG so the
+            # strict path exercises BOTH native video codecs
+            enc = encode_avi_mjpeg if (i // 3) % 2 else encode_avi
             rows.append(
-                (i, "video", bytearray(encode_avi(clip, fps=fps)),
+                (i, "video", bytearray(enc(clip, fps=fps)),
                  ("avi", w, h, nf * 1000 // fps))
             )
         elif i % 2 == 0:

@@ -76,15 +76,61 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
+    """Motion-JPEG AVI encoder — the fixture twin of :func:`decode_avi`'s
+    MJPG path. ``frames``: (n, h, w, 3) uint8 RGB; each frame is one
+    baseline-JPEG '00dc' chunk (functions/jpeg.py encoder), the classic
+    intra-only compressed AVI every capture card writes."""
+    from maestro_spark.functions.jpeg import encode_jpeg
+
+    n, h, w, _ = frames.shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+    buf_size = max(len(p) for p in payloads)
+
+    def chunk(fcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fcc + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(1, fps), buf_size * fps, 0, 0x10,
+        n, 0, 1, buf_size, w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0, 1, max(1, fps), 0, n, buf_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, _MJPG_FOURCC, buf_size, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_avi(
     data: bytes, frame_indices: list[int] | None = None
 ) -> tuple[np.ndarray, int, int]:
-    """Decode an uncompressed-DIB AVI: returns ``(frames, fps, n_frames)``
-    where frames is (k, h, w, 3) uint8 RGB for the requested
-    ``frame_indices`` (all frames when None) and ``n_frames`` is the clip's
-    total. Only biCompression=0, 24-bit DIB payloads are supported —
-    anything compressed raises ``NotImplementedError`` (that is what needs
-    an external codec library)."""
+    """Decode an uncompressed-DIB or Motion-JPEG AVI: returns
+    ``(frames, fps, n_frames)`` where frames is (k, h, w, 3) uint8 RGB for
+    the requested ``frame_indices`` (all frames when None) and ``n_frames``
+    is the clip's total. biCompression=0 24-bit DIB payloads decode as raw
+    rows; biCompression='MJPG' chunks decode through the baseline-JPEG
+    codec (functions/jpeg.py) — ONLY the requested frames ever decode, so
+    a cadence-sampled long clip stays cheap. Anything else compressed
+    (H.264/VP9/…) raises ``NotImplementedError`` (that is what needs an
+    external codec library)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI byte stream")
 
@@ -117,10 +163,12 @@ def decode_avi(
     walk(12, 8 + struct.unpack("<I", data[4:8])[0])
     if w is None or not frame_chunks:
         raise ValueError("AVI missing stream format / frames")
-    if comp != 0 or bpp != 24:
+    mjpeg = comp == _MJPG_FOURCC
+    if not mjpeg and (comp != 0 or bpp != 24):
         raise NotImplementedError(
             f"compressed AVI (biCompression={comp}, bpp={bpp}) needs an "
-            "external codec library"
+            "external codec library (uncompressed DIB and MJPG decode "
+            "natively)"
         )
     n_frames = len(frame_chunks)
     fps = max(1, round(rate / scale))
@@ -131,6 +179,17 @@ def decode_avi(
     out = np.empty((len(idx), h, w, 3), dtype=np.uint8)
     for k, i in enumerate(idx):
         off, ln = frame_chunks[i]
+        if mjpeg:
+            from maestro_spark.functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(bytes(data[off : off + ln]))
+            # foreign encoders may round to MCU multiples: crop/pad to the
+            # container's declared frame box (top-down, as JPEG is)
+            fh, fw = min(h, img.shape[0]), min(w, img.shape[1])
+            frame = np.zeros((h, w, 3), dtype=np.uint8)
+            frame[:fh, :fw] = img[:fh, :fw]
+            out[k] = frame
+            continue
         rows = np.frombuffer(data[off : off + ln], dtype=np.uint8)
         rows = rows[: stride * h].reshape(h, stride)[:, : w * 3]
         img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB

@@ -963,3 +963,56 @@ def test_strict_mode_decodes_real_avi_media(spark):
         assert np.allclose(np.array(r["feature"], dtype=np.float32), exp)
     # image/audio extraction still sees only its own kind
     assert mm.extract_image_features(media, strict=True).count() == 4
+
+
+def test_mjpeg_avi_codec(monkeypatch):
+    """Motion-JPEG AVI (r5 final): near-lossless round trip through the
+    native JPEG codec, LAZY per-frame decode (unsampled chunks never hit
+    the JPEG decoder), MCU-padded foreign frames crop to the container
+    box, and non-MJPG compression still refuses."""
+    import numpy as np
+    import pytest
+
+    from maestro_spark.functions import jpeg as J
+    from maestro_spark.functions import video as V
+
+    nf, h, w = 6, 24, 33
+    y, x = np.mgrid[0:h, 0:w]
+    clip = np.stack([
+        np.stack([(x * 3 + t * 11) % 256, (y * 5 + t * 7) % 256,
+                  ((x + y) * 2 + t * 13) % 256], axis=-1).astype(np.uint8)
+        for t in range(nf)
+    ])
+    data = V.encode_avi_mjpeg(clip, fps=12, quality=95)
+    out, fps, total = V.decode_avi(data)
+    assert fps == 12 and total == nf and out.shape == clip.shape
+    err = np.abs(out.astype(int) - clip.astype(int)).mean()
+    assert err < 4.0, err  # smooth gradients survive JPEG q95 nearly intact
+    assert V.encode_avi_mjpeg(clip, fps=12, quality=95) == data
+
+    # laziness: decoding frames [1, 4] must invoke the JPEG codec twice
+    calls = []
+    real = J.decode_jpeg
+    monkeypatch.setattr(J, "decode_jpeg", lambda b: calls.append(1) or real(b))
+    sub, _, _ = V.decode_avi(data, frame_indices=[1, 4])
+    assert len(calls) == 2 and (sub[0] == out[1]).all() and (sub[1] == out[4]).all()
+    calls.clear()
+    _, _, n_total = V.decode_avi(data, frame_indices=[])  # metadata probe
+    assert n_total == nf and calls == []
+    monkeypatch.setattr(J, "decode_jpeg", real)
+
+    # foreign encoders round frames up to MCU multiples: a 16x16 JPEG in a
+    # container declaring 14x13 crops to the declared box
+    big = np.arange(16 * 16 * 3, dtype=np.int64) % 256
+    big = big.astype(np.uint8).reshape(16, 16, 3)
+    d2 = V.encode_avi_mjpeg(big[None, :14, :13], fps=5, quality=95)
+    jpeg_chunk = J.encode_jpeg(big, quality=95)
+    i = d2.index(b"00dc")
+    import struct as _st
+    (old_len,) = _st.unpack("<I", d2[i + 4 : i + 8])
+    patched = (d2[:i] + b"00dc" + _st.pack("<I", len(jpeg_chunk)) + jpeg_chunk
+               + (b"\x00" if len(jpeg_chunk) % 2 else b""))
+    f2, _, _ = V.decode_avi(patched)
+    assert f2.shape == (1, 14, 13, 3)
+    ref = real(jpeg_chunk)
+    assert (f2[0] == ref[:14, :13]).all()
