@@ -476,6 +476,21 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "sql":
         import os
 
+        from maestro_spark import sqldml as _sqldml
+
+        if _sqldml.is_table_ddl(args.query):
+            # CREATE TABLE / CTAS / DROP TABLE provision under --warehouse
+            if not args.warehouse:
+                raise SystemExit("sql: table DDL needs --warehouse")
+            from maestro_spark.lake import warehouse_sql
+
+            df = warehouse_sql(spark, args.warehouse, args.query)
+            df.show(args.limit, truncate=40)
+            print(json.dumps({"rows": df.count(),
+                              "warehouse": args.warehouse}))
+            spark.stop()
+            return 0
+
         views = []
         if args.warehouse:
             from maestro_spark.lake import register_catalog

@@ -2751,3 +2751,181 @@ def refresh_catalog(
         name: {**st, "refreshed": st["snapshots_behind"] != 0}
         for name, st in before.items()
     }
+
+
+def warehouse_sql(
+    spark: SparkSession, warehouse: str, query: str, prefix: str = ""
+) -> DataFrame:
+    """Warehouse-level SQL front door — the multi-table twin of
+    :meth:`LakeTable.sql` (r5 final). One call routes any statement of the
+    engine's SQL surface against the tables under ``warehouse``:
+
+    - ``CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH
+      (n_buckets = K)]`` — provision an empty lake table at
+      ``<warehouse>/<name>``. The column list goes to Spark's DDL schema
+      parser verbatim and MUST include the engine's key contract
+      (``conv_id string, turn_idx int``); reserved internal names refuse.
+    - ``CREATE TABLE <name> [WITH (…)] AS SELECT …`` — CTAS: the SELECT
+      runs over the registered catalog (sibling lake tables join freely),
+      and the result lands as one fenced upsert epoch (duplicate keys in
+      the SELECT refuse — a statement must be unambiguous about a key's
+      final value).
+    - ``DROP TABLE [IF EXISTS] <name>`` — removes the table, its REGISTERED
+      materialized views and indexes (they are derived data owned by the
+      table), and its session views.
+    - DML / ``ALTER TABLE`` / ``OPTIMIZE`` / ``VACUUM`` — the statement's
+      own target name picks the table; delegates to that table's
+      :meth:`LakeTable.sql` (same fenced builders, same refusals).
+    - SELECT — runs over the registered catalog; inline time travel
+      (``<table> VERSION|TIMESTAMP AS OF …``) is resolved PER TABLE, so a
+      join of one table's history against another's tip is one statement.
+    - ``CREATE/REFRESH/DROP MATERIALIZED VIEW`` / ``… INDEX`` refuse with
+      a pointer to the owning table's front door (their target is a view
+      path, not a table name — routing by guess would be a foot-gun).
+
+    Scale: provisioning and routing are driver-side metadata; every data
+    plan is the same one the single-table door produces."""
+    from maestro_spark import sqldml
+
+    def _summary(op: str, **kw) -> DataFrame:
+        return spark.createDataFrame(
+            [(op, json.dumps(kw))], "op: string, summary: string"
+        )
+
+    def _root_of(tname: str) -> str:
+        root = os.path.join(warehouse, tname)
+        if not os.path.isdir(os.path.join(root, SNAP_DIR)):
+            raise ValueError(
+                f"no lake table {tname!r} under {warehouse} "
+                f"(have: {sorted(_lake_dirs(warehouse)) or 'none'})"
+            )
+        return root
+
+    if sqldml.is_table_ddl(query):
+        spec = sqldml.parse_table_ddl(query)
+        tname = spec["name"]
+        root = os.path.join(warehouse, tname)
+        exists = os.path.isdir(os.path.join(root, SNAP_DIR))
+        if spec["op"] == "drop":
+            if not exists:
+                if spec["if_exists"]:
+                    return _summary("drop_table", dropped=None)
+                raise ValueError(f"no lake table {tname!r} under {warehouse}")
+            t = LakeTable(spark, root)
+            from maestro_spark import index_maint as _im
+            from maestro_spark import ivm as _ivm
+
+            derived = [d["root"] for d in _ivm.list_declared(t)]
+            derived += [d["root"] for d in _im.list_declared(t)]
+            for d in derived:
+                shutil.rmtree(d, ignore_errors=True)
+                for side in (f"{d}._index.json",):
+                    if os.path.exists(side):
+                        os.unlink(side)
+            shutil.rmtree(root)
+            for v in (tname, f"{tname}__files", f"{tname}__history",
+                      f"{tname}__changes"):
+                spark.catalog.dropTempView(prefix + v)
+            return _summary("drop_table", dropped=root, derived_dropped=derived)
+        # CREATE
+        params = dict(spec["params"])
+        n_buckets = params.pop("n_buckets", 64)
+        if params:
+            raise ValueError(
+                f"unknown CREATE TABLE WITH parameter(s) {sorted(params)} "
+                "— accepted: n_buckets"
+            )
+        if not isinstance(n_buckets, int) or n_buckets < 1:
+            raise ValueError("n_buckets must be a positive int")
+        if exists:
+            if spec["if_not_exists"]:
+                t = LakeTable(spark, root)
+                t.create_view(prefix + tname)
+                return t.read()
+            raise ValueError(f"lake table {tname!r} already exists at {root}")
+        if spec["columns"] is not None:
+            schema = T.StructType.fromDDL(spec["columns"])
+            _validate_payload_contract(schema)
+            schema = T.StructType([
+                T.StructField(f.name, f.dataType, f.name not in S.KEY_COLS)
+                for f in schema.fields
+            ])
+            t = LakeTable.create(spark, root, payload_schema=schema,
+                                 n_buckets=n_buckets)
+            t.create_view(prefix + tname)
+            return t.read()
+        # CTAS: the SELECT sees every sibling table
+        register_catalog(spark, warehouse, prefix=prefix)
+        df = spark.sql(spec["select"])
+        _validate_payload_contract(df.schema)
+        fields = [
+            T.StructField(f.name, f.dataType, f.name not in S.KEY_COLS)
+            for f in df.schema.fields
+        ]
+        t = LakeTable.create(spark, root,
+                             payload_schema=T.StructType(fields),
+                             n_buckets=n_buckets)
+        try:
+            from maestro_spark.dml import upsert
+
+            upsert(t, df, query_id="ctas")
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)  # no half-born tables
+            raise
+        t.create_view(prefix + tname)
+        return t.read()
+
+    target = sqldml.statement_target(query)
+    if target is not None:
+        return LakeTable(spark, _root_of(target)).sql(query, name=target)
+    if sqldml.is_mv(query) or sqldml.is_index(query):
+        raise ValueError(
+            "materialized-view / index DDL targets a view path, not a "
+            "table — run it through the owning table's front door: "
+            "LakeTable(spark, root).sql(...)"
+        )
+    # SELECT over the catalog, with per-table inline time travel
+    stripped, by_ident = sqldml.extract_time_travel_any(query)
+    tables = register_catalog(spark, warehouse, prefix=prefix)
+    for ident, pins in by_ident.items():
+        t = tables.get(ident[len(prefix):] if prefix and ident.startswith(prefix)
+                       else ident)
+        if t is None:
+            raise ValueError(
+                f"time-travel clause on {ident!r}, which is not a lake "
+                f"table under {warehouse} (have: {sorted(tables)})"
+            )
+        t.create_view(ident, snapshot_id=t._resolve_tt_pins(pins))
+    return spark.sql(stripped)
+
+
+def _lake_dirs(warehouse: str) -> list[str]:
+    return [
+        e for e in (os.listdir(warehouse) if os.path.isdir(warehouse) else [])
+        if os.path.isdir(os.path.join(warehouse, e, SNAP_DIR))
+    ]
+
+
+def _validate_payload_contract(schema: T.StructType) -> None:
+    """CREATE TABLE / CTAS schema gate: the engine's key contract must be
+    present with the exact key types (the XXH64 bucket twin and every
+    serving path hash ``conv_id: string, turn_idx: int``), and internal /
+    op-metadata names are reserved."""
+    by_name = {f.name: f for f in schema.fields}
+    want = {"conv_id": T.StringType(), "turn_idx": T.IntegerType()}
+    for k, dt in want.items():
+        got = by_name.get(k)
+        if got is None:
+            raise ValueError(
+                f"table schema must include key column {k!r} "
+                f"({dt.simpleString()}) — the engine's key contract"
+            )
+        if got.dataType != dt:
+            raise ValueError(
+                f"key column {k!r} must be {dt.simpleString()}, got "
+                f"{got.dataType.simpleString()} — CAST it in the statement"
+            )
+    reserved = {S.LSN_COL, S.DELETED_COL, *S.OP_COLS}
+    bad = sorted(reserved & set(by_name))
+    if bad:
+        raise ValueError(f"column name(s) {bad} are reserved by the engine")

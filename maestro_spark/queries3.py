@@ -1047,3 +1047,56 @@ ORACLES["q_sql_timetravel"] = f"""
     SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
            CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
     FROM w WHERE op <> 'delete' GROUP BY role"""
+
+
+@q(
+    "q_sql_warehouse",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_sql_warehouse(spark, sf_dir):
+    """Warehouse SQL front door (r5 final): a fresh warehouse is seeded
+    from the demo lake, then one statement sequence provisions a derived
+    table with CTAS, routes an UPDATE and a DELETE to it by target name,
+    and aggregates through the catalog SELECT — the result must equal
+    DuckDB composing the same transforms over the replayed log. Certifies
+    provisioning, target routing, the CTAS upsert epoch, and that the
+    warehouse door serves the same fenced builders as the table door."""
+    import os as _os
+    import shutil
+
+    from maestro_spark.lake import warehouse_sql
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    base = _ensure_cdc_demo_lake(spark)
+    wh = f"{_CDC_DEMO_DIR}/wh"
+    shutil.rmtree(wh, ignore_errors=True)
+    _os.makedirs(wh)
+    base.clone(f"{wh}/conv")
+    warehouse_sql(spark, wh, "CREATE TABLE user_turns WITH (n_buckets = 4) "
+                             "AS SELECT conv_id, turn_idx, text "
+                             "FROM conv WHERE role = 'user'")
+    warehouse_sql(spark, wh, "UPDATE user_turns SET text = upper(text) "
+                             "WHERE turn_idx = 0")
+    warehouse_sql(spark, wh, "DELETE FROM user_turns WHERE turn_idx > 5")
+    return warehouse_sql(spark, wh, """
+        SELECT conv_id, count(*) AS n_turns,
+               max(turn_idx) AS last_turn,
+               min(text) AS first_text
+        FROM user_turns GROUP BY conv_id""")
+
+
+ORACLES["q_sql_warehouse"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(role, op_lsn) AS role,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    ut AS (
+      SELECT conv_id, turn_idx,
+             CASE WHEN turn_idx = 0 THEN upper(text) ELSE text END AS text
+      FROM w WHERE op <> 'delete' AND role = 'user' AND turn_idx <= 5)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           MAX(turn_idx) AS last_turn, MIN(text) AS first_text
+    FROM ut GROUP BY conv_id"""

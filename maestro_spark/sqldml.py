@@ -25,6 +25,12 @@ engine REFUSES rather than mis-executes):
     CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> GROUP BY …
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
+    CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
+    CREATE TABLE <name> [WITH (…)] AS SELECT … / DROP TABLE [IF EXISTS] <name>
+      (table provisioning — the warehouse front door, lake.warehouse_sql)
+    SELECTs additionally accept inline time travel on a view name:
+      <name> [FOR] VERSION AS OF <id|'tag'> / [FOR] TIMESTAMP AS OF <'iso'|epoch>
+      (extract_time_travel; resolved by the table's own snapshot chain)
 
 Design choices:
 - expressions are NEVER re-implemented: every value/assignment/predicate
@@ -112,26 +118,41 @@ def extract_time_travel(sql: str, name: str) -> tuple[str, list[tuple[str, str]]
     registered view, and silently ignoring a pin on a joined name would
     read the wrong snapshot. Resolution (tag → id, ts → id, conflicting
     pins) happens in :meth:`LakeTable.sql`, which owns the snapshot chain."""
+    stripped, by_ident = extract_time_travel_any(sql)
     pins: list[tuple[str, str]] = []
-    out: list[str] = []
-    last = 0
-    for m in _TT_RE.finditer(_mask_literal_bodies(sql)):
-        ident = sql[m.start("ident") : m.end("ident")]
+    for ident, ident_pins in by_ident.items():
         if ident.lower() != name.lower():
             raise ValueError(
                 f"time-travel clause on {ident!r}, but this front door "
                 f"serves only view {name!r} — register the other table's "
                 "view pinned (create_view(snapshot_id=…)) instead"
             )
+        pins.extend(ident_pins)
+    return stripped, pins
+
+
+def extract_time_travel_any(sql: str) -> tuple[str, dict[str, list[tuple[str, str]]]]:
+    """Multi-table variant of :func:`extract_time_travel` (the warehouse
+    front door, where several registered tables may each carry a pin):
+    strips every inline clause and returns ``(stripped_sql,
+    {identifier: [(kind, raw_value), …]})`` — the caller validates the
+    identifiers against its catalog and resolves each table's pins."""
+    by_ident: dict[str, list[tuple[str, str]]] = {}
+    out: list[str] = []
+    last = 0
+    for m in _TT_RE.finditer(_mask_literal_bodies(sql)):
+        ident = sql[m.start("ident") : m.end("ident")]
         kind = m.group("kind").upper()
         kind = {"SYSTEM_VERSION": "VERSION", "SYSTEM_TIME": "TIMESTAMP"}.get(
             kind, kind
         )
-        pins.append((kind, sql[m.start("val") : m.end("val")]))
+        by_ident.setdefault(ident, []).append(
+            (kind, sql[m.start("val") : m.end("val")])
+        )
         out.append(sql[last : m.end("ident")])  # keep the table reference
         last = m.end()
     out.append(sql[last:])
-    return "".join(out), pins
+    return "".join(out), by_ident
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -770,3 +791,93 @@ def execute_index(table: LakeTable, sql: str, name: str = "t"):
     )
     idx.refresh()
     return idx
+
+
+# ------------------------------------------------------- table provisioning
+_TABLE_DDL_RE = re.compile(r"^\s*(create|drop)\s+table\b", re.I)
+
+
+def is_table_ddl(sql: str) -> bool:
+    """True when the statement is CREATE TABLE / CTAS / DROP TABLE."""
+    return bool(_TABLE_DDL_RE.match(sql or ""))
+
+
+def parse_table_ddl(sql: str) -> dict:
+    """Parse one table-provisioning statement (the warehouse front door's
+    grammar — see :func:`maestro_spark.lake.warehouse_sql`) into a plain
+    spec dict. Accepted forms::
+
+        CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
+        CREATE TABLE [IF NOT EXISTS] <name> [WITH (…)] AS SELECT …
+        DROP TABLE [IF EXISTS] <name>
+
+    Column definitions go to Spark's DDL schema parser verbatim
+    (``StructType.fromDDL``), so the type dialect is exactly Spark's.
+    Anything outside the grammar refuses with the reason."""
+    s = sql.strip().rstrip(";").strip()
+    dm = re.match(r"^drop\s+table\s+(if\s+exists\s+)?([A-Za-z_]\w*)$", s, re.I)
+    if dm:
+        return {"op": "drop", "if_exists": bool(dm.group(1)),
+                "name": dm.group(2)}
+    cm = re.match(
+        r"^create\s+table\s+(if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s*(.*)$",
+        s, re.I | re.S,
+    )
+    if not cm:
+        raise ValueError(
+            "unsupported table statement (want: CREATE TABLE [IF NOT "
+            "EXISTS] <name> (col type, …) [WITH (…)], CREATE TABLE … AS "
+            "SELECT …, or DROP TABLE [IF EXISTS] <name>)"
+        )
+    if_not_exists, name, rest = bool(cm.group(1)), cm.group(2), cm.group(3).strip()
+    columns = None
+    if rest.startswith("("):
+        depth, close = 0, -1
+        for i, ch in enumerate(rest):  # cols can nest parens: decimal(18,2)
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                close = i
+                break
+        if close < 0:
+            raise ValueError("unbalanced parentheses in column list")
+        columns, rest = rest[1:close].strip(), rest[close + 1 :].strip()
+    params: dict[str, object] = {}
+    if wm := re.match(r"^with\s*\((.*?)\)\s*(.*)$", rest, re.I | re.S):
+        params, rest = _parse_with_params(wm.group(1)), wm.group(2).strip()
+    select = None
+    if am := re.match(r"^as\s+(select\b.*)$", rest, re.I | re.S):
+        select, rest = am.group(1), ""
+    if rest:
+        raise ValueError(f"cannot parse CREATE TABLE tail {rest!r}")
+    if (columns is None) == (select is None):
+        raise ValueError(
+            "CREATE TABLE takes a column list OR AS SELECT …, exactly one"
+        )
+    return {"op": "create", "if_not_exists": if_not_exists, "name": name,
+            "columns": columns, "params": params, "select": select}
+
+
+_TARGET_RES = [
+    re.compile(p, re.I)
+    for p in (
+        r"^\s*insert\s+into\s+([A-Za-z_]\w*)\b",
+        r"^\s*update\s+([A-Za-z_]\w*)\b",
+        r"^\s*delete\s+from\s+([A-Za-z_]\w*)\b",
+        r"^\s*merge\s+into\s+([A-Za-z_]\w*)\b",
+        r"^\s*alter\s+table\s+([A-Za-z_]\w*)\b",
+        r"^\s*optimize\s+([A-Za-z_]\w*)\b",
+        r"^\s*vacuum\s+([A-Za-z_]\w*)\b",
+    )
+]
+
+
+def statement_target(sql: str) -> str | None:
+    """The table name a single-table routed statement operates on (DML,
+    ALTER, OPTIMIZE/VACUUM) — how the warehouse front door picks which
+    ``LakeTable.sql`` to delegate to. None for SELECTs and for statement
+    kinds whose target is a view/index path rather than a table."""
+    for rx in _TARGET_RES:
+        if m := rx.match(sql or ""):
+            return _strip_ident(m.group(1))
+    return None

@@ -1,0 +1,133 @@
+"""Warehouse-level SQL front door (r5 final): CREATE TABLE / CTAS / DROP
+TABLE provision lake tables under a warehouse dir, single-table verbs
+route by their own target name onto LakeTable.sql, SELECTs run over the
+registered catalog with PER-TABLE inline time travel."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from maestro_spark.lake import LakeTable, warehouse_sql
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _seed(spark, wh):
+    os.makedirs(wh, exist_ok=True)
+    warehouse_sql(spark, wh, "CREATE TABLE conv (conv_id string, "
+                             "turn_idx int, role string, text string) "
+                             "WITH (n_buckets = 4)")
+    warehouse_sql(spark, wh, "INSERT INTO conv (conv_id, turn_idx, role, text) "
+                             "VALUES ('A', 0, 'user', 'hi'), "
+                             "('A', 1, 'assistant', 'yo'), ('B', 0, 'user', 'q')")
+    return LakeTable(spark, f"{wh}/conv")
+
+
+def test_provision_route_select_and_per_table_time_travel(spark, wh):
+    t = _seed(spark, wh)
+    s1 = t.snapshot().snapshot_id
+    warehouse_sql(spark, wh, "DELETE FROM conv WHERE conv_id = 'B'")
+
+    assert warehouse_sql(spark, wh, "SELECT count(*) AS n FROM conv").head()["n"] == 2
+    # the pinned past still serves, from the same statement text
+    assert warehouse_sql(
+        spark, wh, f"SELECT count(*) AS n FROM conv VERSION AS OF {s1}"
+    ).head()["n"] == 3
+
+    # CTAS over the live catalog; then join history vs tip in ONE statement
+    warehouse_sql(spark, wh, "CREATE TABLE conv2 AS SELECT conv_id, turn_idx, "
+                             "upper(text) AS text FROM conv")
+    t2 = LakeTable(spark, f"{wh}/conv2")
+    assert {r["text"] for r in t2.read().collect()} == {"HI", "YO"}
+    joined = warehouse_sql(
+        spark, wh,
+        f"SELECT old.conv_id, old.turn_idx FROM conv VERSION AS OF {s1} old "
+        "LEFT ANTI JOIN conv2 cur ON old.conv_id = cur.conv_id "
+        "AND old.turn_idx = cur.turn_idx",
+    ).collect()
+    assert {(r[0], r[1]) for r in joined} == {("B", 0)}  # only the deleted row
+
+    # ALTER and OPTIMIZE route to the target table's own front door
+    warehouse_sql(spark, wh, "ALTER TABLE conv2 ADD COLUMN rating int")
+    assert "rating" in [f.name for f in t2.snapshot().payload_schema().fields]
+    out = warehouse_sql(spark, wh, "OPTIMIZE conv").head()
+    assert out["op"] == "optimize"
+
+
+def test_schema_contract_refusals_and_ctas_cleanup(spark, wh):
+    os.makedirs(wh, exist_ok=True)
+    with pytest.raises(ValueError, match="must include key column"):
+        warehouse_sql(spark, wh, "CREATE TABLE x (a int)")
+    with pytest.raises(ValueError, match="must be int, got bigint"):
+        warehouse_sql(spark, wh, "CREATE TABLE x (conv_id string, turn_idx bigint)")
+    with pytest.raises(ValueError, match="reserved"):
+        warehouse_sql(spark, wh, "CREATE TABLE x (conv_id string, turn_idx int, "
+                                 "_deleted boolean)")
+    with pytest.raises(ValueError, match="unknown CREATE TABLE WITH"):
+        warehouse_sql(spark, wh, "CREATE TABLE x (conv_id string, turn_idx int) "
+                                 "WITH (buckets = 4)")
+    _seed(spark, wh)
+    with pytest.raises(ValueError, match="already exists"):
+        warehouse_sql(spark, wh, "CREATE TABLE conv (conv_id string, turn_idx int)")
+    # IF NOT EXISTS opens instead
+    assert warehouse_sql(spark, wh, "CREATE TABLE IF NOT EXISTS conv "
+                                    "(conv_id string, turn_idx int)").count() == 3
+    # a CTAS that fails downstream (duplicate keys) leaves NO half-born table
+    with pytest.raises(ValueError, match="duplicate keys"):
+        warehouse_sql(spark, wh, "CREATE TABLE dup AS SELECT conv_id, "
+                                 "0 AS turn_idx, text FROM conv")
+    assert not os.path.exists(f"{wh}/dup")
+    with pytest.raises(ValueError, match="no lake table 'missing'"):
+        warehouse_sql(spark, wh, "UPDATE missing SET text = 'x'")
+    with pytest.raises(ValueError, match="not a lake table"):
+        warehouse_sql(spark, wh, "SELECT * FROM ghost VERSION AS OF 1")
+    with pytest.raises(ValueError, match="owning table"):
+        warehouse_sql(spark, wh, "CREATE INDEX i ON conv USING text (text)")
+
+
+def test_drop_table_removes_registered_derived_data(spark, wh):
+    t = _seed(spark, wh)
+    # declare a persisted MV and index so DROP has derived data to own
+    mv = warehouse_sql  # noqa: F841  (readability)
+    t.sql("CREATE MATERIALIZED VIEW stats AS SELECT conv_id, count(*) AS n "
+          "FROM t GROUP BY conv_id", name="t")
+    t.sql("CREATE INDEX terms ON t USING text (text)", name="t")
+    mv_dir = t.root.rstrip("/") + "__mv_stats"
+    idx_dir = t.root.rstrip("/") + "__idx_terms"
+    assert os.path.isdir(mv_dir) and os.path.isdir(idx_dir)
+
+    out = warehouse_sql(spark, wh, "DROP TABLE conv").head()
+    summary = json.loads(out["summary"])
+    assert summary["dropped"].endswith("/conv")
+    assert sorted(os.path.basename(d) for d in summary["derived_dropped"]) == [
+        "conv__idx_terms", "conv__mv_stats"]
+    assert not os.path.exists(t.root)
+    assert not os.path.exists(mv_dir) and not os.path.exists(idx_dir)
+    assert not os.path.exists(idx_dir + "._index.json")
+    # idempotent with IF EXISTS; loud without
+    assert json.loads(warehouse_sql(spark, wh, "DROP TABLE IF EXISTS conv")
+                      .head()["summary"])["dropped"] is None
+    with pytest.raises(ValueError, match="no lake table"):
+        warehouse_sql(spark, wh, "DROP TABLE conv")
+
+
+def test_cli_table_ddl(spark, wh, capsys, monkeypatch):
+    _seed(spark, wh)
+    from maestro_spark.__main__ import main
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rc = main(["sql", "CREATE TABLE c3 AS SELECT conv_id, turn_idx, text "
+               "FROM conv WHERE conv_id = 'A'", "--warehouse", wh])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    assert LakeTable(spark, f"{wh}/c3").read().count() == 2
+    rc = main(["sql", "DROP TABLE c3", "--warehouse", wh])
+    assert rc == 0
+    assert not os.path.exists(f"{wh}/c3")
