@@ -113,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
                          "(scan pruning; default: all payload columns)")
     iv.add_argument("--query-id", default="ivm-view", dest="ivm_query_id",
                     help="epoch-key namespace for a declarative view")
+    iv.add_argument("--where", default=None,
+                    help="pre-aggregation SQL filter for a declarative view")
 
     ln = sub.add_parser("lineage", help="per-epoch lineage/metrics rollup")
     ln.add_argument("--table", required=True)
@@ -676,8 +678,11 @@ def main(argv: list[str] | None = None) -> int:
                     if args.columns else None
                 ),
                 query_id=args.ivm_query_id,
+                where=args.where,
             )
         else:
+            if args.where:
+                raise SystemExit("ivm: --where needs --keys/--aggs")
             view = ConvStatsView(spark, table, args.view)
         snap = view.refresh(to_snapshot=args.to_snapshot)
         print(json.dumps({

@@ -122,7 +122,14 @@ class MaterializedView:
         query_id: str = "ivm-view",
         n_buckets: int | None = None,
         allow_full_only: bool = False,
+        where: str | Column | None = None,
     ):
+        """``where``: optional pre-aggregation row filter (Spark SQL text or
+        a Column) — the view aggregates only matching base rows. Composes
+        with the delta path unchanged: a changed conversation re-aggregates
+        from its FILTERED current rows, and a group whose rows all leave
+        the filter vanishes through the same tombstone anti-join that
+        handles deleted groups."""
         if not key_cols or not aggs:
             raise ValueError("MaterializedView needs key_cols and aggs")
         if "conv_id" not in key_cols and not allow_full_only:
@@ -135,6 +142,7 @@ class MaterializedView:
         self.base = base
         self.key_cols = list(key_cols)
         self.aggs = list(aggs)
+        self.where = F.expr(where) if isinstance(where, str) else where
         self.query_id = query_id
         self._full_only = "conv_id" not in key_cols
         base_payload = {f.name: f for f in base.snapshot().payload_schema().fields}
@@ -146,13 +154,12 @@ class MaterializedView:
             dict.fromkeys([*key_cols, *(columns or base_payload.keys())])
         )
         # derive agg output fields from the PLAN (no job): names must be
-        # unique and distinct from keys/internals
-        probe = (
-            self.base.read(columns=self.columns)
-            .groupBy(*key_cols)
-            .agg(*aggs)
-            .schema
-        )
+        # unique and distinct from keys/internals; the filter joins the
+        # probe so an unresolvable WHERE fails at declaration, not refresh
+        probe_df = self.base.read(columns=self.columns)
+        if self.where is not None:
+            probe_df = probe_df.filter(self.where)
+        probe = probe_df.groupBy(*key_cols).agg(*aggs).schema
         self.agg_fields = [f for f in probe.fields if f.name not in set(key_cols)]
         bad = {f.name for f in self.agg_fields} & {"conv_id", "turn_idx", "op", "op_lsn"}
         if bad:
@@ -305,6 +312,8 @@ class MaterializedView:
         current = self.base.read(
             snapshot_id=to, buckets=buckets, columns=self.columns
         )
+        if self.where is not None:
+            current = current.filter(self.where)
         return self._apply(changed, current, off + to)
 
     def full_refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
@@ -325,6 +334,8 @@ class MaterializedView:
             else self.base.snapshot().snapshot_id
         )
         current = self.base.read(snapshot_id=to, columns=self.columns)
+        if self.where is not None:
+            current = current.filter(self.where)
         agg = (
             current.groupBy(*self.key_cols)
             .agg(*self.aggs)
@@ -532,6 +543,7 @@ def declare(
     columns: list[str] | None = None,
     query_id: str = "sql-mv",
     allow_full_only: bool = False,
+    where: str | None = None,
 ) -> MaterializedView:
     """Declare a PERSISTED materialized view: the declaration itself —
     key columns + aggregate expression TEXT + the base table root — is
@@ -549,6 +561,11 @@ def declare(
 
     from maestro_spark.lake import _atomic_write_json
 
+    if where is not None and not isinstance(where, str):
+        raise ValueError(
+            "declare() persists the filter as SQL text — pass `where` as a "
+            "string (use MaterializedView directly for Column filters)"
+        )
     decl = {
         "base_root": os.path.abspath(base.root),
         "key_cols": list(key_cols),
@@ -556,11 +573,13 @@ def declare(
         "columns": list(columns) if columns else None,
         "query_id": query_id,
         "allow_full_only": allow_full_only,
+        "where": where,
     }
     path = os.path.join(root, _MV_FILE)
     if os.path.exists(path):
         with open(path) as fh:
             prev = _json.load(fh)
+        prev = {**prev, "where": prev.get("where")}  # pre-r5 declarations
         if prev != decl:
             diff = sorted(k for k in decl if prev.get(k) != decl[k])
             raise ValueError(
@@ -577,6 +596,7 @@ def declare(
         columns=columns,
         query_id=query_id,
         allow_full_only=allow_full_only,
+        where=where,
     )
     if not os.path.exists(path):
         _atomic_write_json(path, decl, exclusive=False)
@@ -613,6 +633,7 @@ def load(
         columns=decl["columns"],
         query_id=decl["query_id"],
         allow_full_only=decl["allow_full_only"],
+        where=decl.get("where"),
     )
 
 

@@ -1100,3 +1100,42 @@ ORACLES["q_sql_warehouse"] = f"""
     SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
            MAX(turn_idx) AS last_turn, MIN(text) AS first_text
     FROM ut GROUP BY conv_id"""
+
+
+@q(
+    "q_mv_where",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_mv_where(spark, sf_dir):
+    """WHERE-filtered materialized view (r5 final): a per-conversation
+    aggregate over ONLY tool-calling turns, declared through the SQL front
+    door with a pre-aggregation filter and refreshed by path — must equal
+    DuckDB filtering + aggregating the replayed final state the same way.
+    Certifies that the persisted filter reaches both refresh paths."""
+    import shutil
+
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/mv_where"
+    shutil.rmtree(root, ignore_errors=True)
+    table.sql(
+        f"CREATE MATERIALIZED VIEW '{root}' AS "
+        "SELECT conv_id, count(*) AS n_tool_turns, "
+        "max(turn_idx) AS last_tool_turn "
+        "FROM t WHERE tool IS NOT NULL GROUP BY conv_id"
+    )
+    return table.sql(f"REFRESH MATERIALIZED VIEW '{root}'")
+
+
+ORACLES["q_mv_where"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_tool_turns,
+           MAX(turn_idx) AS last_tool_turn
+    FROM w WHERE op <> 'delete' AND tool IS NOT NULL
+    GROUP BY conv_id"""

@@ -22,7 +22,7 @@ engine REFUSES rather than mis-executes):
       WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | INSERT (…) VALUES (…)
       WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
     ALTER TABLE … (see execute_ddl — metadata-only DDL builders)
-    CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> GROUP BY …
+    CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> [WHERE …] GROUP BY …
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
     CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
@@ -507,7 +507,8 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
     base table's current snapshot. Accepted forms::
 
         CREATE MATERIALIZED VIEW <view> AS
-          SELECT <key cols…, agg_expr AS alias, …> FROM <t> GROUP BY <key cols>
+          SELECT <key cols…, agg_expr AS alias, …> FROM <t>
+          [WHERE <pre-aggregation filter>] GROUP BY <key cols>
         REFRESH MATERIALIZED VIEW <view>
         DROP MATERIALIZED VIEW [IF EXISTS] <view>
 
@@ -558,17 +559,19 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
 
     cm = re.match(
         rf"^\s*create\s+materialized\s+view\s+{_MV_TARGET}\s+as\s+"
-        r"select\s+(.*?)\s+from\s+([A-Za-z_][\w.]*)\s+group\s+by\s+(.*?)\s*;?\s*$",
+        r"select\s+(.*?)\s+from\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+where\s+(.*?))?\s+group\s+by\s+(.*?)\s*;?\s*$",
         sql, re.I | re.S,
     )
     if not cm:
         raise ValueError(
             "unsupported materialized-view statement (want: CREATE "
-            "MATERIALIZED VIEW <view> AS SELECT … FROM <t> GROUP BY …, or "
-            "REFRESH MATERIALIZED VIEW <view>)"
+            "MATERIALIZED VIEW <view> AS SELECT … FROM <t> [WHERE …] "
+            "GROUP BY …, or REFRESH MATERIALIZED VIEW <view>)"
         )
     _require_target(_strip_ident(cm.group(3)), name)
-    keys = [_strip_ident(k) for k in _split_top(cm.group(4))]
+    where = cm.group(4).strip() if cm.group(4) else None
+    keys = [_strip_ident(k) for k in _split_top(cm.group(5))]
     bad_keys = [k for k in keys if not re.fullmatch(r"[A-Za-z_]\w*", k)]
     if bad_keys:
         raise ValueError(
@@ -598,13 +601,16 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
     def _declare(columns):
         mv = ivm.declare(
             table.spark, table, root, key_cols=keys, agg_exprs=agg_exprs,
-            columns=columns,
+            columns=columns, where=where,
         )
         mv.refresh()
         return mv
 
     try:
-        return _declare(_derive_scan_columns(agg_exprs, table) or None)
+        return _declare(
+            _derive_scan_columns(agg_exprs + ([where] if where else []), table)
+            or None
+        )
     except Exception as e:  # noqa: BLE001 — unresolved-column ⇒ pruning miss
         # declare() probes the plan BEFORE persisting the declaration, so a
         # pruning miss leaves no _mv.json behind and the unpruned retry is

@@ -345,3 +345,73 @@ def test_registry_folds_declared_views_in_optimize(spark):
                     dirs_exist_ok=True)
     assert ivm.registered_views(spark, base) == []
     assert len(ivm.registered_views(spark, other)) == 1  # untouched
+
+
+def test_filtered_view_where_delta_semantics(spark, tmp_path):
+    """WHERE-filtered materialized view (r5 final): rows ENTERING and
+    LEAVING the filter across epochs maintain the view through the same
+    delta machinery, a group whose rows all leave the filter vanishes
+    (tombstoned), the persisted declaration carries the filter through
+    load-by-path, staged refresh reconverges to the direct filtered
+    aggregate, and a divergent re-declaration (different WHERE) refuses."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.ivm import declare, load
+
+    TS = dt.datetime(2025, 1, 1)
+    t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", None, TS),
+         (2, "insert", "A", 1, "assistant", "a1", "search", TS),
+         (3, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 0)
+    root = str(tmp_path / "mv")
+    mv = declare(spark, t, root, key_cols=["conv_id"],
+                 agg_exprs=["count(*) AS n_user"], where="role = 'user'")
+    mv.refresh()
+    assert {(r["conv_id"], r["n_user"]) for r in mv.read().collect()} == {
+        ("A", 1), ("B", 1)}
+
+    # one row ENTERS the filter (role flip), one conv LEAVES (delete)
+    merge_batch(t, spark.createDataFrame(
+        [(4, "update", "A", 1, "user", "a1", "search", TS),
+         (5, "delete", "B", 0, None, None, None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 1)
+    mv2 = load(spark, root)  # reconstructed filter from the declaration
+    mv2.refresh()
+    assert {(r["conv_id"], r["n_user"]) for r in mv2.read().collect()} == {
+        ("A", 2)}
+
+    # every row of A leaves the FILTER (not the table): group tombstones
+    merge_batch(t, spark.createDataFrame(
+        [(6, "update", "A", 0, "assistant", "a0", None, TS),
+         (7, "update", "A", 1, "assistant", "a1", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 2)
+    mv2.refresh()
+    assert mv2.read().count() == 0
+    assert t.read().count() == 2  # the base rows themselves are alive
+
+    # reconvergence vs the direct filtered aggregate after more churn
+    merge_batch(t, spark.createDataFrame(
+        [(8, "insert", "C", 0, "user", "c0", None, TS),
+         (9, "insert", "C", 1, "user", "c1", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 3)
+    mv2.refresh()
+    direct = (t.read().filter("role = 'user'").groupBy("conv_id")
+              .agg(F.count("*").alias("n_user")))
+    assert ({(r["conv_id"], r["n_user"]) for r in mv2.read().collect()}
+            == {(r["conv_id"], r["n_user"]) for r in direct.collect()})
+
+    # divergent WHERE refuses; identical re-declare reopens
+    with pytest.raises(ValueError, match="DIFFERENT declaration"):
+        declare(spark, t, root, key_cols=["conv_id"],
+                agg_exprs=["count(*) AS n_user"], where="role = 'x'")
+    declare(spark, t, root, key_cols=["conv_id"],
+            agg_exprs=["count(*) AS n_user"], where="role = 'user'")
+    # an unresolvable WHERE fails at declaration, before anything persists
+    with pytest.raises(Exception, match="UNRESOLVED|cannot be resolved"):
+        declare(spark, t, str(tmp_path / "mv_bad"), key_cols=["conv_id"],
+                agg_exprs=["count(*) AS n"], where="nope = 1")
+    import os
+    assert not os.path.exists(str(tmp_path / "mv_bad"))

@@ -610,3 +610,24 @@ def test_inline_time_travel_refusals(spark, table):
                        "WHERE conv_id = 'E'")
     got = table.read().filter(F.col("conv_id") == "E").head()["text"]
     assert got == "was VERSION AS OF 9"
+
+
+def test_mv_sql_where_filter(spark, table, tmp_path):
+    """CREATE MATERIALIZED VIEW … WHERE … (r5 final): the filter is parsed,
+    applied pre-aggregation, persisted with the declaration, and survives
+    the load-by-path REFRESH."""
+    root = str(tmp_path / "mv_where")
+    out = table.sql(
+        f"CREATE MATERIALIZED VIEW '{root}' AS SELECT conv_id, "
+        "count(*) AS n FROM t WHERE role = 'user' GROUP BY conv_id")
+    assert {(r["conv_id"], r["n"]) for r in out.collect()} == {
+        ("A", 1), ("B", 1)}
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                       "VALUES ('C', 0, 'user', 'c0'), ('C', 1, 'assistant', 'c1')")
+    out = table.sql(f"REFRESH MATERIALIZED VIEW '{root}'")
+    assert {(r["conv_id"], r["n"]) for r in out.collect()} == {
+        ("A", 1), ("B", 1), ("C", 1)}
+    import json as _json
+    import os
+    decl = _json.load(open(os.path.join(root, "_mv.json")))
+    assert decl["where"] == "role = 'user'"
