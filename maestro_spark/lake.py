@@ -2779,6 +2779,8 @@ def warehouse_sql(
     - SELECT — runs over the registered catalog; inline time travel
       (``<table> VERSION|TIMESTAMP AS OF …``) is resolved PER TABLE, so a
       join of one table's history against another's tip is one statement.
+    - ``SHOW TABLES`` / ``DESCRIBE [TABLE] <name>`` — catalog listing and
+      the one-call :func:`describe` report as result rows (metadata only).
     - ``CREATE/REFRESH/DROP MATERIALIZED VIEW`` / ``… INDEX`` refuse with
       a pointer to the owning table's front door (their target is a view
       path, not a table name — routing by guess would be a foot-gun).
@@ -2875,6 +2877,26 @@ def warehouse_sql(
         t.create_view(prefix + tname)
         return t.read()
 
+    if re.match(r"^\s*show\s+tables\s*;?\s*$", query, re.I):
+        rows = []
+        for tname in sorted(_lake_dirs(warehouse)):
+            t = LakeTable(spark, os.path.join(warehouse, tname))
+            snap = t.snapshot()
+            rows.append((tname, snap.snapshot_id, snap.n_buckets,
+                         len(snap.payload_schema().fields)))
+        return spark.createDataFrame(
+            rows or [], "table_name string, snapshot_id long, n_buckets int, "
+                        "n_columns int",
+        )
+    if dm := re.match(r"^\s*describe\s+(?:table\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+                      query, re.I):
+        t = LakeTable(spark, _root_of(dm.group(1)))
+        rep = describe(t)
+        return spark.createDataFrame(
+            [(k, json.dumps(v) if not isinstance(v, str) else v)
+             for k, v in rep.items()],
+            "property string, value string",
+        )
     target = sqldml.statement_target(query)
     if target is not None:
         return LakeTable(spark, _root_of(target)).sql(query, name=target)

@@ -131,3 +131,20 @@ def test_cli_table_ddl(spark, wh, capsys, monkeypatch):
     rc = main(["sql", "DROP TABLE c3", "--warehouse", wh])
     assert rc == 0
     assert not os.path.exists(f"{wh}/c3")
+
+
+def test_show_tables_and_describe(spark, wh):
+    _seed(spark, wh)
+    warehouse_sql(spark, wh, "CREATE TABLE empty_t (conv_id string, "
+                             "turn_idx int, note string)")
+    rows = {r["table_name"]: r for r in
+            warehouse_sql(spark, wh, "SHOW TABLES").collect()}
+    assert set(rows) == {"conv", "empty_t"}
+    assert rows["conv"]["n_columns"] == 4 and rows["empty_t"]["n_columns"] == 3
+    props = {r["property"]: r["value"] for r in
+             warehouse_sql(spark, wh, "DESCRIBE conv").collect()}
+    assert props["root"].endswith("/conv")
+    assert json.loads(props["rows_incl_tombstones"]) == 3
+    assert "conv_id:string" in props["schema"]
+    with pytest.raises(ValueError, match="no lake table"):
+        warehouse_sql(spark, wh, "DESCRIBE ghost")
