@@ -835,6 +835,12 @@ def _finalize_registration_order() -> None:
         "q_alter",      # ALTER TABLE — now METADATA-ONLY rename/drop (r5)
         "q_token_est",  # subword token estimate (engine-parity regex)
         "q_knn_join",   # per-row k-NN join (3rd similarity family row)
+        # round 5 FINAL-session rotations (same protocol: each proven
+        # oracle-exact out-of-window via check_oracles in this session
+        # before promotion; displaced rows listed in secondary):
+        "q_sql_timetravel",  # inline VERSION/TIMESTAMP AS OF (M45)
+        "q_sql_warehouse",   # warehouse door: CTAS + routed DML (M46)
+        "q_mv_where",        # WHERE-filtered materialized views (M47)
     ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
@@ -893,6 +899,17 @@ def _finalize_registration_order() -> None:
         #   verbatim inside the in-window q_curate capstone
         "q_dedup_maxlsn", "q_count_distinct", "q_collect_ordered",
         "q_fn_math", "q_join_outer", "q_text_stats",
+        # round 5 FINAL demotions for the M45-M47 capability rows — each
+        # one's machinery stays exercised by in-window rows and all three
+        # stay oracle-checked locally per round:
+        # - q_project (B1): bare projection runs inside virtually every
+        #   in-window oracle (the flagship replay's select, q_topk, …)
+        # - q_filter (B2): predicate machinery runs in-window via
+        #   q_read_tsrange / q_read_colrange / q_topk's filters
+        # - q_fn_date (H-date): event-time scalar machinery runs in-window
+        #   inside q_win_tumble / q_session / q_read_tsrange; the string
+        #   family keeps its dedicated row
+        "q_project", "q_filter", "q_fn_date",
         # scalar-family seconds and the B4 twin (q_quarantine now carries
         # the error-channel signal) yield their slots to the promoted
         # curation capstones; all four were driver-green in r1 and stay
