@@ -694,8 +694,11 @@ class LakeTable:
         quoted TAG name (:meth:`tag`); ``TIMESTAMP AS OF`` takes a quoted
         ISO datetime or epoch seconds (:meth:`snapshot_id_at`). The clause
         is equivalent to the ``snapshot_id=`` kwarg (pass one or the
-        other); several clauses must agree on one snapshot, and a clause on
-        a write statement refuses — history is immutable."""
+        other); several clauses must agree on one snapshot. On ``INSERT …
+        SELECT`` / ``MERGE … USING`` a pin applies to the statement's
+        SOURCE read — point-in-time repair (restore rows from history into
+        the live tip as a normal fenced write); UPDATE/DELETE and DDL
+        refuse a pin (they never read the view, so it could only mislead)."""
         from maestro_spark import sqldml
 
         query, tt_pins = sqldml.extract_time_travel(query, name)
@@ -705,14 +708,33 @@ class LakeTable:
                     "pass the time-travel pin inline OR as a kwarg, not both"
                 )
             snapshot_id = self._resolve_tt_pins(tt_pins)
+            if sqldml.is_dml(query):
+                # a pin on the SOURCE of INSERT … SELECT / MERGE … USING is
+                # point-in-time repair (Delta parity: restore rows from
+                # history into the live table) — those statements read the
+                # registered view, so pinning the view pins exactly the
+                # source. UPDATE/DELETE never read the view (their
+                # predicates evaluate against live rows inside the
+                # builders), so a pin there would be silently ignored —
+                # refuse instead.
+                verb = sqldml._VERB_RE.match(query).group(1).lower()
+                if verb not in ("insert", "merge"):
+                    raise ValueError(
+                        "time travel pins the statement's SOURCE read; "
+                        f"{verb.upper()} reads only live rows — only "
+                        "INSERT … SELECT and MERGE … USING accept a pin"
+                    )
+                self.create_view(name, snapshot_id=snapshot_id)
+                sqldml.execute_dml(self, query, name=name)
+                return self.create_view(name)
             for routed in (
                 sqldml.is_mv, sqldml.is_maintenance, sqldml.is_index,
-                sqldml.is_ddl, sqldml.is_dml,
+                sqldml.is_ddl,
             ):
                 if routed(query):
                     raise ValueError(
-                        "time travel is read-only: a write/DDL statement "
-                        "cannot target VERSION/TIMESTAMP AS OF"
+                        "time travel is read-only: a DDL/maintenance "
+                        "statement cannot target VERSION/TIMESTAMP AS OF"
                     )
 
         if sqldml.is_mv(query):

@@ -591,9 +591,9 @@ def test_inline_time_travel_refusals(spark, table):
 
     with pytest.raises(ValueError, match="inline OR as a kwarg"):
         table.sql(f"SELECT * FROM t VERSION AS OF {s1}", snapshot_id=s1)
-    with pytest.raises(ValueError, match="read-only"):
+    with pytest.raises(ValueError, match="only.*INSERT.*MERGE"):
         table.sql(f"DELETE FROM t VERSION AS OF {s1} WHERE 1=1")
-    with pytest.raises(ValueError, match="read-only"):
+    with pytest.raises(ValueError, match="reads only live rows"):
         table.sql(f"UPDATE t FOR VERSION AS OF {s1} SET text = 'x'")
     with pytest.raises(ValueError, match="must agree"):
         table.sql(f"SELECT t1.* FROM t VERSION AS OF {s1} t1, "
@@ -631,3 +631,37 @@ def test_mv_sql_where_filter(spark, table, tmp_path):
     import os
     decl = _json.load(open(os.path.join(root, "_mv.json")))
     assert decl["where"] == "role = 'user'"
+
+
+def test_time_travel_repair_insert_and_merge(spark, table):
+    """Point-in-time repair (r5 final): a time-travel pin on the SOURCE of
+    INSERT … SELECT / MERGE … USING restores rows from history into the
+    live table — the statement's view reads the pinned snapshot, the write
+    is a normal fenced epoch on the tip."""
+    s1 = table.snapshot().snapshot_id
+    execute_dml(table, "DELETE FROM t WHERE conv_id = 'B'")
+    assert table.read().filter(F.col("conv_id") == "B").count() == 0
+
+    # restore the deleted conversation from the pre-delete snapshot
+    table.sql(f"INSERT INTO t (conv_id, turn_idx, role, text) "
+              f"SELECT conv_id, turn_idx, role, text "
+              f"FROM t VERSION AS OF {s1} WHERE conv_id = 'B'")
+    got = table.read().filter(F.col("conv_id") == "B").collect()
+    assert [(r["turn_idx"], r["text"]) for r in got] == [(0, "b0")]
+    # the restore is a NEW higher-LSN write, not a resurrection of the
+    # tombstoned version: the change feed shows it as the winner
+    assert table.read().count() == 3
+
+    # MERGE flavor: overwrite live text from a pinned snapshot's values
+    execute_dml(table, "UPDATE t SET text = 'clobbered' WHERE conv_id = 'A'")
+    table.sql(f"""
+        MERGE INTO t USING (SELECT conv_id, turn_idx, text
+                            FROM t VERSION AS OF {s1}
+                            WHERE conv_id = 'A') AS s
+        ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+        WHEN MATCHED THEN UPDATE SET text = s.text""")
+    texts = {r["turn_idx"]: r["text"] for r in
+             table.read().filter(F.col("conv_id") == "A").collect()}
+    assert texts == {0: "a0", 1: "a1"}
+    # follow-up SELECT through the front door sees the repaired tip
+    assert table.sql("SELECT count(*) AS n FROM t").head()["n"] == 3
