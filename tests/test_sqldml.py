@@ -665,3 +665,56 @@ def test_time_travel_repair_insert_and_merge(spark, table):
     assert texts == {0: "a0", 1: "a1"}
     # follow-up SELECT through the front door sees the repaired tip
     assert table.sql("SELECT count(*) AS n FROM t").head()["n"] == 3
+
+
+def test_time_travel_extraction_property():
+    """Property (hypothesis): for ANY statement assembled from quoted
+    literals (which may contain clause-shaped text) and real clauses on the
+    registered name, extraction finds exactly the real clauses, strips
+    exactly them, and never mistakes literal content for a pin."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from maestro_spark.sqldml import extract_time_travel_any
+
+    kinds = st.sampled_from(["VERSION", "FOR VERSION", "TIMESTAMP",
+                             "FOR SYSTEM_TIME", "for version", "timestamp"])
+    vals = st.sampled_from(["3", "12.5", "'2025-01-01 00:00:00'", "'rel-1'",
+                            '"tagname"'])
+    idents = st.sampled_from(["t", "conv", "my_table"])
+    lit_bodies = st.sampled_from([
+        "plain text", "x VERSION AS OF 9", "FOR SYSTEM_TIME AS OF 1",
+        "it''s TIMESTAMP AS OF '2020'", ""])
+
+    @st.composite
+    def statements(draw):
+        parts, clauses = ["SELECT * FROM"], []
+        for _ in range(draw(st.integers(0, 3))):
+            which = draw(st.integers(0, 2))
+            if which == 0:  # a real clause on a table reference
+                ident = draw(idents)
+                kind, val = draw(kinds), draw(vals)
+                parts.append(f"{ident} {kind} AS OF {val}")
+                norm = "VERSION" if "version" in kind.lower() else "TIMESTAMP"
+                clauses.append((ident, norm, val))
+            elif which == 1:  # a quoted literal with clause-shaped text
+                parts.append(f"WHERE x = '{draw(lit_bodies)}'")
+            else:
+                parts.append("JOIN u ON 1=1")
+        return " ".join(parts), clauses
+
+    @given(statements())
+    @settings(max_examples=200, deadline=None)
+    def check(case):
+        sql, clauses = case
+        stripped, by_ident = extract_time_travel_any(sql)
+        got = [(i, k, v) for i, pins in by_ident.items() for k, v in pins]
+        # every real clause found with its ident/kind/value, nothing else
+        assert sorted(got) == sorted(clauses)
+        # stripping removed exactly the clause text (idents survive)
+        assert "AS OF" not in stripped.replace(
+            "''", "").split("'")[0] or not clauses
+        re_stripped, re_pins = extract_time_travel_any(stripped)
+        assert re_stripped == stripped and not re_pins  # idempotent
+
+    check()
