@@ -2830,6 +2830,15 @@ def warehouse_sql(
         tname = spec["name"]
         root = os.path.join(warehouse, tname)
         exists = os.path.isdir(os.path.join(root, SNAP_DIR))
+        if exists and spec["op"] == "create":
+            # a crash between mkdir and the first snapshot publish leaves a
+            # half-born dir: no committed state exists, so CREATE resumes
+            # it instead of refusing against (or opening) an empty shell
+            try:
+                LakeTable(spark, root).snapshot()
+            except (IndexError, FileNotFoundError):
+                shutil.rmtree(root)
+                exists = False
         if spec["op"] == "drop":
             if not exists:
                 if spec["if_exists"]:

@@ -148,3 +148,19 @@ def test_show_tables_and_describe(spark, wh):
     assert "conv_id:string" in props["schema"]
     with pytest.raises(ValueError, match="no lake table"):
         warehouse_sql(spark, wh, "DESCRIBE ghost")
+
+
+def test_create_resumes_half_born_table(spark, wh):
+    """A crash between mkdir and the first snapshot publish leaves a dir
+    with an empty _snapshots/ chain; CREATE TABLE resumes it (both plain
+    and IF NOT EXISTS) instead of refusing against an empty shell."""
+    os.makedirs(f"{wh}/ghost/_snapshots")  # the half-born shape
+    df = warehouse_sql(spark, wh, "CREATE TABLE ghost (conv_id string, "
+                                  "turn_idx int, note string)")
+    assert df.columns == ["conv_id", "turn_idx", "note"]
+    t = LakeTable(spark, f"{wh}/ghost")
+    assert t.snapshot().snapshot_id == 0
+    # a fully-born table still refuses a plain re-CREATE
+    with pytest.raises(ValueError, match="already exists"):
+        warehouse_sql(spark, wh, "CREATE TABLE ghost (conv_id string, "
+                                 "turn_idx int)")
