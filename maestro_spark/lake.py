@@ -774,6 +774,15 @@ class LakeTable:
                 raise ValueError("DDL cannot target a time-travel pin")
             sqldml.execute_ddl(self, query, name=name)
             return self.create_view(name)
+        if sqldml.is_copy(query):
+            if snapshot_id is not None or ts is not None:
+                raise ValueError("COPY INTO cannot target a time-travel pin")
+            summary = sqldml.execute_copy(self, query, name=name)
+            self.create_view(name)  # follow-up SELECTs see the loaded state
+            return self.spark.createDataFrame(
+                [("copy_into", json.dumps(summary))],
+                "op: string, summary: string",
+            )
         if sqldml.is_dml(query):
             if snapshot_id is not None or ts is not None:
                 raise ValueError("DML cannot target a time-travel pin")

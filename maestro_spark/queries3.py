@@ -1139,3 +1139,64 @@ ORACLES["q_mv_where"] = f"""
            MAX(turn_idx) AS last_tool_turn
     FROM w WHERE op <> 'delete' AND tool IS NOT NULL
     GROUP BY conv_id"""
+
+
+_COPY_DEMO_DIR = "/tmp/maestro_copy_demo"
+
+
+def _ensure_copy_fixture() -> str:
+    """Deterministic incoming-file fixture: two clean CSVs + one with a
+    planted corrupt row — both engines read these same bytes."""
+    import os as _os
+
+    src = f"{_COPY_DEMO_DIR}/incoming"
+    if not _os.path.exists(f"{src}/c.csv"):
+        _os.makedirs(src, exist_ok=True)
+        for name, rows in (
+            ("a.csv", [f"conv_{i:03d},0,user,text a{i}" for i in range(40)]),
+            ("b.csv", [f"conv_{i:03d},1,assistant,text b{i}" for i in range(40)]),
+            ("c.csv", [f"conv_{i:03d},2,user,text c{i}" for i in range(20)]
+                      + ["conv_bad,not_an_int,user,broken row"]),
+        ):
+            with open(f"{src}/{name}.tmp", "w") as fh:
+                fh.write("conv_id,turn_idx,role,text\n")
+                fh.write("\n".join(rows) + "\n")
+            _os.replace(f"{src}/{name}.tmp", f"{src}/{name}")
+    return src
+
+
+@q(
+    "q_copy_into",
+    None,  # bound at registration below (needs the fixture path literal)
+)
+def q_copy_into(spark, sf_dir):
+    """COPY INTO (r5 final): idempotent per-file bulk load through the SQL
+    front door — load the fixture TWICE (the second pass must skip every
+    file), then aggregate the table; the result must equal DuckDB reading
+    the same CSV bytes with the same validity rule (the planted corrupt
+    row quarantines, never lands). Certifies the grammar, the per-file
+    exactly-once keying, and the typed corrupt-record channel."""
+    import shutil
+
+    from maestro_spark.lake import LakeTable
+
+    src = _ensure_copy_fixture()
+    root = f"{_COPY_DEMO_DIR}/lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable.create(spark, root, n_buckets=4)
+    for _ in range(2):  # second pass: files_loaded must be 0 (idempotent)
+        table.sql(f"COPY INTO t FROM '{src}' FILEFORMAT = csv", name="t")
+    return table.sql(
+        "SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS last_turn, "
+        "min(text) AS first_text FROM t GROUP BY conv_id"
+    )
+
+
+ORACLES["q_copy_into"] = f"""
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           MAX(turn_idx) AS last_turn, MIN(text) AS first_text
+    FROM read_csv('{_COPY_DEMO_DIR}/incoming/*.csv',
+                  columns = {{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER',
+                              'role': 'VARCHAR', 'text': 'VARCHAR'}},
+                  header = true, ignore_errors = true)
+    GROUP BY conv_id"""

@@ -25,6 +25,8 @@ engine REFUSES rather than mis-executes):
     CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> [WHERE …] GROUP BY …
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
+    COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
+      (idempotent per-file bulk load — ingest.copy_into)
     CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
     CREATE TABLE <name> [WITH (…)] AS SELECT … / DROP TABLE [IF EXISTS] <name>
       (table provisioning — the warehouse front door, lake.warehouse_sql)
@@ -813,7 +815,9 @@ def parse_table_ddl(sql: str) -> dict:
     grammar — see :func:`maestro_spark.lake.warehouse_sql`) into a plain
     spec dict. Accepted forms::
 
-        CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
+        COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
+      (idempotent per-file bulk load — ingest.copy_into)
+    CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
         CREATE TABLE [IF NOT EXISTS] <name> [WITH (…)] AS SELECT …
         DROP TABLE [IF EXISTS] <name>
 
@@ -874,6 +878,7 @@ _TARGET_RES = [
         r"^\s*alter\s+table\s+([A-Za-z_]\w*)\b",
         r"^\s*optimize\s+([A-Za-z_]\w*)\b",
         r"^\s*vacuum\s+([A-Za-z_]\w*)\b",
+        r"^\s*copy\s+into\s+([A-Za-z_]\w*)\b",
     )
 ]
 
@@ -887,3 +892,39 @@ def statement_target(sql: str) -> str | None:
         if m := rx.match(sql or ""):
             return _strip_ident(m.group(1))
     return None
+
+
+# ------------------------------------------------------------- COPY INTO
+_COPY_RE = re.compile(r"^\s*copy\s+into\b", re.I)
+
+
+def is_copy(sql: str) -> bool:
+    """True when the statement is COPY INTO."""
+    return bool(_COPY_RE.match(sql or ""))
+
+
+def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
+    """Compile one ``COPY INTO`` statement onto :func:`ingest.copy_into`
+    (idempotent per-file bulk load). Accepted form::
+
+        COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet>
+          [WITH (option = value, …)]
+
+    Options pass through to the typed reader (e.g. ``sep = '|'`` for CSV);
+    anything outside the grammar refuses with the reason."""
+    m = re.match(
+        r"^\s*copy\s+into\s+([A-Za-z_][\w.]*)\s+from\s+'([^']+)'\s+"
+        r"fileformat\s*=\s*([A-Za-z]+)"
+        r"(?:\s+with\s*\((.*?)\))?\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported COPY statement (want: COPY INTO <t> FROM '<path>' "
+            "FILEFORMAT = <csv|json|parquet> [WITH (option = value, …)])"
+        )
+    _require_target(_strip_ident(m.group(1)), name)
+    from maestro_spark.ingest import copy_into
+
+    options = _parse_with_params(m.group(4)) if m.group(4) else {}
+    return copy_into(table, m.group(2), m.group(3), **options)

@@ -164,3 +164,63 @@ def test_create_resumes_half_born_table(spark, wh):
     with pytest.raises(ValueError, match="already exists"):
         warehouse_sql(spark, wh, "CREATE TABLE ghost (conv_id string, "
                                  "turn_idx int)")
+
+
+def test_copy_into_idempotent_per_file(spark, wh, tmp_path):
+    """COPY INTO (r5 final): per-file exactly-once derived from the
+    snapshot chain's own epoch keys (no side-state), corrupt rows to the
+    merge-compatible quarantine, re-runs load only NEW files, and the
+    loaded rows carry a fresh dominating LSN."""
+    import json as _json
+
+    from maestro_spark.merge import read_quarantine
+
+    _seed(spark, wh)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "conv_id,turn_idx,role,text\nX,0,user,x0\nX,1,assistant,x1\n")
+    (src / "b.csv").write_text(
+        "conv_id,turn_idx,role,text\nY,0,user,y0\nY,oops,user,bad\n")
+
+    s1 = _json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src}' FILEFORMAT = csv"
+    ).head()["summary"])
+    assert (s1["files_loaded"], s1["rows_loaded"], s1["rows_quarantined"]) \
+        == (2, 3, 1)
+    t = LakeTable(spark, f"{wh}/conv")
+    assert t.read().count() == 6  # 3 seeded + 3 loaded
+
+    # exact re-run: nothing loads, nothing duplicates
+    s2 = _json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src}' FILEFORMAT = csv"
+    ).head()["summary"])
+    assert (s2["files_loaded"], s2["files_skipped"], s2["rows_loaded"]) \
+        == (0, 2, 0)
+    assert t.read().count() == 6
+
+    # a new file loads alone; a loaded file's UPSERT dominates prior rows
+    (src / "c.csv").write_text(
+        "conv_id,turn_idx,role,text\nA,0,user,REPLACED\n")
+    s3 = _json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src}' FILEFORMAT = csv"
+    ).head()["summary"])
+    assert (s3["files_loaded"], s3["files_skipped"]) == (1, 2)
+    assert t.read().filter("conv_id = 'A' AND turn_idx = 0") \
+        .head()["text"] == "REPLACED"
+
+    # the DLQ row is readable through the standard repair flow
+    dlq = read_quarantine(t, "copy").collect()
+    assert len(dlq) == 1 and dlq[0]["_reason"] == "corrupt_record"
+    assert "oops" in dlq[0]["_corrupt"]
+
+    # grammar refusals
+    with pytest.raises(ValueError, match="fileformat"):
+        warehouse_sql(spark, wh, f"COPY INTO conv FROM '{src}' "
+                                 "FILEFORMAT = avro")
+    with pytest.raises(ValueError, match="no files"):
+        warehouse_sql(spark, wh, f"COPY INTO conv FROM '{src}/none-*' "
+                                 "FILEFORMAT = csv")
+    with pytest.raises(ValueError, match="unsupported COPY"):
+        warehouse_sql(spark, wh, "COPY INTO conv FROM missing_quotes "
+                                 "FILEFORMAT = csv")
