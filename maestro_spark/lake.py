@@ -701,6 +701,20 @@ class LakeTable:
         refuse a pin (they never read the view, so it could only mislead)."""
         from maestro_spark import sqldml
 
+        if sqldml.is_restore(query):
+            # before clause extraction: RESTORE's own `TO VERSION AS OF`
+            # would otherwise parse as a time-travel pin on ident 'TO'
+            if snapshot_id is not None or ts is not None:
+                raise ValueError(
+                    "RESTORE carries its own pin — drop the kwarg"
+                )
+            snap = sqldml.execute_restore(self, query, name=name)
+            self.create_view(name)  # follow-up SELECTs see the restored tip
+            return self.spark.createDataFrame(
+                [("restore", snap.snapshot_id,
+                  snap.stats.get("rollback_to"))],
+                "op: string, snapshot_id: long, restored_to: long",
+            )
         query, tt_pins = sqldml.extract_time_travel(query, name)
         if tt_pins:
             if snapshot_id is not None or ts is not None:

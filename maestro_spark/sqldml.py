@@ -27,6 +27,8 @@ engine REFUSES rather than mis-executes):
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
     COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
       (idempotent per-file bulk load — ingest.copy_into)
+    RESTORE TABLE <t> TO VERSION AS OF <id|'tag'> / TO TIMESTAMP AS OF <'iso'|epoch>
+      (forward-only rollback — lake.rollback)
     CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
     CREATE TABLE <name> [WITH (…)] AS SELECT … / DROP TABLE [IF EXISTS] <name>
       (table provisioning — the warehouse front door, lake.warehouse_sql)
@@ -817,6 +819,8 @@ def parse_table_ddl(sql: str) -> dict:
 
         COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
       (idempotent per-file bulk load — ingest.copy_into)
+    RESTORE TABLE <t> TO VERSION AS OF <id|'tag'> / TO TIMESTAMP AS OF <'iso'|epoch>
+      (forward-only rollback — lake.rollback)
     CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
         CREATE TABLE [IF NOT EXISTS] <name> [WITH (…)] AS SELECT …
         DROP TABLE [IF EXISTS] <name>
@@ -879,6 +883,7 @@ _TARGET_RES = [
         r"^\s*optimize\s+([A-Za-z_]\w*)\b",
         r"^\s*vacuum\s+([A-Za-z_]\w*)\b",
         r"^\s*copy\s+into\s+([A-Za-z_]\w*)\b",
+        r"^\s*restore\s+table\s+([A-Za-z_]\w*)\b",
     )
 ]
 
@@ -928,3 +933,40 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
 
     options = _parse_with_params(m.group(4)) if m.group(4) else {}
     return copy_into(table, m.group(2), m.group(3), **options)
+
+
+# ---------------------------------------------------------- RESTORE TABLE
+_RESTORE_RE = re.compile(r"^\s*restore\s+table\b", re.I)
+
+
+def is_restore(sql: str) -> bool:
+    """True when the statement is RESTORE TABLE."""
+    return bool(_RESTORE_RE.match(sql or ""))
+
+
+def execute_restore(table: LakeTable, sql: str, name: str = "t") -> Snapshot:
+    """Compile one ``RESTORE TABLE`` statement (Delta parity) onto
+    :meth:`LakeTable.rollback`. Accepted form::
+
+        RESTORE TABLE <t> TO VERSION AS OF <id | 'tag'>
+        RESTORE TABLE <t> TO TIMESTAMP AS OF <'iso' | epoch-seconds>
+
+    Forward-only history, same as the native call: the restore publishes a
+    NEW snapshot re-stating the target's content; the bad epochs stay
+    visible for audit and the change feed refuses ranges spanning the
+    boundary (consumers re-sync)."""
+    m = re.match(
+        r"^\s*restore\s+table\s+([A-Za-z_][\w.]*)\s+to\s+"
+        r"(version|timestamp)\s+as\s+of\s+"
+        r"('[^']*'|\"[^\"]*\"|\d+(?:\.\d+)?)\s*;?\s*$",
+        sql, re.I,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported RESTORE statement (want: RESTORE TABLE <t> TO "
+            "VERSION AS OF <id|'tag'> or TO TIMESTAMP AS OF <'iso'|epoch>)"
+        )
+    _require_target(_strip_ident(m.group(1)), name)
+    kind = m.group(2).upper()
+    sid = table._resolve_tt_pins([(kind, m.group(3))])
+    return table.rollback(sid)

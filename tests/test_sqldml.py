@@ -718,3 +718,34 @@ def test_time_travel_extraction_property():
         assert re_stripped == stripped and not re_pins  # idempotent
 
     check()
+
+
+def test_restore_table_sql(spark, table):
+    """RESTORE TABLE (r5 final, Delta parity): rolls the table back to a
+    version or tag through the SQL door — forward-only (a NEW snapshot
+    re-states the target; history stays for audit) — and refuses outside
+    the grammar."""
+    s1 = table.snapshot().snapshot_id
+    table.tag("good", s1)
+    execute_dml(table, "DELETE FROM t WHERE conv_id = 'A'")
+    assert table.read().count() == 1
+
+    out = table.sql(f"RESTORE TABLE t TO VERSION AS OF {s1}").head()
+    assert out["op"] == "restore" and out["restored_to"] == s1
+    assert out["snapshot_id"] > s1  # forward-only: a NEW snapshot
+    assert table.read().count() == 3
+
+    # tag flavor, via the warehouse-door routing too
+    execute_dml(table, "DELETE FROM t WHERE conv_id = 'B'")
+    table.sql("RESTORE TABLE t TO VERSION AS OF 'good'")
+    assert table.read().count() == 3
+
+    # timestamp flavor
+    t1 = table.snapshot(s1).committed_at
+    table.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF {t1!r}")
+    assert table.read().count() == 3
+
+    with pytest.raises(ValueError, match="unsupported RESTORE"):
+        table.sql("RESTORE TABLE t VERSION AS OF 1")  # missing TO
+    with pytest.raises(ValueError, match="targets"):
+        table.sql("RESTORE TABLE other TO VERSION AS OF 1")
