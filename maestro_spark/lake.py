@@ -2826,9 +2826,11 @@ def warehouse_sql(
       join of one table's history against another's tip is one statement.
     - ``SHOW TABLES`` / ``DESCRIBE [TABLE] <name>`` — catalog listing and
       the one-call :func:`describe` report as result rows (metadata only).
-    - ``CREATE/REFRESH/DROP MATERIALIZED VIEW`` / ``… INDEX`` refuse with
-      a pointer to the owning table's front door (their target is a view
-      path, not a table name — routing by guess would be a foot-gun).
+    - ``CREATE/REFRESH/DROP MATERIALIZED VIEW`` / ``… INDEX`` — CREATE
+      routes by its inline base reference (``FROM <t>`` / ``ON <t>``);
+      REFRESH/DROP resolve the owning base from the view/index's own
+      persisted declaration (quoted-path targets; bare names resolve
+      relative to a base table, so those use that table's front door).
 
     Scale: provisioning and routing are driver-side metadata; every data
     plan is the same one the single-table door produces."""
@@ -2955,11 +2957,48 @@ def warehouse_sql(
     if target is not None:
         return LakeTable(spark, _root_of(target)).sql(query, name=target)
     if sqldml.is_mv(query) or sqldml.is_index(query):
-        raise ValueError(
-            "materialized-view / index DDL targets a view path, not a "
-            "table — run it through the owning table's front door: "
-            "LakeTable(spark, root).sql(...)"
+        # CREATE names its base inline (FROM <t> / ON <t>); REFRESH/DROP
+        # resolve the owning base from the view/index's own PERSISTED
+        # declaration — so every verb routes from the warehouse door too
+        mv_stmt = sqldml.is_mv(query)
+        masked = sqldml._mask_literal_bodies(query)
+        if re.match(r"^\s*create\b", query, re.I):
+            m = re.search(
+                r"\bfrom\s+([A-Za-z_]\w*)" if mv_stmt
+                else r"\bon\s+([A-Za-z_]\w*)",
+                masked, re.I,
+            )
+            if not m:
+                raise ValueError(
+                    "cannot find the base table in the CREATE statement"
+                )
+            base_name = query[m.start(1) : m.end(1)]
+            return LakeTable(spark, _root_of(base_name)).sql(
+                query, name=base_name
+            )
+        tm = re.search(
+            r"(?:view|index)\s+(?:if\s+exists\s+)?('[^']+'|\"[^\"]+\")",
+            masked, re.I,
         )
+        if not tm:
+            raise ValueError(
+                "warehouse REFRESH/DROP of a view/index needs a QUOTED "
+                "path target (a bare name resolves relative to its base "
+                "table — use that table's front door for bare names)"
+            )
+        path = query[tm.start(1) + 1 : tm.end(1) - 1]
+        if_exists = bool(re.search(r"\bif\s+exists\b", masked, re.I))
+        from maestro_spark import index_maint as _im
+        from maestro_spark import ivm as _ivm
+
+        try:
+            obj = (_ivm.load if mv_stmt else _im.load_index)(spark, path)
+        except ValueError:
+            if if_exists and re.match(r"^\s*drop\b", query, re.I):
+                kind = "dropped_view" if mv_stmt else "dropped_index"
+                return spark.createDataFrame([(None,)], f"{kind}: string")
+            raise
+        return obj.base.sql(query)
     # SELECT over the catalog, with per-table inline time travel
     stripped, by_ident = sqldml.extract_time_travel_any(query)
     tables = register_catalog(spark, warehouse, prefix=prefix)

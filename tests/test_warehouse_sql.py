@@ -224,3 +224,38 @@ def test_copy_into_idempotent_per_file(spark, wh, tmp_path):
     with pytest.raises(ValueError, match="unsupported COPY"):
         warehouse_sql(spark, wh, "COPY INTO conv FROM missing_quotes "
                                  "FILEFORMAT = csv")
+
+
+def test_warehouse_routes_mv_and_index_ddl(spark, wh, tmp_path):
+    """Every MV/index verb routes from the warehouse door (r5 final):
+    CREATE by its inline base reference, REFRESH/DROP by the persisted
+    declaration's own base root (quoted-path targets)."""
+    _seed(spark, wh)
+    mv_root = str(tmp_path / "mv")
+    out = warehouse_sql(
+        spark, wh, f"CREATE MATERIALIZED VIEW '{mv_root}' AS "
+        "SELECT conv_id, count(*) AS n FROM conv GROUP BY conv_id")
+    assert {(r["conv_id"], r["n"]) for r in out.collect()} == {
+        ("A", 2), ("B", 1)}
+    warehouse_sql(spark, wh, "INSERT INTO conv (conv_id, turn_idx, role, "
+                             "text) VALUES ('C', 0, 'user', 'c0')")
+    out = warehouse_sql(spark, wh, f"REFRESH MATERIALIZED VIEW '{mv_root}'")
+    assert ("C", 1) in {(r["conv_id"], r["n"]) for r in out.collect()}
+
+    idx_root = str(tmp_path / "idx")
+    warehouse_sql(spark, wh, f"CREATE INDEX '{idx_root}' ON conv "
+                             "USING text (text) WITH (n_buckets = 4)")
+    warehouse_sql(spark, wh, f"REFRESH INDEX '{idx_root}'")
+    assert os.path.isdir(idx_root)
+
+    assert warehouse_sql(spark, wh, f"DROP INDEX '{idx_root}'") \
+        .head()[0] == idx_root
+    assert warehouse_sql(spark, wh, f"DROP MATERIALIZED VIEW '{mv_root}'") \
+        .head()[0] == mv_root
+    # IF EXISTS no-ops on the already-dropped path
+    assert warehouse_sql(
+        spark, wh, f"DROP MATERIALIZED VIEW IF EXISTS '{mv_root}'"
+    ).head()[0] is None
+    # bare-name REFRESH/DROP need the owning table's door
+    with pytest.raises(ValueError, match="QUOTED path"):
+        warehouse_sql(spark, wh, "REFRESH MATERIALIZED VIEW stats")
