@@ -149,30 +149,40 @@ def copy_into(
     src: str,
     fileformat: str,
     query_id: str = "copy",
+    per_file: bool = True,
     **options,
 ) -> dict:
     """Idempotent bulk file load (Databricks ``COPY INTO`` parity, CDC-
-    adapted): load every data file under ``src`` (a directory or glob) into
-    the lake table EXACTLY ONCE per file, as upserts at a fresh LSN.
+    adapted): load every data file under ``src`` (a directory, glob, or
+    single file) into the lake table EXACTLY ONCE per file, as upserts at
+    a fresh LSN. Re-running after new files arrive loads only the new
+    files.
 
-    File-level exactly-once with ZERO new state: each file loads as its own
-    merge epoch whose key is derived from the file's name+size fingerprint,
-    and the loaded set is recovered from the snapshot chain's own committed
-    epoch keys — the same authoritative index every other writer uses, so a
-    crash anywhere (including between commit and ledger record) can never
-    double-load or lose a file. Re-running after new files arrive loads
-    only the new files.
+    Two commit granularities, interoperable on the same table:
 
-    ``fileformat``: ``csv`` / ``json`` / ``parquet``. CSV/JSON decode typed
-    against the table's payload schema with the PERMISSIVE corrupt-record
-    channel; corrupt rows dead-letter to the table's quarantine dir
-    (``_reason='corrupt_record'``, same layout/repair flow as the merge
-    DLQ) instead of poisoning the table. Parquet reads schema-projected
-    (missing columns null, extra columns ignored).
+    - ``per_file=True`` (default): each file is its own merge epoch whose
+      key is the file's name+size fingerprint, and the loaded set is
+      recovered from the snapshot chain's own committed epoch keys — the
+      same authoritative index every other writer uses, ZERO side-state,
+      so a crash anywhere (including between commit and ledger record)
+      can never double-load or lose a file. Per-file commits are the
+      right unit when files are large and few.
+    - ``per_file=False`` (batched): ALL pending files load as ONE merge
+      epoch (one exchange, one commit) keyed by the pending-set hash —
+      the 10k-small-files shape, where per-file commits would serialize
+      the load behind 10k snapshot publishes. The loaded set additionally
+      reads the ledger's recorded file lists; a commit that crashed
+      before its ledger record is recognized by its epoch key and the
+      ledger entry is backfilled, so the crash window costs nothing.
 
-    Scale: per-file epochs mean per-file commits — the right unit for the
-    bulk-load pattern (files are large and few relative to rows); the
-    delta tiers they create fold on the normal compaction cadence.
+    ``fileformat``: ``csv`` / ``json`` / ``parquet``. CSV types each file
+    by its OWN header validated against the table (column-subset files
+    fill absent columns through the merge's schema conform; unknown
+    header columns refuse); JSON decodes name-based; parquet reads
+    schema-projected. Corrupt rows dead-letter to the table's quarantine
+    dir (``_reason='corrupt_record'``, same layout/repair flow as the
+    merge DLQ) instead of poisoning the table.
+
     Returns ``{files_loaded, files_skipped, rows_loaded,
     rows_quarantined, lsn}``.
     """
@@ -180,15 +190,14 @@ def copy_into(
     import hashlib
 
     from maestro_spark.dml import max_live_lsn
+    from maestro_spark.ledger import Ledger
     from maestro_spark.merge import merge_batch
 
     fmt = fileformat.lower()
     if fmt not in ("csv", "json", "parquet"):
         raise ValueError(f"COPY INTO fileformat {fileformat!r} — accepted: "
                          "csv, json, parquet")
-    if os.path.isfile(src):
-        pattern = src
-    elif any(ch in src for ch in "*?["):
+    if os.path.isfile(src) or any(ch in src for ch in "*?["):
         pattern = src
     else:
         pattern = os.path.join(src, "*")
@@ -198,61 +207,119 @@ def copy_into(
     spark = table.spark
     payload = table.snapshot().payload_schema()
     committed = table.committed_epoch_keys()
+
+    def _fid(text: str) -> int:
+        # 48-bit epoch id; the (query_id, id) KEY is what must be unique
+        return int.from_bytes(hashlib.md5(text.encode()).digest()[:6], "big")
+
+    def _read_one(path: str):
+        """(valid, corrupt|None) for one file, typed against the table."""
+        if fmt == "parquet":
+            return spark.read.schema(payload).parquet(path), None
+        if fmt == "csv":
+            # CSV is POSITIONAL: reading a column-subset file against the
+            # full table schema would mark every row corrupt (header
+            # length != schema size). Type the file by its OWN header.
+            import csv as _csv
+
+            with open(path, newline="") as fh:
+                header = next(_csv.reader(
+                    [fh.readline()], delimiter=options.get("sep", ",")
+                ))
+            by_name = {f.name: f for f in payload.fields}
+            unknown = [h for h in header if h not in by_name]
+            if unknown:
+                raise ValueError(
+                    f"COPY INTO file {os.path.basename(path)!r} has "
+                    f"column(s) {unknown} not in the table schema — "
+                    "ALTER TABLE … ADD COLUMN first, or fix the header"
+                )
+            file_schema = T.StructType([by_name[h] for h in header])
+            df = read_csv_typed(spark, path, file_schema, **options)
+        else:
+            # JSON is name-based: absent fields are null, not corrupt
+            df = read_json_typed(spark, path, payload, **options)
+        # checkpoint: Spark refuses corrupt-column-only queries on raw
+        # CSV/JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
+        # split below reads the parse twice anyway
+        df = df.localCheckpoint(eager=True)
+        return (
+            df.filter(F.col("_corrupt").isNull()).drop("_corrupt"),
+            df.filter(F.col("_corrupt").isNotNull()),
+        )
+
+    def _quarantine(corrupt, epoch_id: int) -> int:
+        n_bad = corrupt.count() if corrupt is not None else 0
+        if n_bad:
+            # same layout + overwrite-per-epoch contract as the merge DLQ,
+            # so read_quarantine/repair work unchanged
+            qdir = os.path.join(table.root, "_quarantine", query_id,
+                                f"epoch={epoch_id}")
+            (corrupt.withColumn("_reason", F.lit("corrupt_record"))
+             .write.mode("overwrite").parquet(qdir))
+        return n_bad
+
     out = {"files_loaded": 0, "files_skipped": 0, "rows_loaded": 0,
            "rows_quarantined": 0, "lsn": None}
+    tags = {p: f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in files}
+
+    if not per_file:
+        ledger = Ledger(table.root, query_id)
+        loaded: set[str] = set()
+        for e in ledger.entries():
+            offs = e.get("offsets") or {}
+            loaded.update(offs.get("files") or [])
+            if offs.get("file"):
+                loaded.add(offs["file"])
+        pending = [
+            p for p in files
+            if tags[p] not in loaded
+            and f"{query_id}:{_fid(tags[p])}" not in committed
+        ]
+        out["files_skipped"] = len(files) - len(pending)
+        if not pending:
+            return out
+        batch_tags = sorted(tags[p] for p in pending)
+        bid = _fid("+".join(batch_tags))
+        parts = [_read_one(p) for p in pending]
+        valid = parts[0][0]
+        for v, _ in parts[1:]:
+            valid = valid.unionByName(v, allowMissingColumns=True)
+        corrupts = [c for _, c in parts if c is not None]
+        if corrupts:
+            allc = corrupts[0]
+            for c in corrupts[1:]:
+                allc = allc.unionByName(c, allowMissingColumns=True)
+            out["rows_quarantined"] = _quarantine(allc, bid)
+        lsn = max_live_lsn(table) + 1
+        events = valid.withColumn("op", F.lit("upsert")).withColumn(
+            "op_lsn", F.lit(lsn).cast("long")
+        )
+        snap = merge_batch(table, events, query_id=query_id, epoch_id=bid,
+                           offsets={"files": batch_tags})
+        if snap is None:
+            # crash-before-ledger or a racing loader committed this very
+            # pending set: backfill the ledger entry so the NEXT run's
+            # loaded-set derivation sees these files (re-recording is fine)
+            for sid in table.snapshot_ids():
+                if table.snapshot(sid).epoch_key == f"{query_id}:{bid}":
+                    ledger.record(bid, sid, offsets={"files": batch_tags})
+                    break
+            out["files_skipped"] += len(pending)
+            return out
+        out["files_loaded"] = len(pending)
+        out["rows_loaded"] = snap.stats.get("rows_in") or 0
+        out["lsn"] = lsn
+        return out
+
     for path in files:
-        tag = f"{os.path.basename(path)}:{os.path.getsize(path)}"
-        fid = int.from_bytes(
-            hashlib.md5(tag.encode()).digest()[:6], "big"
-        )  # 48-bit epoch id; the key below is what must be unique
+        tag = tags[path]
+        fid = _fid(tag)
         if f"{query_id}:{fid}" in committed:
             out["files_skipped"] += 1
             continue
-        if fmt == "parquet":
-            df = spark.read.schema(payload).parquet(path)
-            valid, corrupt = df, None
-        else:
-            if fmt == "csv":
-                # CSV is POSITIONAL: reading a column-subset file against
-                # the full table schema would mark every row corrupt
-                # (header length != schema size). Type the file by its OWN
-                # header, validated against the table; absent columns fill
-                # as nulls through the merge's normal schema conform.
-                import csv as _csv
-
-                with open(path, newline="") as fh:
-                    header = next(_csv.reader(
-                        [fh.readline()], delimiter=options.get("sep", ",")
-                    ))
-                by_name = {f.name: f for f in payload.fields}
-                unknown = [h for h in header if h not in by_name]
-                if unknown:
-                    raise ValueError(
-                        f"COPY INTO file {os.path.basename(path)!r} has "
-                        f"column(s) {unknown} not in the table schema — "
-                        "ALTER TABLE … ADD COLUMN first, or fix the header"
-                    )
-                file_schema = T.StructType([by_name[h] for h in header])
-                df = read_csv_typed(spark, path, file_schema, **options)
-            else:
-                # JSON is name-based: absent fields are null, not corrupt
-                df = read_json_typed(spark, path, payload, **options)
-            # checkpoint: Spark refuses corrupt-column-only queries on raw
-            # CSV/JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
-            # split below reads the parse twice anyway
-            df = df.localCheckpoint(eager=True)
-            valid = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-            corrupt = df.filter(F.col("_corrupt").isNotNull())
-        if corrupt is not None:
-            qdir = os.path.join(table.root, "_quarantine", query_id,
-                                f"epoch={fid}")
-            n_bad = corrupt.count()
-            if n_bad:
-                # same layout + overwrite-per-epoch contract as the merge
-                # DLQ, so read_quarantine/repair work unchanged
-                (corrupt.withColumn("_reason", F.lit("corrupt_record"))
-                 .write.mode("overwrite").parquet(qdir))
-                out["rows_quarantined"] += n_bad
+        valid, corrupt = _read_one(path)
+        out["rows_quarantined"] += _quarantine(corrupt, fid)
         lsn = max_live_lsn(table) + 1
         events = valid.withColumn("op", F.lit("upsert")).withColumn(
             "op_lsn", F.lit(lsn).cast("long")

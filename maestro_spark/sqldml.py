@@ -915,8 +915,10 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
         COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet>
           [WITH (option = value, …)]
 
-    Options pass through to the typed reader (e.g. ``sep = '|'`` for CSV);
-    anything outside the grammar refuses with the reason."""
+    ``per_file = 0`` in WITH selects the batched commit mode (all pending
+    files as ONE merge epoch — the many-small-files shape); every other
+    option passes through to the typed reader (e.g. ``sep = '|'`` for
+    CSV); anything outside the grammar refuses with the reason."""
     m = re.match(
         r"^\s*copy\s+into\s+([A-Za-z_][\w.]*)\s+from\s+'([^']+)'\s+"
         r"fileformat\s*=\s*([A-Za-z]+)"
@@ -932,7 +934,9 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
     from maestro_spark.ingest import copy_into
 
     options = _parse_with_params(m.group(4)) if m.group(4) else {}
-    return copy_into(table, m.group(2), m.group(3), **options)
+    per_file = bool(options.pop("per_file", 1))
+    return copy_into(table, m.group(2), m.group(3), per_file=per_file,
+                     **options)
 
 
 # ---------------------------------------------------------- RESTORE TABLE
