@@ -841,6 +841,7 @@ def _finalize_registration_order() -> None:
         "q_sql_timetravel",  # inline VERSION/TIMESTAMP AS OF (M45)
         "q_sql_warehouse",   # warehouse door: CTAS + routed DML (M46)
         "q_mv_where",        # WHERE-filtered materialized views (M47)
+        "q_copy_into",       # idempotent COPY INTO bulk load (M48)
     ]
     # new operator FAMILIES (queries3.py) rank above same-family variants:
     # a driver row for pivot/sampling/subquery is new coverage, a second
@@ -910,6 +911,11 @@ def _finalize_registration_order() -> None:
         #   inside q_win_tumble / q_session / q_read_tsrange; the string
         #   family keeps its dedicated row
         "q_project", "q_filter", "q_fn_date",
+        # - q_embed_neardup: its cosine-pair miner
+        #   (similarity.embedding_neardup_pairs) is LITERALLY the in-window
+        #   q_dedup_groups's pair source, so the machinery keeps a driver
+        #   row; the M48 COPY INTO verb takes the slot
+        "q_embed_neardup",
         # scalar-family seconds and the B4 twin (q_quarantine now carries
         # the error-channel signal) yield their slots to the promoted
         # curation capstones; all four were driver-green in r1 and stay
