@@ -161,19 +161,23 @@ def copy_into(
     Two commit granularities, interoperable on the same table:
 
     - ``per_file=True`` (default): each file is its own merge epoch whose
-      key is the file's name+size fingerprint, and the loaded set is
-      recovered from the snapshot chain's own committed epoch keys — the
-      same authoritative index every other writer uses, ZERO side-state,
-      so a crash anywhere (including between commit and ledger record)
-      can never double-load or lose a file. Per-file commits are the
+      key is the file's name+size fingerprint. Per-file commits are the
       right unit when files are large and few.
     - ``per_file=False`` (batched): ALL pending files load as ONE merge
       epoch (one exchange, one commit) keyed by the pending-set hash —
       the 10k-small-files shape, where per-file commits would serialize
-      the load behind 10k snapshot publishes. The loaded set additionally
-      reads the ledger's recorded file lists; a commit that crashed
-      before its ledger record is recognized by its epoch key and the
-      ledger entry is backfilled, so the crash window costs nothing.
+      the load behind 10k snapshot publishes.
+
+    The loaded set is derived IDENTICALLY in both modes, so they fully
+    interoperate on one table (a file loaded batched is skipped per-file
+    and vice versa): every COPY commit persists its file tags in the
+    snapshot's own stats (``copy_files``, riding the commit — authoritative
+    through the crash window between commit and ledger record, even when
+    the next run's pending set differs) and in the ledger's offsets (the
+    durable long-horizon record that survives snapshot expiry); per-file
+    epoch keys are additionally consulted for pre-upgrade tables. A commit
+    that crashed before its ledger record is recognized and the ledger
+    entry is backfilled, so the crash window costs nothing.
 
     ``fileformat``: ``csv`` / ``json`` / ``parquet``. CSV types each file
     by its OWN header validated against the table (column-subset files
@@ -263,14 +267,36 @@ def copy_into(
            "rows_quarantined": 0, "lsn": None}
     tags = {p: f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in files}
 
+    # The loaded set, derived the same way in BOTH modes (mode interop +
+    # crash safety): file tags persisted in snapshot stats by every COPY
+    # commit (authoritative through the commit-vs-ledger crash window,
+    # O(retained snapshots) driver JSON — the same cost class as the
+    # epoch-key index every writer consults), unioned with the ledger's
+    # recorded tags (durable past snapshot expiry).
+    ledger = Ledger(table.root, query_id)
+    ledger_tags: set[str] = set()
+    for e in ledger.entries():
+        offs = e.get("offsets") or {}
+        ledger_tags.update(offs.get("files") or [])
+        if offs.get("file"):
+            ledger_tags.add(offs["file"])
+    loaded: set[str] = set(ledger_tags)
+    pref = f"{query_id}:"
+    for sid in table.snapshot_ids():
+        s = table.snapshot(sid)
+        if not (s.epoch_key and s.epoch_key.startswith(pref)):
+            continue
+        ctags = s.stats.get("copy_files") or []
+        if ctags and not set(ctags) <= ledger_tags:
+            # a crash between commit and ledger record lost this load's
+            # entry: backfill it so the durable record survives snapshot
+            # expiry (re-recording an epoch id is idempotent)
+            ledger.record(int(s.epoch_key.rsplit(":", 1)[1]),
+                          s.snapshot_id, offsets={"files": sorted(ctags)})
+            ledger_tags.update(ctags)
+        loaded.update(ctags)
+
     if not per_file:
-        ledger = Ledger(table.root, query_id)
-        loaded: set[str] = set()
-        for e in ledger.entries():
-            offs = e.get("offsets") or {}
-            loaded.update(offs.get("files") or [])
-            if offs.get("file"):
-                loaded.add(offs["file"])
         pending = [
             p for p in files
             if tags[p] not in loaded
@@ -296,15 +322,12 @@ def copy_into(
             "op_lsn", F.lit(lsn).cast("long")
         )
         snap = merge_batch(table, events, query_id=query_id, epoch_id=bid,
-                           offsets={"files": batch_tags})
+                           offsets={"files": batch_tags},
+                           extra_stats={"copy_files": batch_tags})
         if snap is None:
-            # crash-before-ledger or a racing loader committed this very
-            # pending set: backfill the ledger entry so the NEXT run's
-            # loaded-set derivation sees these files (re-recording is fine)
-            for sid in table.snapshot_ids():
-                if table.snapshot(sid).epoch_key == f"{query_id}:{bid}":
-                    ledger.record(bid, sid, offsets={"files": batch_tags})
-                    break
+            # a racing loader committed this very pending set mid-run; its
+            # copy_files stats make the next run's derivation (which also
+            # backfills any lost ledger entry) skip these files
             out["files_skipped"] += len(pending)
             return out
         out["files_loaded"] = len(pending)
@@ -315,7 +338,7 @@ def copy_into(
     for path in files:
         tag = tags[path]
         fid = _fid(tag)
-        if f"{query_id}:{fid}" in committed:
+        if tag in loaded or f"{query_id}:{fid}" in committed:
             out["files_skipped"] += 1
             continue
         valid, corrupt = _read_one(path)
@@ -326,7 +349,7 @@ def copy_into(
         )
         snap = merge_batch(
             table, events, query_id=query_id, epoch_id=fid,
-            offsets={"file": tag},
+            offsets={"file": tag}, extra_stats={"copy_files": [tag]},
         )
         if snap is None:  # raced another loader to this very file
             out["files_skipped"] += 1

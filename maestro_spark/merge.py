@@ -91,6 +91,7 @@ def merge_batch(
     offsets: dict | None = None,
     fence_lsn: int | None = None,
     base_snapshot: int | None = None,
+    extra_stats: dict | None = None,
 ) -> Snapshot | None:
     """Apply one epoch's change events to the table (K2+K4+K5+K6+K7+K8).
 
@@ -102,6 +103,10 @@ def merge_batch(
     :class:`CommitConflict` if any snapshot committed after ``base_snapshot``
     applied an LSN at or above the fence — the statement then re-acquires a
     fresh LSN instead of landing an LSN tie (one-LSN-one-payload invariant).
+
+    ``extra_stats``: caller-owned keys merged into the committed snapshot's
+    persisted stats (e.g. COPY INTO's loaded file tags) — rides the commit
+    itself, so it is visible even when a crash loses the ledger record.
     """
     epoch_key = f"{query_id}:{epoch_id}"
     ledger = Ledger(table.root, query_id)
@@ -312,6 +317,7 @@ def merge_batch(
         "wall_s": round(wall, 3),
         "plan_s": round(t_plan, 3),
         "write_s": round(t_write, 3),
+        **(extra_stats or {}),
     }
 
     snap = table.commit(  # commit point

@@ -292,15 +292,13 @@ def test_copy_into_batched_mode(spark, wh, tmp_path):
                    "WITH (per_file = 0)").head()["summary"])
     assert (s2["files_loaded"], s2["files_skipped"]) == (0, 4)
 
-    # per-file mode sees the batched files as loaded (shared ledger tags)…
+    # per-file mode sees the batched files as loaded (shared loaded-set):
+    # ONLY the new file loads — the 4 batched ones are skipped, never
+    # re-read, and emit no fresh change-feed rows
     (src / "g.csv").write_text("conv_id,turn_idx,role,text\nG,0,user,g\n")
     from maestro_spark.ingest import copy_into
     s3 = copy_into(t, str(src), "csv", per_file=True)
-    # …the NEW file loads per-file; the 4 batched ones re-load at most
-    # never (per-file keys differ from the batch key, but batched mode's
-    # ledger entry is not per-file-keyed — so per-file mode re-upserts
-    # them idempotently ONLY if their per-file keys are absent)
-    assert s3["files_loaded"] >= 1
+    assert (s3["files_loaded"], s3["files_skipped"]) == (1, 4)
     assert t.read().filter("conv_id = 'G'").count() == 1
     assert t.read().filter("conv_id LIKE 'N%'").count() == 4  # no dupes
 
@@ -324,3 +322,22 @@ def test_copy_into_batched_mode(spark, wh, tmp_path):
     s6 = copy_into(t, str(src / "h*.csv"), "csv", per_file=False)
     assert (s6["files_loaded"], s6["files_skipped"]) == (0, 2)
     assert t.read().filter("conv_id = 'H'").count() == 2
+
+    # crash-before-ledger with a CHANGED pending set: lose the ledger
+    # record AND add a new file before the retry — the batch key no longer
+    # matches, but the committed snapshot's own copy_files stats mark the
+    # old files loaded, so only the new file loads (no double-load)
+    (src / "k1.csv").write_text("conv_id,turn_idx,role,text\nK,0,user,k1\n")
+    (src / "k2.csv").write_text("conv_id,turn_idx,role,text\nK,1,user,k2\n")
+    before = set(_os.listdir(ldir))
+    s7 = copy_into(t, str(src / "k*.csv"), "csv", per_file=False)
+    assert s7["files_loaded"] == 2
+    for entry in set(_os.listdir(ldir)) - before:
+        _os.unlink(_os.path.join(ldir, entry))  # lose the ledger record
+    (src / "k3.csv").write_text("conv_id,turn_idx,role,text\nK,2,user,k3\n")
+    s8 = copy_into(t, str(src / "k*.csv"), "csv", per_file=False)
+    assert (s8["files_loaded"], s8["files_skipped"]) == (1, 2)
+    assert t.read().filter("conv_id = 'K'").count() == 3
+    # …and per-file mode agrees the whole K set is loaded
+    s9 = copy_into(t, str(src / "k*.csv"), "csv", per_file=True)
+    assert (s9["files_loaded"], s9["files_skipped"]) == (0, 3)
