@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from maestro_spark import schema as S
 from maestro_spark.ops import validate_split
 
 
@@ -150,6 +151,7 @@ def copy_into(
     fileformat: str,
     query_id: str = "copy",
     per_file: bool = True,
+    evolve: bool = False,
     **options,
 ) -> dict:
     """Idempotent bulk file load (Databricks ``COPY INTO`` parity, CDC-
@@ -187,6 +189,20 @@ def copy_into(
     dir (``_reason='corrupt_record'``, same layout/repair flow as the
     merge DLQ) instead of poisoning the table.
 
+    ``evolve=True`` (SQL: ``WITH (evolve = 1)``) turns unknown incoming
+    columns into SCHEMA EVOLUTION instead of a refusal (Databricks
+    ``mergeSchema`` parity): the new columns ride the batch into
+    ``merge_batch``'s existing add-only/safe-widen schema merge, so the
+    table evolves in the same commit that loads the rows — and the
+    dropped/renamed-name protections apply unchanged (a re-sent retired
+    name gets a fresh physical alias via ``schema.assign_physical``, never
+    stale bytes). Types for the new columns: CSV/JSON pay one extra
+    inference pass over that file only (files without new columns read
+    exactly as before); parquet uses the file's own footer types. A new
+    column whose name collides with the engine's internal/event columns
+    (``op``, ``op_lsn``, ``_lsn``, ``_deleted``, ``_corrupt*``) refuses in
+    every mode — those names can never be payload.
+
     Returns ``{files_loaded, files_skipped, rows_loaded,
     rows_quarantined, lsn}``.
     """
@@ -216,10 +232,33 @@ def copy_into(
         # 48-bit epoch id; the (query_id, id) KEY is what must be unique
         return int.from_bytes(hashlib.md5(text.encode()).digest()[:6], "big")
 
+    # names that can never become payload columns via evolution: the merge
+    # event columns, the internal fields, and the corrupt-record channels
+    _reserved = {"op", S.LSN_COL, S.DELETED_COL, "op_lsn",
+                 "_corrupt", "_corrupt_record"}
+
+    def _check_new(path: str, new_names: list[str]) -> None:
+        bad = [n for n in new_names if n in _reserved or n.startswith("_")]
+        if bad:
+            raise ValueError(
+                f"COPY INTO file {os.path.basename(path)!r} carries "
+                f"column(s) {bad} that collide with the engine's "
+                "internal/event names — these can never be payload"
+            )
+
     def _read_one(path: str):
         """(valid, corrupt|None) for one file, typed against the table."""
         if fmt == "parquet":
-            return spark.read.schema(payload).parquet(path), None
+            read_schema = payload
+            if evolve:
+                known = {f.name for f in payload.fields}
+                extra = [f for f in spark.read.parquet(path).schema.fields
+                         if f.name not in known]
+                if extra:
+                    _check_new(path, [f.name for f in extra])
+                    # file's own footer types; absent payload cols read null
+                    read_schema = T.StructType([*payload.fields, *extra])
+            return spark.read.schema(read_schema).parquet(path), None
         if fmt == "csv":
             # CSV is POSITIONAL: reading a column-subset file against the
             # full table schema would mark every row corrupt (header
@@ -232,17 +271,42 @@ def copy_into(
                 ))
             by_name = {f.name: f for f in payload.fields}
             unknown = [h for h in header if h not in by_name]
-            if unknown:
+            if unknown and not evolve:
                 raise ValueError(
                     f"COPY INTO file {os.path.basename(path)!r} has "
                     f"column(s) {unknown} not in the table schema — "
-                    "ALTER TABLE … ADD COLUMN first, or fix the header"
+                    "ALTER TABLE … ADD COLUMN first, fix the header, or "
+                    "opt into schema evolution with WITH (evolve = 1)"
                 )
+            if unknown:
+                _check_new(path, unknown)
+                # one inference pass over THIS file types the new columns;
+                # merge_schemas then gates the evolution (add-only/widen)
+                inferred = {
+                    f.name: f.dataType
+                    for f in spark.read.csv(
+                        path, header=True, inferSchema=True, **options
+                    ).schema.fields
+                }
+                by_name = {
+                    **by_name,
+                    **{h: T.StructField(h, inferred.get(h, T.StringType()),
+                                        True) for h in unknown},
+                }
             file_schema = T.StructType([by_name[h] for h in header])
             df = read_csv_typed(spark, path, file_schema, **options)
         else:
             # JSON is name-based: absent fields are null, not corrupt
-            df = read_json_typed(spark, path, payload, **options)
+            read_schema = payload
+            if evolve:
+                known = {f.name for f in payload.fields}
+                extra = [f for f in spark.read.json(path, **options)
+                         .schema.fields if f.name not in known
+                         and f.name != "_corrupt_record"]
+                if extra:
+                    _check_new(path, [f.name for f in extra])
+                    read_schema = T.StructType([*payload.fields, *extra])
+            df = read_json_typed(spark, path, read_schema, **options)
         # checkpoint: Spark refuses corrupt-column-only queries on raw
         # CSV/JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
         # split below reads the parse twice anyway

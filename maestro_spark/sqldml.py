@@ -916,9 +916,12 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
           [WITH (option = value, …)]
 
     ``per_file = 0`` in WITH selects the batched commit mode (all pending
-    files as ONE merge epoch — the many-small-files shape); every other
-    option passes through to the typed reader (e.g. ``sep = '|'`` for
-    CSV); anything outside the grammar refuses with the reason."""
+    files as ONE merge epoch — the many-small-files shape); ``evolve = 1``
+    turns unknown incoming columns into schema evolution instead of a
+    refusal (merge-side add-only/safe-widen gate — see
+    :func:`ingest.copy_into`); every other option passes through to the
+    typed reader (e.g. ``sep = '|'`` for CSV); anything outside the
+    grammar refuses with the reason."""
     m = re.match(
         r"^\s*copy\s+into\s+([A-Za-z_][\w.]*)\s+from\s+'([^']+)'\s+"
         r"fileformat\s*=\s*([A-Za-z]+)"
@@ -935,8 +938,9 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
 
     options = _parse_with_params(m.group(4)) if m.group(4) else {}
     per_file = bool(options.pop("per_file", 1))
+    evolve = bool(options.pop("evolve", 0))
     return copy_into(table, m.group(2), m.group(3), per_file=per_file,
-                     **options)
+                     evolve=evolve, **options)
 
 
 # ---------------------------------------------------------- RESTORE TABLE

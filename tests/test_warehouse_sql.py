@@ -341,3 +341,78 @@ def test_copy_into_batched_mode(spark, wh, tmp_path):
     # …and per-file mode agrees the whole K set is loaded
     s9 = copy_into(t, str(src / "k*.csv"), "csv", per_file=True)
     assert (s9["files_loaded"], s9["files_skipped"]) == (0, 3)
+
+
+def test_copy_into_schema_evolution(spark, wh, tmp_path):
+    """COPY INTO WITH (evolve = 1): unknown incoming columns evolve the
+    table schema in the loading commit (merge-side add-only gate) instead
+    of refusing; types come from one per-file inference pass (CSV/JSON) or
+    the parquet footer; reserved internal names refuse in every mode; and
+    the dropped-name protection holds (a re-sent dropped column evolves a
+    FRESH column — pre-drop files never leak into it)."""
+    from maestro_spark import ddl
+
+    t = _seed(spark, wh)
+    src = tmp_path / "in_evolve"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "conv_id,turn_idx,role,text,score\nE,0,user,e0,7\n")
+
+    # without evolve: same refusal as before, now naming the opt-in
+    with pytest.raises(ValueError, match="evolve = 1"):
+        warehouse_sql(spark, wh,
+                      f"COPY INTO conv FROM '{src}' FILEFORMAT = csv")
+
+    s1 = json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src}' FILEFORMAT = csv "
+                   "WITH (evolve = 1)").head()["summary"])
+    assert (s1["files_loaded"], s1["rows_loaded"]) == (1, 1)
+    got = {f.name: f.dataType.simpleString() for f in
+           t.snapshot().payload_schema().fields}
+    assert got["score"] == "int"  # inference typed the new column
+    rows = {r["conv_id"]: r["score"] for r in
+            t.read().select("conv_id", "score").collect()}
+    assert rows["E"] == 7 and rows["A"] is None  # old rows read null
+
+    # JSON evolution: a second new column arrives name-based
+    (src / "b.jsonl").write_text(
+        '{"conv_id": "F", "turn_idx": 0, "role": "user", '
+        '"text": "f0", "lang": "en"}\n')
+    s2 = json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src / 'b.jsonl'}' "
+                   "FILEFORMAT = json WITH (evolve = 1)").head()["summary"])
+    assert s2["files_loaded"] == 1
+    assert t.read().filter("conv_id = 'F'").head()["lang"] == "en"
+
+    # parquet evolution: footer-typed new column
+    spark.createDataFrame(
+        [("G", 0, "user", "g0", 2.5)],
+        "conv_id string, turn_idx int, role string, text string, conf double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "pq"))
+    s3 = json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{tmp_path / 'pq'}/part-*.parquet' "
+                   "FILEFORMAT = parquet WITH (evolve = 1)").head()["summary"])
+    assert s3["files_loaded"] == 1
+    got = {f.name: f.dataType.simpleString() for f in
+           t.snapshot().payload_schema().fields}
+    assert got["conf"] == "double"
+
+    # reserved internal names refuse even with evolve
+    (src / "bad.csv").write_text("conv_id,turn_idx,op_lsn\nZ,0,9\n")
+    with pytest.raises(ValueError, match="internal/event"):
+        warehouse_sql(spark, wh,
+                      f"COPY INTO conv FROM '{src / 'bad.csv'}' "
+                      "FILEFORMAT = csv WITH (evolve = 1)")
+
+    # dropped-name protection: drop score, re-send it via COPY evolve —
+    # the re-add is a FRESH column; pre-drop files read null, never 7
+    ddl.drop_column(t, "score")
+    (src / "c.csv").write_text(
+        "conv_id,turn_idx,role,text,score\nH,0,user,h0,11\n")
+    s4 = json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src / 'c.csv'}' "
+                   "FILEFORMAT = csv WITH (evolve = 1)").head()["summary"])
+    assert s4["files_loaded"] == 1
+    rows = {r["conv_id"]: r["score"] for r in
+            t.read().select("conv_id", "score").collect()}
+    assert rows["H"] == 11 and rows["E"] is None
