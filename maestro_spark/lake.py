@@ -701,6 +701,15 @@ class LakeTable:
         refuse a pin (they never read the view, so it could only mislead)."""
         from maestro_spark import sqldml
 
+        if meta := sqldml.describe_meta(query):
+            kind, tname = meta
+            if tname.lower() != name.lower():
+                raise ValueError(
+                    f"DESCRIBE {kind.upper()} targets {tname!r} but this "
+                    f"table is registered as {name!r}"
+                )
+            return (self.meta_snapshots() if kind == "history"
+                    else self.meta_files())
         if sqldml.is_restore(query):
             # before clause extraction: RESTORE's own `TO VERSION AS OF`
             # would otherwise parse as a time-travel pin on ident 'TO'
@@ -2825,7 +2834,9 @@ def warehouse_sql(
       (``<table> VERSION|TIMESTAMP AS OF …``) is resolved PER TABLE, so a
       join of one table's history against another's tip is one statement.
     - ``SHOW TABLES`` / ``DESCRIBE [TABLE] <name>`` — catalog listing and
-      the one-call :func:`describe` report as result rows (metadata only).
+      the one-call :func:`describe` report as result rows (metadata only);
+      ``DESCRIBE HISTORY|FILES <name>`` serves the snapshot-chain /
+      file-manifest metadata tables (``meta_snapshots``/``meta_files``).
     - ``CREATE/REFRESH/DROP MATERIALIZED VIEW`` / ``… INDEX`` — CREATE
       routes by its inline base reference (``FROM <t>`` / ``ON <t>``);
       REFRESH/DROP resolve the owning base from the view/index's own
@@ -2944,6 +2955,10 @@ def warehouse_sql(
             rows or [], "table_name string, snapshot_id long, n_buckets int, "
                         "n_columns int",
         )
+    if meta := sqldml.describe_meta(query):
+        kind, tname = meta
+        t = LakeTable(spark, _root_of(tname))
+        return t.meta_snapshots() if kind == "history" else t.meta_files()
     if dm := re.match(r"^\s*describe\s+(?:table\s+)?([A-Za-z_]\w*)\s*;?\s*$",
                       query, re.I):
         t = LakeTable(spark, _root_of(dm.group(1)))

@@ -872,6 +872,22 @@ def parse_table_ddl(sql: str) -> dict:
             "columns": columns, "params": params, "select": select}
 
 
+# ------------------------------------------------- metadata-table DESCRIBE
+_META_RE = re.compile(
+    r"^\s*describe\s+(history|files)\s+([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
+
+
+def describe_meta(sql: str) -> tuple[str, str] | None:
+    """``DESCRIBE HISTORY <t>`` / ``DESCRIBE FILES <t>`` (Delta/Iceberg
+    metadata-table parity) → ``(kind, table)``; None for anything else.
+    Routed onto :meth:`LakeTable.meta_snapshots` / ``meta_files`` — pure
+    snapshot-chain metadata, no data IO."""
+    if m := _META_RE.match(sql or ""):
+        return m.group(1).lower(), _strip_ident(m.group(2))
+    return None
+
+
 _TARGET_RES = [
     re.compile(p, re.I)
     for p in (

@@ -416,3 +416,25 @@ def test_copy_into_schema_evolution(spark, wh, tmp_path):
     rows = {r["conv_id"]: r["score"] for r in
             t.read().select("conv_id", "score").collect()}
     assert rows["H"] == 11 and rows["E"] is None
+
+
+def test_describe_history_and_files(spark, wh):
+    """DESCRIBE HISTORY / DESCRIBE FILES (Delta/Iceberg metadata-table
+    parity) serve the snapshot chain and the live file manifest as result
+    rows through BOTH SQL doors — metadata only, no data IO."""
+    t = _seed(spark, wh)
+
+    hist = warehouse_sql(spark, wh, "DESCRIBE HISTORY conv").collect()
+    assert [r["snapshot_id"] for r in hist] == sorted(t.snapshot_ids())
+    assert hist[-1]["epoch_key"].startswith("sqldml:")  # the INSERT epoch
+
+    files = warehouse_sql(spark, wh, "DESCRIBE FILES conv")
+    assert files.count() > 0 and "lsn_max" in files.columns
+
+    # single-table door: same statements, target-name discipline
+    assert t.sql("DESCRIBE HISTORY t").count() == len(hist)
+    with pytest.raises(ValueError, match="registered as"):
+        t.sql("DESCRIBE HISTORY other")
+    # plain DESCRIBE still resolves to the one-call report
+    rep = warehouse_sql(spark, wh, "DESCRIBE conv").collect()
+    assert {"root", "snapshot_id"} <= {r["property"] for r in rep}
