@@ -710,6 +710,15 @@ class LakeTable:
                 )
             return (self.meta_snapshots() if kind == "history"
                     else self.meta_files())
+        if sc_name := sqldml.show_create_target(query):
+            if sc_name.lower() != name.lower():
+                raise ValueError(
+                    f"SHOW CREATE TABLE targets {sc_name!r} but this "
+                    f"table is registered as {name!r}"
+                )
+            return self.spark.createDataFrame(
+                [(show_create(self, sc_name),)], "create_statement string"
+            )
         if sqldml.is_restore(query):
             # before clause extraction: RESTORE's own `TO VERSION AS OF`
             # would otherwise parse as a time-travel pin on ident 'TO'
@@ -2563,6 +2572,19 @@ class LakeTable:
         return n
 
 
+def show_create(table: "LakeTable", name: str) -> str:
+    """The ``CREATE TABLE`` statement that reproduces this table's current
+    schema and layout through the warehouse front door (``SHOW CREATE
+    TABLE`` parity) — logical column names and types from the live
+    snapshot, bucketing in WITH. Metadata only."""
+    snap = table.snapshot()
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in snap.payload_schema().fields
+    )
+    return f"CREATE TABLE {name} ({cols}) WITH (n_buckets = {snap.n_buckets})"
+
+
 def describe(table: "LakeTable") -> dict:
     """One-call table report (SHOW CREATE TABLE + DESCRIBE DETAIL parity):
     schema, layout, current snapshot, tags, CHECK constraints, and
@@ -2959,6 +2981,11 @@ def warehouse_sql(
         kind, tname = meta
         t = LakeTable(spark, _root_of(tname))
         return t.meta_snapshots() if kind == "history" else t.meta_files()
+    if sc_name := sqldml.show_create_target(query):
+        t = LakeTable(spark, _root_of(sc_name))
+        return spark.createDataFrame(
+            [(show_create(t, sc_name),)], "create_statement string"
+        )
     if dm := re.match(r"^\s*describe\s+(?:table\s+)?([A-Za-z_]\w*)\s*;?\s*$",
                       query, re.I):
         t = LakeTable(spark, _root_of(dm.group(1)))

@@ -16,6 +16,7 @@ engine REFUSES rather than mis-executes):
     INSERT INTO <t> [(c1, ...)] SELECT …
     UPDATE <t> SET c1 = e1 [, …] [WHERE p]
     DELETE FROM <t> [WHERE p]
+    TRUNCATE TABLE <t>   (fenced delete-all: tombstones, not erasure)
     MERGE INTO <t> [[AS] t] USING (<src name> | (SELECT …)) [[AS] s]
       ON <key equality on (conv_id, turn_idx)>
       WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE
@@ -64,7 +65,7 @@ from maestro_spark import schema as S
 from maestro_spark.dml import MergeInto, delete_where, update_where, upsert
 from maestro_spark.lake import LakeTable, Snapshot
 
-_VERB_RE = re.compile(r"^\s*(insert|update|delete|merge)\b", re.I)
+_VERB_RE = re.compile(r"^\s*(insert|update|delete|merge|truncate)\b", re.I)
 
 
 def is_dml(sql: str) -> bool:
@@ -281,6 +282,19 @@ def _exec_delete(table: LakeTable, sql: str, name: str, query_id: str):
     return delete_where(table, pred, query_id=query_id)
 
 
+def _exec_truncate(table: LakeTable, sql: str, name: str, query_id: str):
+    """``TRUNCATE TABLE <t>`` (Delta parity) = a fenced delete-all: every
+    live row tombstones in ONE exactly-once epoch. CDC semantics hold —
+    the rows are remembered, not erased (the change feed emits the
+    deletes; history/time travel still serve them; RTBF erasure remains
+    ``purge``'s job)."""
+    m = re.match(r"^\s*truncate\s+table\s+([A-Za-z_][\w.]*)\s*;?\s*$", sql, re.I)
+    if not m:
+        raise ValueError("unsupported TRUNCATE (want: TRUNCATE TABLE <t>)")
+    _require_target(_strip_ident(m.group(1)), name)
+    return delete_where(table, F.lit(True), query_id=query_id)
+
+
 def _validate_merge_on(on_text: str) -> None:
     """The ON clause must be exactly the key equality (any order, either
     side first): the builder defines row identity by the table key and
@@ -419,6 +433,7 @@ def execute_dml(
         "update": _exec_update,
         "delete": _exec_delete,
         "merge": _exec_merge,
+        "truncate": _exec_truncate,
     }[verb.group(1).lower()]
     return fn(table, sql, name, query_id)
 
@@ -872,6 +887,18 @@ def parse_table_ddl(sql: str) -> dict:
             "columns": columns, "params": params, "select": select}
 
 
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*show\s+create\s+table\s+([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
+
+
+def show_create_target(sql: str) -> str | None:
+    """``SHOW CREATE TABLE <t>`` → the table name; None otherwise."""
+    if m := _SHOW_CREATE_RE.match(sql or ""):
+        return _strip_ident(m.group(1))
+    return None
+
+
 # ------------------------------------------------- metadata-table DESCRIBE
 _META_RE = re.compile(
     r"^\s*describe\s+(history|files)\s+([A-Za-z_]\w*)\s*;?\s*$", re.I
@@ -895,6 +922,7 @@ _TARGET_RES = [
         r"^\s*update\s+([A-Za-z_]\w*)\b",
         r"^\s*delete\s+from\s+([A-Za-z_]\w*)\b",
         r"^\s*merge\s+into\s+([A-Za-z_]\w*)\b",
+        r"^\s*truncate\s+table\s+([A-Za-z_]\w*)\b",
         r"^\s*alter\s+table\s+([A-Za-z_]\w*)\b",
         r"^\s*optimize\s+([A-Za-z_]\w*)\b",
         r"^\s*vacuum\s+([A-Za-z_]\w*)\b",

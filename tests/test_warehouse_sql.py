@@ -438,3 +438,33 @@ def test_describe_history_and_files(spark, wh):
     # plain DESCRIBE still resolves to the one-call report
     rep = warehouse_sql(spark, wh, "DESCRIBE conv").collect()
     assert {"root", "snapshot_id"} <= {r["property"] for r in rep}
+
+
+def test_truncate_and_show_create(spark, wh):
+    """TRUNCATE TABLE = one fenced delete-all epoch (tombstones — the
+    feed/history remember the rows); SHOW CREATE TABLE emits a statement
+    that round-trips through the warehouse door."""
+    t = _seed(spark, wh)
+    pre = t.snapshot().snapshot_id
+
+    stmt = warehouse_sql(spark, wh, "SHOW CREATE TABLE conv") \
+        .head()["create_statement"]
+    assert stmt.startswith("CREATE TABLE conv (conv_id string, turn_idx int")
+    assert "n_buckets = 4" in stmt
+
+    out = warehouse_sql(spark, wh, "TRUNCATE TABLE conv")
+    assert out.count() == 0  # post-statement live rows
+    assert t.read().count() == 0
+    # tombstones, not erasure: one new snapshot, deletes visible in history
+    assert t.snapshot().snapshot_id == pre + 1
+    assert t.read(snapshot_id=pre).count() == 3
+    # idempotent grammar discipline: wrong target refuses
+    with pytest.raises(ValueError, match="refusing"):
+        t.sql("TRUNCATE TABLE other")
+
+    # the SHOW CREATE statement round-trips as a fresh table
+    stmt2 = stmt.replace("CREATE TABLE conv", "CREATE TABLE conv2")
+    df = warehouse_sql(spark, wh, stmt2)
+    assert "role" in df.columns
+    assert warehouse_sql(spark, wh, "SHOW CREATE TABLE conv2") \
+        .head()["create_statement"] == stmt2
