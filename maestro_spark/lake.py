@@ -719,6 +719,10 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [(show_create(self, sc_name),)], "create_statement string"
             )
+        if sqldml.is_search(query):
+            # before clause extraction: the query literal could contain
+            # 'VERSION AS OF' text; a SEARCH never time-travels
+            return sqldml.execute_search(self, query, name=name)
         if sqldml.is_restore(query):
             # before clause extraction: RESTORE's own `TO VERSION AS OF`
             # would otherwise parse as a time-travel pin on ident 'TO'
@@ -2998,6 +3002,22 @@ def warehouse_sql(
     target = sqldml.statement_target(query)
     if target is not None:
         return LakeTable(spark, _root_of(target)).sql(query, name=target)
+    if sqldml.is_search(query):
+        # the index's persisted declaration names its base; the warehouse
+        # door therefore wants a QUOTED index path (bare names are
+        # base-relative — use that table's front door)
+        tm = re.match(r"^\s*search\s+('[^']+'|\"[^\"]+\")",
+                      sqldml._mask_literal_bodies(query), re.I)
+        if not tm:
+            raise ValueError(
+                "warehouse SEARCH needs a QUOTED index path target (a "
+                "bare name resolves relative to its base table — use "
+                "that table's front door for bare names)"
+            )
+        from maestro_spark import index_maint as _im
+
+        path = query[tm.start(1) + 1 : tm.end(1) - 1]
+        return _im.load_index(spark, path).base.sql(query)
     if sqldml.is_mv(query) or sqldml.is_index(query):
         # CREATE names its base inline (FROM <t> / ON <t>); REFRESH/DROP
         # resolve the owning base from the view/index's own PERSISTED

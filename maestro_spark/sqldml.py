@@ -26,6 +26,7 @@ engine REFUSES rather than mis-executes):
     CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> [WHERE …] GROUP BY …
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
+    SEARCH <idx> FOR '<query>' [MODE term|and|phrase|bm25|bm25_and] [LIMIT k]
     COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
       (idempotent per-file bulk load — ingest.copy_into)
     RESTORE TABLE <t> TO VERSION AS OF <id|'tag'> / TO TIMESTAMP AS OF <'iso'|epoch>
@@ -816,6 +817,64 @@ def execute_index(table: LakeTable, sql: str, name: str = "t"):
     )
     idx.refresh()
     return idx
+
+
+# ------------------------------------------------------------------ SEARCH
+_SEARCH_RE = re.compile(r"^\s*search\b", re.I)
+
+
+def is_search(sql: str) -> bool:
+    """True when the statement is SEARCH (maintained-text-index probe)."""
+    return bool(_SEARCH_RE.match(sql or ""))
+
+
+def execute_search(table: LakeTable, sql: str, name: str = "t") -> DataFrame:
+    """Route a retrieval statement onto a maintained inverted text index
+    (the SQL twin of the ``search`` CLI). Accepted form::
+
+        SEARCH <idx> FOR '<query>' [MODE term|and|phrase|bm25|bm25_and]
+          [LIMIT k]
+
+    ``<idx>`` is a quoted path or a bare name (sibling of the base root —
+    same resolution as CREATE INDEX). Modes map to the index's probe
+    family: ``term`` (single token), ``and`` (tf-ranked all-tokens),
+    ``phrase`` (position-adjacent), ``bm25`` (idf-weighted OR — the
+    default) and ``bm25_and``. Every probe is the index's own
+    partition-pruned scan — the base table is never touched."""
+    m = re.match(
+        rf"^\s*search\s+{_MV_TARGET}\s+for\s+('(?:[^']|'')*')"
+        r"(?:\s+mode\s+([A-Za-z_]\w*))?"
+        r"(?:\s+limit\s+(\d+))?\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported SEARCH (want: SEARCH <idx> FOR '<query>' "
+            "[MODE term|and|phrase|bm25|bm25_and] [LIMIT k])"
+        )
+    from maestro_spark import index_maint as IM
+
+    idx = IM.load_index(table.spark, _idx_root(m.group(1), table), base=table)
+    if not hasattr(idx, "search_bm25"):
+        raise ValueError(
+            f"SEARCH wants a text index; {type(idx).__name__} is not one"
+        )
+    text = m.group(2)[1:-1].replace("''", "'")
+    mode = (m.group(3) or "bm25").lower()
+    k = int(m.group(4)) if m.group(4) else None
+    if mode == "term":
+        return idx.search(text, k=k)
+    if mode == "and":
+        return idx.search_all(text, k=k)
+    if mode == "phrase":
+        return idx.search_phrase(text, k=k)
+    if mode in ("bm25", "bm25_and"):
+        return idx.search_bm25(text, k=k,
+                               mode="and" if mode == "bm25_and" else "or")
+    raise ValueError(
+        f"unknown SEARCH mode {mode!r} — accepted: term, and, phrase, "
+        "bm25, bm25_and"
+    )
 
 
 # ------------------------------------------------------- table provisioning

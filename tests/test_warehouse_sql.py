@@ -468,3 +468,40 @@ def test_truncate_and_show_create(spark, wh):
     assert "role" in df.columns
     assert warehouse_sql(spark, wh, "SHOW CREATE TABLE conv2") \
         .head()["create_statement"] == stmt2
+
+
+def test_search_statement(spark, wh, tmp_path):
+    """SEARCH routes retrieval onto a maintained text index through both
+    SQL doors — the base table is never scanned, and modes map to the
+    index's probe family (tf AND, BM25, phrase)."""
+    t = _seed(spark, wh)
+    warehouse_sql(spark, wh, "INSERT INTO conv VALUES "
+                             "('C', 0, 'user', 'spark engine of record'), "
+                             "('C', 1, 'assistant', 'the spark engine')")
+    idx_path = str(tmp_path / "conv_text_idx")
+    warehouse_sql(spark, wh,
+                  f"CREATE INDEX '{idx_path}' ON conv USING text (text)")
+
+    rows = warehouse_sql(spark, wh,
+                         f"SEARCH '{idx_path}' FOR 'spark engine' MODE and"
+                         ).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in rows} \
+        == {("C", 0), ("C", 1)}
+
+    top = warehouse_sql(spark, wh,
+                        f"SEARCH '{idx_path}' FOR 'engine record' LIMIT 1"
+                        ).collect()  # default mode = bm25 OR
+    assert len(top) == 1 and top[0]["turn_idx"] == 0  # 'record' only in C/0
+
+    ph = warehouse_sql(spark, wh,
+                       f"SEARCH '{idx_path}' FOR 'engine of record' "
+                       "MODE phrase").collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in ph] == [("C", 0)]
+
+    with pytest.raises(ValueError, match="QUOTED"):
+        warehouse_sql(spark, wh, "SEARCH bare_idx FOR 'spark'")
+    with pytest.raises(ValueError, match="unsupported SEARCH"):
+        t.sql(f"SEARCH '{idx_path}' FOR spark")  # unquoted query text
+    # bad mode refuses with the accepted list
+    with pytest.raises(ValueError, match="accepted: term"):
+        t.sql(f"SEARCH '{idx_path}' FOR 'spark' MODE fuzzy")
