@@ -891,11 +891,7 @@ def parse_table_ddl(sql: str) -> dict:
     grammar — see :func:`maestro_spark.lake.warehouse_sql`) into a plain
     spec dict. Accepted forms::
 
-        COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
-      (idempotent per-file bulk load — ingest.copy_into)
-    RESTORE TABLE <t> TO VERSION AS OF <id|'tag'> / TO TIMESTAMP AS OF <'iso'|epoch>
-      (forward-only rollback — lake.rollback)
-    CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
+        CREATE TABLE [IF NOT EXISTS] <name> (col type, …) [WITH (n_buckets = K)]
         CREATE TABLE [IF NOT EXISTS] <name> [WITH (…)] AS SELECT …
         DROP TABLE [IF EXISTS] <name>
 
