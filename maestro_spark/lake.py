@@ -1756,7 +1756,12 @@ class LakeTable:
             ts = ts.timestamp()
         best = None
         for sid in self.snapshot_ids():
-            if self.snapshot(sid).committed_at <= ts:
+            # 1µs tolerance: ISO text and datetime carry at most
+            # microseconds, and the float<->datetime round-trip a caller
+            # pays to format a committed_at loses ~0.5µs — without the
+            # tolerance, "AS OF <the very instant s1 committed>" can
+            # resolve to s1's parent. Commits are never µs apart.
+            if self.snapshot(sid).committed_at <= ts + 1e-6:
                 best = sid
         if best is None:
             raise ValueError(
