@@ -867,6 +867,11 @@ def _finalize_registration_order() -> None:
         # persisted index declaration, probed vs the same DuckDB tokenizer
         # ground truth that certifies the in-window q_term_search
         "q_sql_index",
+        # TRUNCATE TABLE (r5, cont.): fenced delete-all + tombstone/time-
+        # travel semantics certified out-of-window (proving ground per the
+        # rotation protocol); the delete machinery itself is in-window via
+        # q_sql_dml/q_dml
+        "q_truncate",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

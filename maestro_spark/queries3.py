@@ -1200,3 +1200,54 @@ ORACLES["q_copy_into"] = f"""
                               'role': 'VARCHAR', 'text': 'VARCHAR'}},
                   header = true, ignore_errors = true)
     GROUP BY conv_id"""
+
+
+@q(
+    "q_truncate",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_truncate(spark, sf_dir):
+    """TRUNCATE TABLE (r5 cont., M49) driven through the SQL front door on
+    a scratch clone: one fenced delete-all epoch of TOMBSTONES, then a SQL
+    re-insert. The result carries (a) the post-truncate live rows — only
+    the re-inserted ones — and (b) a VERSION AS OF count proving the
+    truncated rows are remembered, not erased (time travel still serves
+    the full pre-truncate state). DuckDB restates both from the replayed
+    log: the literal re-inserted rows plus the live-row count of the
+    base's final state."""
+    import shutil
+
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    base = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/truncate_lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = base.clone(root)
+    pre = table.snapshot().snapshot_id
+    table.sql("TRUNCATE TABLE tq", name="tq")
+    table.sql(
+        "INSERT INTO tq (conv_id, turn_idx, role, text) VALUES "
+        "('fresh', 0, 'user', 'after truncate'), "
+        "('fresh', 1, 'assistant', 'row two')",
+        name="tq",
+    )
+    live = table.read().select("conv_id", "turn_idx", "text")
+    hist = table.sql(
+        f"SELECT CAST(count(*) AS LONG) AS pre_truncate_rows "
+        f"FROM tq VERSION AS OF {pre}",
+        name="tq",
+    )
+    return live.crossJoin(hist)
+
+
+ORACLES["q_truncate"] = f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx, arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    pre AS (
+      SELECT CAST(count(*) AS BIGINT) AS pre_truncate_rows
+      FROM base WHERE op <> 'delete')
+    SELECT v.conv_id, v.turn_idx, v.text, pre.pre_truncate_rows
+    FROM (VALUES ('fresh', 0, 'after truncate'),
+                 ('fresh', 1, 'row two')) AS v(conv_id, turn_idx, text), pre"""
