@@ -78,6 +78,13 @@ _AGG_COLS = ["conv_id", "tool", "text", "ts"]
 # non-printing key separator for multi-key group encoding (see _key_expr)
 _SEP = "\x1f"
 
+# epoch-id encoding for dimension-joined views: one refresh folds a
+# (base_snapshot, dim_snapshot) PAIR, so the idempotence key and the view
+# LSN must encode both — base-major (base dominates ordering; for one base
+# snapshot a later dim state dominates an earlier one). Snapshot ids are
+# retained-chain ordinals (expiry keeps them small), far below this modulus.
+_DIM_MOD = 1_000_000
+
 
 def _conv_aggs() -> list[F.Column]:
     return [
@@ -123,15 +130,48 @@ class MaterializedView:
         n_buckets: int | None = None,
         allow_full_only: bool = False,
         where: str | Column | None = None,
+        dim: "LakeTable | None" = None,
+        dim_on: list[str] | None = None,
+        dim_columns: list[str] | None = None,
+        dim_how: str = "left",
     ):
         """``where``: optional pre-aggregation row filter (Spark SQL text or
         a Column) — the view aggregates only matching base rows. Composes
         with the delta path unchanged: a changed conversation re-aggregates
         from its FILTERED current rows, and a group whose rows all leave
         the filter vanishes through the same tombstone anti-join that
-        handles deleted groups."""
+        handles deleted groups.
+
+        ``dim``/``dim_on``/``dim_columns``/``dim_how``: optional dimension
+        ENRICHMENT — base rows equi-join (broadcast, ``left`` by default)
+        the dim LakeTable's live rows on ``dim_on`` before the WHERE filter
+        and aggregation, so aggregates (and the filter) may reference dim
+        columns. Correctness across dim changes is cursor-tracked, not
+        assumed: every refresh pins the dim snapshot it read and encodes it
+        in the epoch key (``_DIM_MOD``), so a dim-only change makes the
+        next refresh re-enrich EVERY group (one full-recompute refresh —
+        the base feed cannot name which groups a dim row touches), while a
+        base-only change keeps the delta path joining the UNCHANGED pinned
+        dim. A dim key that stops being unique refuses the refresh loudly
+        (a duplicate would silently multiply base rows); a dim rollback
+        refuses (the view's LSNs could no longer dominate). ``key_cols``
+        stay BASE columns — dim attributes enrich aggregates, not group
+        identity."""
         if not key_cols or not aggs:
             raise ValueError("MaterializedView needs key_cols and aggs")
+        if dim is not None:
+            if not dim_on:
+                raise ValueError("dim needs dim_on join columns")
+            if dim_how not in ("left", "inner"):
+                raise ValueError(f"dim_how must be left|inner, got {dim_how!r}")
+            dim_payload = {f.name for f in dim.snapshot().payload_schema().fields}
+            bad = [c for c in dim_on if c not in dim_payload]
+            if bad:
+                raise ValueError(f"dim_on columns {bad} not in the dim table")
+        self.dim = dim
+        self.dim_on = list(dim_on or [])
+        self.dim_columns = list(dim_columns) if dim_columns else None
+        self.dim_how = dim_how
         if "conv_id" not in key_cols and not allow_full_only:
             raise ValueError(
                 "delta refresh needs conv_id in key_cols (a group keyed "
@@ -149,14 +189,22 @@ class MaterializedView:
         missing = [k for k in key_cols if k not in base_payload]
         if missing:
             raise ValueError(f"unknown key columns {missing}")
-        # scan pruning set: declared columns ∪ keys (keys are always needed)
+        if dim is not None:
+            bad = [c for c in self.dim_on if c not in base_payload]
+            if bad:
+                raise ValueError(f"dim_on columns {bad} not in the base table")
+        # scan pruning set: declared columns ∪ keys ∪ dim join keys (always
+        # needed)
         self.columns = list(
-            dict.fromkeys([*key_cols, *(columns or base_payload.keys())])
+            dict.fromkeys(
+                [*key_cols, *self.dim_on, *(columns or base_payload.keys())]
+            )
         )
         # derive agg output fields from the PLAN (no job): names must be
-        # unique and distinct from keys/internals; the filter joins the
-        # probe so an unresolvable WHERE fails at declaration, not refresh
-        probe_df = self.base.read(columns=self.columns)
+        # unique and distinct from keys/internals; the dim join and the
+        # filter join the probe so an unresolvable dim column or WHERE
+        # fails at declaration, not refresh
+        probe_df = self._enrich(self.base.read(columns=self.columns))
         if self.where is not None:
             probe_df = probe_df.filter(self.where)
         probe = probe_df.groupBy(*key_cols).agg(*aggs).schema
@@ -195,6 +243,64 @@ class MaterializedView:
                 n_buckets=n_buckets or max(4, base.snapshot().n_buckets // 8),
             )
 
+    # ---------------------------------------------------- dim enrichment
+    def _enrich(
+        self,
+        df: DataFrame,
+        dim_snapshot: int | None = None,
+        check_unique: bool = False,
+    ) -> DataFrame:
+        """Broadcast-join the dim's live rows (at ``dim_snapshot``, default
+        tip) onto ``df``. ``check_unique=True`` (refresh-time) runs one
+        small aggregate over the dim asserting the join key is unique —
+        a duplicate dim key would silently MULTIPLY base rows, so the
+        refresh refuses instead."""
+        if self.dim is None:
+            return df
+        cols = list(
+            dict.fromkeys(
+                [
+                    *self.dim_on,
+                    *(
+                        self.dim_columns
+                        or [
+                            f.name
+                            for f in self.dim.snapshot().payload_schema().fields
+                        ]
+                    ),
+                ]
+            )
+        )
+        d = self.dim.read(snapshot_id=dim_snapshot, columns=cols)
+        if check_unique:
+            dup = (
+                d.groupBy(*self.dim_on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"dim join key {self.dim_on} is not unique in "
+                    f"{self.dim.root!r} (e.g. {dup[0].asDict()}) — a "
+                    "duplicate would silently multiply base rows; dedup "
+                    "the dim or join on a unique key"
+                )
+        return df.join(F.broadcast(d), on=self.dim_on, how=self.dim_how)
+
+    def _dim_tip(self) -> int | None:
+        return self.dim.snapshot().snapshot_id if self.dim is not None else None
+
+    def _stamp(self, to_main: int, dim_sid: int | None) -> int:
+        """Epoch id / view LSN for one refresh: the main-coordinate base
+        snapshot, dim-encoded for joined views (see ``_DIM_MOD``)."""
+        if self.dim is None:
+            return to_main
+        if dim_sid >= _DIM_MOD:
+            raise ValueError(f"dim snapshot id {dim_sid} overflows _DIM_MOD")
+        return to_main * _DIM_MOD + dim_sid
+
     # --------------------------------------------------------- key encoding
     def _key_expr(self, df: DataFrame) -> Column:
         """Injective group-key -> view conv_id encoding. Identity for the
@@ -219,7 +325,13 @@ class MaterializedView:
     # ------------------------------------------------------------- cursor
     def applied_through(self) -> int:
         """Highest base snapshot id already folded into the view, derived
-        from the view's own committed epoch keys (no side-channel state)."""
+        from the view's own committed epoch keys (no side-channel state).
+        For dim-joined views the stored ids are ``_stamp``-encoded; this
+        returns the BASE part."""
+        raw = self._applied_raw()
+        return raw // _DIM_MOD if self.dim is not None else raw
+
+    def _applied_raw(self) -> int:
         prefix = f"{self.query_id}:"
         sids = [
             int(k[len(prefix):])
@@ -227,6 +339,14 @@ class MaterializedView:
             if k.startswith(prefix)
         ]
         return max(sids, default=0)
+
+    def dim_applied_through(self) -> int | None:
+        """Dim snapshot id pinned by the LATEST refresh (None before the
+        first refresh, or for dim-less views)."""
+        if self.dim is None:
+            return None
+        raw = self._applied_raw()
+        return raw % _DIM_MOD if raw else None
 
     def _id_offset(self) -> int:
         """Snapshot-id translation for branch (clone) bases: a branch's ids
@@ -263,6 +383,21 @@ class MaterializedView:
             if to_snapshot is not None
             else self.base.snapshot().snapshot_id
         )
+        dim_sid = self._dim_tip()
+        dim_applied = self.dim_applied_through()
+        if self.dim is not None and dim_applied is not None:
+            if dim_sid < dim_applied:
+                raise ValueError(
+                    f"dim table rolled back ({dim_applied} -> {dim_sid}) — "
+                    "the view's LSNs could no longer dominate; drop and "
+                    "re-declare the view"
+                )
+            if dim_sid > dim_applied:
+                # the dim moved: the base feed cannot name which groups a
+                # dim row touches, so EVERY group may be stale — one full
+                # re-enrichment refresh (its own epoch key encodes the new
+                # dim snapshot, so base-idle dim changes still commit)
+                return self.full_refresh(to)
         if to <= frm:
             return None
         if self._full_only:
@@ -306,15 +441,18 @@ class MaterializedView:
             # advance with an empty upsert batch so applied_through moves
             empty = self.spark.createDataFrame([], self._event_schema())
             return merge_batch(
-                self.table, empty, query_id=self.query_id, epoch_id=off + to
+                self.table, empty, query_id=self.query_id,
+                epoch_id=self._stamp(off + to, dim_sid),
             )
 
         current = self.base.read(
             snapshot_id=to, buckets=buckets, columns=self.columns
         )
+        current = self._enrich(current, dim_snapshot=dim_sid,
+                               check_unique=True)
         if self.where is not None:
             current = current.filter(self.where)
-        return self._apply(changed, current, off + to)
+        return self._apply(changed, current, self._stamp(off + to, dim_sid))
 
     def full_refresh(self, to_snapshot: int | None = None) -> Snapshot | None:
         """Rebuild every group's row from base state at ``to_snapshot``
@@ -333,7 +471,10 @@ class MaterializedView:
             if to_snapshot is not None
             else self.base.snapshot().snapshot_id
         )
+        dim_sid = self._dim_tip()
         current = self.base.read(snapshot_id=to, columns=self.columns)
+        current = self._enrich(current, dim_snapshot=dim_sid,
+                               check_unique=True)
         if self.where is not None:
             current = current.filter(self.where)
         agg = (
@@ -348,7 +489,8 @@ class MaterializedView:
                 agg.select(self._key_expr(agg).alias("_vk")), "_vk", "left_anti"
             )
         )
-        return self._merge(agg, gone, self._id_offset() + to)
+        return self._merge(agg, gone,
+                           self._stamp(self._id_offset() + to, dim_sid))
 
     # -------------------------------------------- crossover cost estimate
     def _range_bytes(self, frm: int, to: int) -> int:
@@ -504,11 +646,10 @@ class MaterializedView:
 
     def expected(self, snapshot_id: int | None = None) -> DataFrame:
         """Full recompute from base — the reconvergence oracle for tests."""
-        return (
-            self.base.read(snapshot_id=snapshot_id)
-            .groupBy(*self.key_cols)
-            .agg(*self.aggs)
-        )
+        cur = self._enrich(self.base.read(snapshot_id=snapshot_id))
+        if self.where is not None:
+            cur = cur.filter(self.where)
+        return cur.groupBy(*self.key_cols).agg(*self.aggs)
 
 
 class ConvStatsView(MaterializedView):
@@ -544,6 +685,10 @@ def declare(
     query_id: str = "sql-mv",
     allow_full_only: bool = False,
     where: str | None = None,
+    dim_root: str | None = None,
+    dim_on: list[str] | None = None,
+    dim_columns: list[str] | None = None,
+    dim_how: str = "left",
 ) -> MaterializedView:
     """Declare a PERSISTED materialized view: the declaration itself —
     key columns + aggregate expression TEXT + the base table root — is
@@ -574,12 +719,21 @@ def declare(
         "query_id": query_id,
         "allow_full_only": allow_full_only,
         "where": where,
+        "dim_root": os.path.abspath(dim_root) if dim_root else None,
+        "dim_on": list(dim_on) if dim_on else None,
+        "dim_columns": list(dim_columns) if dim_columns else None,
+        "dim_how": dim_how if dim_root else "left",
     }
     path = os.path.join(root, _MV_FILE)
     if os.path.exists(path):
         with open(path) as fh:
             prev = _json.load(fh)
-        prev = {**prev, "where": prev.get("where")}  # pre-r5 declarations
+        # default fields absent from older declarations
+        prev = {
+            **{"where": None, "dim_root": None, "dim_on": None,
+               "dim_columns": None, "dim_how": "left"},
+            **prev,
+        }
         if prev != decl:
             diff = sorted(k for k in decl if prev.get(k) != decl[k])
             raise ValueError(
@@ -597,6 +751,10 @@ def declare(
         query_id=query_id,
         allow_full_only=allow_full_only,
         where=where,
+        dim=LakeTable(spark, decl["dim_root"]) if decl["dim_root"] else None,
+        dim_on=dim_on,
+        dim_columns=dim_columns,
+        dim_how=dim_how,
     )
     if not os.path.exists(path):
         _atomic_write_json(path, decl, exclusive=False)
@@ -634,6 +792,10 @@ def load(
         query_id=decl["query_id"],
         allow_full_only=decl["allow_full_only"],
         where=decl.get("where"),
+        dim_root=decl.get("dim_root"),
+        dim_on=decl.get("dim_on"),
+        dim_columns=decl.get("dim_columns"),
+        dim_how=decl.get("dim_how") or "left",
     )
 
 

@@ -415,3 +415,98 @@ def test_filtered_view_where_delta_semantics(spark, tmp_path):
                 agg_exprs=["count(*) AS n"], where="nope = 1")
     import os
     assert not os.path.exists(str(tmp_path / "mv_bad"))
+
+
+def test_dim_joined_view(spark, tmp_path):
+    """Dimension-enriched materialized view (r5 cont.): base rows
+    broadcast-join a dim LakeTable before aggregation. Base-only changes
+    keep the delta path (joined against the PINNED dim snapshot);
+    a dim-only change triggers one full re-enrichment refresh even on an
+    idle base (the cursor encodes both snapshots); a duplicate dim key
+    and a dim rollback refuse loudly; the declaration persists through
+    load-by-path."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.ivm import declare, load
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "base"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "hello", "search", TS),
+         (2, "insert", "A", 1, "assistant", "hi", "browse", TS),
+         (3, "insert", "B", 0, "user", "yo", "search", TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 0)
+
+    # dim: tool -> cost weight, as its own lake table
+    from pyspark.sql import types as T
+
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"), n_buckets=2,
+        payload_schema=T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("weight", T.LongType(), True),
+        ]))
+    from maestro_spark.dml import upsert
+    upsert(dim, spark.createDataFrame(
+        [("search", 0, "search", 10), ("browse", 0, "browse", 1)],
+        "conv_id string, turn_idx int, tool string, weight long"),
+        query_id="dimload")
+
+    root = str(tmp_path / "mv")
+    mv = declare(spark, base, root, key_cols=["conv_id"],
+                 agg_exprs=["count(*) AS n", "sum(weight) AS cost"],
+                 dim_root=dim.root, dim_on=["tool"],
+                 dim_columns=["tool", "weight"])
+    mv.refresh()
+    assert {(r["conv_id"], r["n"], r["cost"]) for r in mv.read().collect()} \
+        == {("A", 2, 11), ("B", 1, 10)}
+
+    # base-only change: delta path, pinned dim
+    merge_batch(base, spark.createDataFrame(
+        [(4, "insert", "B", 1, "assistant", "sup", "browse", TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 1)
+    mv.refresh()
+    assert {(r["conv_id"], r["n"], r["cost"]) for r in mv.read().collect()} \
+        == {("A", 2, 11), ("B", 2, 11)}
+
+    # dim-only change on an IDLE base: cursor sees the dim move and runs
+    # one full re-enrichment refresh (weight of 'search' flips to 100)
+    upsert(dim, spark.createDataFrame(
+        [("search", 0, "search", 100)],
+        "conv_id string, turn_idx int, tool string, weight long"),
+        query_id="dimload")
+    snap = mv.refresh()
+    assert snap is not None
+    assert {(r["conv_id"], r["n"], r["cost"]) for r in mv.read().collect()} \
+        == {("A", 2, 101), ("B", 2, 101)}
+    # idempotent: nothing moved since
+    assert mv.refresh() is None
+
+    # reconverges to the live oracle (expected joins the current dim)
+    got = {tuple(r) for r in mv.read().collect()}
+    exp = {tuple(r) for r in mv.expected().collect()}
+    assert got == exp
+
+    # persistence round-trip reconstructs the dim join
+    mv2 = load(spark, root)
+    assert mv2.dim is not None and mv2.dim_on == ["tool"]
+    assert mv2.refresh() is None  # same cursor state
+
+    # duplicate dim key refuses the refresh loudly
+    upsert(dim, spark.createDataFrame(
+        [("dup", 5, "search", 7)],
+        "conv_id string, turn_idx int, tool string, weight long"),
+        query_id="dimload")
+    with pytest.raises(ValueError, match="not unique"):
+        mv.refresh()
+
+    # dim rollback is FORWARD-ONLY (a new snapshot restating the target),
+    # so the cursor just sees another dim move: one re-enrichment refresh
+    # lands the rolled-back weights (and the dup row is gone with them)
+    dim.rollback(1)
+    assert mv.refresh() is not None
+    assert {(r["conv_id"], r["n"], r["cost"]) for r in mv.read().collect()} \
+        == {("A", 2, 11), ("B", 2, 11)}
