@@ -193,6 +193,26 @@ class MaterializedView:
             bad = [c for c in self.dim_on if c not in base_payload]
             if bad:
                 raise ValueError(f"dim_on columns {bad} not in the base table")
+            dim_payload = {f.name for f in dim.snapshot().payload_schema().fields}
+            if self.dim_columns is None:
+                # a dim is itself a lake table, so it carries the engine key
+                # columns (conv_id/turn_idx) and possibly other base-named
+                # columns — joining those in would be ambiguous. Default to
+                # the join keys + every dim column whose name the base does
+                # NOT already use.
+                self.dim_columns = [
+                    *self.dim_on,
+                    *sorted(dim_payload - set(base_payload) - set(self.dim_on)),
+                ]
+            else:
+                clash = [c for c in self.dim_columns
+                         if c in base_payload and c not in self.dim_on]
+                if clash:
+                    raise ValueError(
+                        f"dim_columns {clash} collide with base columns — "
+                        "the join would be ambiguous; rename them in the "
+                        "dim or drop them from dim_columns"
+                    )
         # scan pruning set: declared columns ∪ keys ∪ dim join keys (always
         # needed)
         self.columns = list(

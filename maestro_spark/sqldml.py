@@ -23,7 +23,8 @@ engine REFUSES rather than mis-executes):
       WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * | INSERT (…) VALUES (…)
       WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
     ALTER TABLE … (see execute_ddl — metadata-only DDL builders)
-    CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t> [WHERE …] GROUP BY …
+    CREATE MATERIALIZED VIEW <view> AS SELECT … FROM <t>
+      [[LEFT] JOIN '<dim path>' USING (cols)] [WHERE …] GROUP BY …
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
     SEARCH <idx> FOR '<query>' [MODE term|and|phrase|bm25|bm25_and] [LIMIT k]
@@ -528,9 +529,17 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
 
         CREATE MATERIALIZED VIEW <view> AS
           SELECT <key cols…, agg_expr AS alias, …> FROM <t>
+          [[LEFT] JOIN '<dim path>' USING (join cols)]
           [WHERE <pre-aggregation filter>] GROUP BY <key cols>
         REFRESH MATERIALIZED VIEW <view>
         DROP MATERIALIZED VIEW [IF EXISTS] <view>
+
+    The JOIN clause declares dimension enrichment (see
+    ``ivm.MaterializedView``): the dim is another lake table named by a
+    QUOTED path (a dim is a table, not view-relative derived data), the
+    join is an equi-join on the USING columns against the dim's live
+    rows, and plain/INNER vs LEFT follows standard SQL. Dim-change
+    staleness is cursor-tracked by the view machinery itself.
 
     ``<view>`` is a quoted path (``'/data/conv_stats'``) or a bare name
     (view lives beside the base root — see :func:`_mv_root`). The select
@@ -580,18 +589,29 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
     cm = re.match(
         rf"^\s*create\s+materialized\s+view\s+{_MV_TARGET}\s+as\s+"
         r"select\s+(.*?)\s+from\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+(left\s+|inner\s+)?join\s+('[^']+'|\"[^\"]+\")"
+        r"\s+using\s*\(([^)]*)\))?"
         r"(?:\s+where\s+(.*?))?\s+group\s+by\s+(.*?)\s*;?\s*$",
         sql, re.I | re.S,
     )
     if not cm:
         raise ValueError(
             "unsupported materialized-view statement (want: CREATE "
-            "MATERIALIZED VIEW <view> AS SELECT … FROM <t> [WHERE …] "
+            "MATERIALIZED VIEW <view> AS SELECT … FROM <t> "
+            "[[LEFT] JOIN '<dim path>' USING (cols)] [WHERE …] "
             "GROUP BY …, or REFRESH MATERIALIZED VIEW <view>)"
         )
     _require_target(_strip_ident(cm.group(3)), name)
-    where = cm.group(4).strip() if cm.group(4) else None
-    keys = [_strip_ident(k) for k in _split_top(cm.group(5))]
+    # dim enrichment: SQL-standard USING join onto another lake table
+    # (quoted path — a dim is a TABLE, not view-relative derived data);
+    # plain/INNER JOIN = inner, LEFT JOIN = left, per standard SQL
+    dim_root = cm.group(5)[1:-1] if cm.group(5) else None
+    dim_on = ([_strip_ident(c) for c in _split_top(cm.group(6))]
+              if cm.group(5) else None)
+    dim_how = ("left" if (cm.group(4) or "").strip().lower() == "left"
+               else "inner") if dim_root else "left"
+    where = cm.group(7).strip() if cm.group(7) else None
+    keys = [_strip_ident(k) for k in _split_top(cm.group(8))]
     bad_keys = [k for k in keys if not re.fullmatch(r"[A-Za-z_]\w*", k)]
     if bad_keys:
         raise ValueError(
@@ -622,6 +642,7 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
         mv = ivm.declare(
             table.spark, table, root, key_cols=keys, agg_exprs=agg_exprs,
             columns=columns, where=where,
+            dim_root=dim_root, dim_on=dim_on, dim_how=dim_how,
         )
         mv.refresh()
         return mv

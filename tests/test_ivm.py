@@ -510,3 +510,56 @@ def test_dim_joined_view(spark, tmp_path):
     assert mv.refresh() is not None
     assert {(r["conv_id"], r["n"], r["cost"]) for r in mv.read().collect()} \
         == {("A", 2, 11), ("B", 2, 11)}
+
+
+def test_dim_joined_view_sql(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW … JOIN '<dim>' USING (cols) (r5 cont.):
+    the SQL front door declares a dim-enriched view; REFRESH by path picks
+    up both base and dim changes; plain JOIN is inner (an unmatched tool
+    drops the row), LEFT JOIN keeps it."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.ivm import load
+    from pyspark.sql import types as T
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "base"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "hi", "search", TS),
+         (2, "insert", "A", 1, "assistant", "yo", "mystery", TS)],
+        S.CHANGE_EVENT_SCHEMA), "s", 0)
+    from maestro_spark.dml import upsert
+    dim = LakeTable.create(spark, str(tmp_path / "dim"), n_buckets=2,
+                           payload_schema=T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("weight", T.LongType(), True)]))
+    upsert(dim, spark.createDataFrame(
+        [("search", 0, "search", 10)],
+        "conv_id string, turn_idx int, tool string, weight long"),
+        query_id="dl")
+
+    inner_root = str(tmp_path / "mv_inner")
+    mv = base.sql(
+        f"CREATE MATERIALIZED VIEW '{inner_root}' AS "
+        f"SELECT conv_id, count(*) AS n, sum(weight) AS cost "
+        f"FROM t JOIN '{dim.root}' USING (tool) GROUP BY conv_id")
+    assert {tuple(r) for r in mv.collect()} == {("A", 1, 10)}  # inner drops
+
+    left_root = str(tmp_path / "mv_left")
+    mv2 = base.sql(
+        f"CREATE MATERIALIZED VIEW '{left_root}' AS "
+        f"SELECT conv_id, count(*) AS n, sum(weight) AS cost "
+        f"FROM t LEFT JOIN '{dim.root}' USING (tool) GROUP BY conv_id")
+    assert {tuple(r) for r in mv2.collect()} == {("A", 2, 10)}  # left keeps
+
+    # dim change propagates through REFRESH by path
+    upsert(dim, spark.createDataFrame(
+        [("mystery", 0, "mystery", 5)],
+        "conv_id string, turn_idx int, tool string, weight long"),
+        query_id="dl")
+    base.sql(f"REFRESH MATERIALIZED VIEW '{left_root}'")
+    v = load(spark, left_root)
+    assert {tuple(r) for r in v.read().collect()} == {("A", 2, 15)}
