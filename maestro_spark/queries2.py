@@ -872,6 +872,11 @@ def _finalize_registration_order() -> None:
         # rotation protocol); the delete machinery itself is in-window via
         # q_sql_dml/q_dml
         "q_truncate",
+        # dim-enriched materialized views (r5, cont.): JOIN USING grammar +
+        # broadcast enrichment + the (base,dim)-encoded cursor certified
+        # out-of-window; the delta-refresh machinery itself is in-window
+        # via q_ivm_role/q_ivm_stats/q_mv_where
+        "q_mv_join",
     ]
     secondary = [
         # q_scan_events demoted for q_read_colrange (round 3): the raw

@@ -1251,3 +1251,65 @@ ORACLES["q_truncate"] = f"""
     SELECT v.conv_id, v.turn_idx, v.text, pre.pre_truncate_rows
     FROM (VALUES ('fresh', 0, 'after truncate'),
                  ('fresh', 1, 'row two')) AS v(conv_id, turn_idx, text), pre"""
+
+
+@q(
+    "q_mv_join",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_mv_join(spark, sf_dir):
+    """Dimension-enriched materialized view (r5 cont.): a per-conversation
+    aggregate over base rows LEFT-joined to a tool→weight dim lake table,
+    declared through the SQL front door's JOIN USING grammar and refreshed
+    by path — must equal DuckDB joining the replayed final state against
+    the same dim values. Certifies the join grammar, the broadcast
+    enrichment, and the (base,dim)-encoded refresh cursor."""
+    import os as _os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from maestro_spark.dml import upsert
+    from maestro_spark.lake import LakeTable
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    dim_root = f"{_CDC_DEMO_DIR}/tool_dim"
+    if not _os.path.isdir(f"{dim_root}/_snapshots"):
+        shutil.rmtree(dim_root, ignore_errors=True)
+        dim = LakeTable.create(spark, dim_root, n_buckets=2,
+                               payload_schema=T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("weight", T.LongType(), True)]))
+        upsert(dim, spark.createDataFrame(
+            [("search", 0, "search", 10), ("python", 0, "python", 100),
+             ("browser", 0, "browser", 1)],
+            "conv_id string, turn_idx int, tool string, weight long"),
+            query_id="dimload")
+    root = f"{_CDC_DEMO_DIR}/mv_join"
+    shutil.rmtree(root, ignore_errors=True)
+    table.sql(
+        f"CREATE MATERIALIZED VIEW '{root}' AS "
+        "SELECT conv_id, count(*) AS n_turns, "
+        "sum(weight) AS tool_cost "
+        f"FROM t LEFT JOIN '{dim_root}' USING (tool) GROUP BY conv_id"
+    )
+    return table.sql(f"REFRESH MATERIALIZED VIEW '{root}'")
+
+
+ORACLES["q_mv_join"] = f"""
+    WITH live AS (
+      SELECT conv_id, turn_idx,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    dim AS (SELECT * FROM (VALUES ('search', 10), ('python', 100),
+                                  ('browser', 1)) AS d(tool, weight))
+    SELECT live.conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           SUM(dim.weight) AS tool_cost
+    FROM live LEFT JOIN dim ON live.tool = dim.tool
+    WHERE live.op <> 'delete'
+    GROUP BY live.conv_id"""
