@@ -12,7 +12,8 @@ Subcommands:
   compact --table DIR [--tombstone-horizon LSN] [--policy tiered|full]
   sql     "SELECT …" --table ROOT[=NAME] [--table …] [--snapshot N]
   resume-txns --table DIR
-  ivm     --table DIR --view DIR [--to-snapshot N]
+  ivm     --table DIR --view DIR [--to-snapshot N] [--keys … --aggs …]
+          [--where …] [--dim DIR --dim-on COLS [--dim-how left|inner]]
   lineage --table DIR [--limit N]
   rollback --table DIR --to-snapshot N
   clone   --table DIR --dest DIR [--snapshot N]
@@ -115,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="epoch-key namespace for a declarative view")
     iv.add_argument("--where", default=None,
                     help="pre-aggregation SQL filter for a declarative view")
+    iv.add_argument("--dim", default=None,
+                    help="dim lake-table root for broadcast enrichment")
+    iv.add_argument("--dim-on", default=None, dest="dim_on",
+                    help="comma-separated equi-join columns onto --dim")
+    iv.add_argument("--dim-how", default="left", dest="dim_how",
+                    choices=["left", "inner"])
 
     ln = sub.add_parser("lineage", help="per-epoch lineage/metrics rollup")
     ln.add_argument("--table", required=True)
@@ -679,10 +686,14 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 query_id=args.ivm_query_id,
                 where=args.where,
+                dim=LakeTable(spark, args.dim) if args.dim else None,
+                dim_on=([c.strip() for c in args.dim_on.split(",")]
+                        if args.dim_on else None),
+                dim_how=args.dim_how,
             )
         else:
-            if args.where:
-                raise SystemExit("ivm: --where needs --keys/--aggs")
+            if args.where or args.dim:
+                raise SystemExit("ivm: --where/--dim need --keys/--aggs")
             view = ConvStatsView(spark, table, args.view)
         snap = view.refresh(to_snapshot=args.to_snapshot)
         print(json.dumps({
