@@ -292,22 +292,33 @@ class MaterializedView:
             )
         )
         d = self.dim.read(snapshot_id=dim_snapshot, columns=cols)
+        bcast = True
         if check_unique:
-            dup = (
-                d.groupBy(*self.dim_on)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
+            # ONE aggregate job over the dim serves both refresh-time
+            # decisions: key uniqueness (a duplicate would silently
+            # MULTIPLY base rows — refuse instead) and the join strategy
+            # (broadcast only while the dim is actually small; a dim that
+            # outgrows the threshold falls back to a shuffle join rather
+            # than OOMing every executor).
+            st = d.agg(
+                F.count(F.lit(1)).alias("n"),
+                # struct() so a NULL key part still counts (bare
+                # count_distinct ignores null arguments — a null-keyed dim
+                # row must participate in the uniqueness rule, not vanish)
+                F.count_distinct(F.struct(*self.dim_on)).alias("k"),
+            ).head()
+            if st["n"] != st["k"]:
                 raise ValueError(
                     f"dim join key {self.dim_on} is not unique in "
-                    f"{self.dim.root!r} (e.g. {dup[0].asDict()}) — a "
-                    "duplicate would silently multiply base rows; dedup "
-                    "the dim or join on a unique key"
+                    f"{self.dim.root!r} ({st['n']} rows, {st['k']} distinct "
+                    "keys) — a duplicate would silently multiply base "
+                    "rows; dedup the dim or join on a unique key"
                 )
-        return df.join(F.broadcast(d), on=self.dim_on, how=self.dim_how)
+            bcast = st["n"] <= int(
+                self.spark.conf.get("maestro.ivm.broadcastDimMax", "10000000")
+            )
+        return df.join(F.broadcast(d) if bcast else d,
+                       on=self.dim_on, how=self.dim_how)
 
     def _dim_tip(self) -> int | None:
         return self.dim.snapshot().snapshot_id if self.dim is not None else None
