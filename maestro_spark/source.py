@@ -67,9 +67,15 @@ class CdcLogStreamReader(DataSourceStreamReader):
             return None
         try:
             d = os.path.join(self.checkpoint_hint, "offsets")
-            batches = sorted((f for f in os.listdir(d) if f.isdigit()), key=int)
+            entries = os.listdir(d) if os.path.isdir(d) else []
+            batches = sorted((f for f in entries if f.isdigit()), key=int)
             if not batches:
-                return None
+                # the hint is the caller's statement that this is a
+                # processing-time query (stream_ingest's contract), where a
+                # clamped FIRST batch is safe and splitting is what the
+                # trigger does — so a fresh/empty WAL clamps from segment 0
+                # instead of admitting the whole backlog in one batch
+                return 0
             import json
 
             with open(os.path.join(d, batches[-1])) as fh:
@@ -100,9 +106,12 @@ class CdcLogStreamReader(DataSourceStreamReader):
         the run, not split it. So the clamp engages only when (a) a cursor
         was learned in-run via partitions() (processing-time steady state),
         or (b) the caller passed ``checkpointHint`` — stream_ingest does so
-        exactly for processing-time triggers — making the restart catch-up
-        batch bounded too. Fresh or availableNow runs stay unclamped by
-        design; their memory is bounded by segment sizing instead.
+        exactly for processing-time triggers — making BOTH the restart
+        catch-up batch and the first-ever batch bounded (an empty WAL
+        clamps from segment 0: a first start against a 10^10-event backlog
+        must not admit everything at once). AvailableNow runs pass no hint
+        and stay unclamped by design; their memory is bounded by segment
+        sizing instead.
         """
         n = len(_segments(self.log_dir))
         if self.max_segments_per_batch:

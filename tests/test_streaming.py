@@ -172,7 +172,12 @@ def test_restart_catchup_is_bounded_with_checkpoint_hint(spark, tmp_path):
 
     c1: list[int] = []
     run(c1, half)
-    assert sum(c1) == half
+    assert sum(c1) >= half  # no loss (see at-least-once note below)
+    # the clamp bounds the FIRST-EVER batch too (empty WAL + hint clamps
+    # from segment 0 — a fresh start against a backlog must not admit
+    # everything at once)
+    assert all(c <= 200 for c in c1), c1
+    assert len(c1) >= 2
 
     # while down, the rest of the log arrives
     for i, lo in enumerate(range(half, len(log), seg)):
@@ -181,7 +186,12 @@ def test_restart_catchup_is_bounded_with_checkpoint_hint(spark, tmp_path):
 
     c2: list[int] = []
     run(c2, len(log) - half)
-    assert sum(c1) + sum(c2) == len(log)  # no loss
+    # no loss. NOT exact equality: q.stop() can race the commit-log write
+    # of the final counted batch, and Spark's source contract is
+    # at-least-once — a re-delivered batch double-counts here. Exactly-once
+    # is the SINK's job (merge epoch idempotence, test_replay/test_stateful
+    # assert it end-to-end); this test pins admission control.
+    assert sum(c1) + sum(c2) >= len(log)
     # every catch-up batch bounded by the clamp (2 segments x 100 rows)
     assert c2 and all(c <= 200 for c in c2), c2
     assert len(c2) >= 2  # the catch-up really was split, not one big batch
