@@ -92,7 +92,8 @@ _TT_RE = re.compile(
 
 def _mask_literal_bodies(s: str) -> str:
     """Same-length copy with the INTERIOR of quoted literals blanked
-    (quotes kept, '' escapes honored) — regex spans stay valid on the
+    (quotes kept; '' doubling and backslash escapes honored — Spark's
+    default dialect interprets both) — regex spans stay valid on the
     original text."""
     out = list(s)
     i = 0
@@ -101,6 +102,9 @@ def _mask_literal_bodies(s: str) -> str:
         if q in ("'", '"'):
             j = i + 1
             while j < len(s):
+                if s[j] == "\\":
+                    j += 2
+                    continue
                 if s[j] == q:
                     if q == "'" and j + 1 < len(s) and s[j + 1] == "'":
                         j += 2
@@ -163,19 +167,11 @@ def extract_time_travel_any(sql: str) -> tuple[str, dict[str, list[tuple[str, st
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren depth 0, outside single-quoted strings."""
-    parts, buf, depth, i = [], [], 0, 0
-    while i < len(s):
-        ch = s[i]
-        if ch == "'":
-            j = i + 1
-            while j < len(s):
-                if s[j] == "'" and not (j + 1 < len(s) and s[j + 1] == "'"):
-                    break
-                j += 2 if s[j] == "'" else 1
-            buf.append(s[i : j + 1])
-            i = j + 1
-            continue
+    """Split on ``sep`` at paren depth 0, outside quoted strings (single
+    or double — both are string literals in Spark's default dialect)."""
+    masked = _mask_literal_bodies(s)
+    parts, buf, depth = [], [], 0
+    for i, ch in enumerate(masked):
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -184,10 +180,43 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
             parts.append("".join(buf))
             buf = []
         else:
-            buf.append(ch)
-        i += 1
+            buf.append(s[i])
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _scan_group(s: str, start: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``s[start]``
+    (literal-aware: parens inside quoted strings don't count)."""
+    masked = _mask_literal_bodies(s)
+    depth = 0
+    for i in range(start, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError(f"unbalanced parentheses in {s[start:start + 60]!r}")
+
+
+def _top_kw(s: str, kw_pattern: str) -> re.Match | None:
+    """First match of ``kw_pattern`` at paren depth 0 outside string
+    literals — how clause keywords (WHERE, WHEN MATCHED, …) are located
+    without being fooled by the same word inside a literal or a
+    parenthesized subexpression. Spans are valid on the original text."""
+    masked = _mask_literal_bodies(s)
+    depth, depths = 0, []
+    for ch in masked:
+        if ch == "(":
+            depth += 1
+        depths.append(depth)
+        if ch == ")":
+            depth -= 1
+    for m in re.finditer(kw_pattern, masked, re.I):
+        if depths[m.start()] == 0:
+            return m
+    return None
 
 
 def _parse_assignments(text: str) -> dict[str, str]:
@@ -258,17 +287,24 @@ def _exec_insert(table: LakeTable, sql: str, name: str, query_id: str):
 
 def _exec_update(table: LakeTable, sql: str, name: str, query_id: str):
     m = re.match(
-        r"^\s*update\s+([A-Za-z_][\w.]*)\s+set\s+(.*?)(?:\s+where\s+(.*))?\s*;?\s*$",
+        r"^\s*update\s+([A-Za-z_][\w.]*)\s+set\s+(.*?)\s*;?\s*$",
         sql, re.I | re.S,
     )
     if not m:
         raise ValueError("unsupported UPDATE (want: UPDATE <t> SET c = e[, ...] [WHERE p])")
     _require_target(_strip_ident(m.group(1)), name)
-    assigns = {c: F.expr(e) for c, e in _parse_assignments(m.group(2)).items()}
+    # the WHERE boundary is found outside literals/parens, so a SET value
+    # like 'deleted where stale' can never truncate the assignment list
+    body = m.group(2)
+    wm = _top_kw(body, r"\bwhere\b")
+    set_text, where_text = (
+        (body[: wm.start()], body[wm.end():]) if wm else (body, None)
+    )
+    assigns = {c: F.expr(e) for c, e in _parse_assignments(set_text).items()}
     bad = set(assigns) & set(S.KEY_COLS)
     if bad:
         raise ValueError(f"cannot UPDATE key columns {sorted(bad)}")
-    pred = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+    pred = F.expr(where_text) if where_text else F.lit(True)
     return update_where(table, pred, assigns, query_id=query_id)
 
 
@@ -327,10 +363,8 @@ def _validate_merge_on(on_text: str) -> None:
 
 def _exec_merge(table: LakeTable, sql: str, name: str, query_id: str):
     m = re.match(
-        r"^\s*merge\s+into\s+([A-Za-z_][\w.]*)\s*(?:as\s+)?(t\b)?\s*"
-        r"using\s+(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*)\s*(?:as\s+)?(s\b)?\s*"
-        r"on\s+(.*?)\s*(when\s+.*)$",
-        sql, re.I | re.S,
+        r"^\s*merge\s+into\s+([A-Za-z_][\w.]*)\s*(?:as\s+)?(?:t\b)?\s*using\s+",
+        sql, re.I,
     )
     if not m:
         raise ValueError(
@@ -338,8 +372,35 @@ def _exec_merge(table: LakeTable, sql: str, name: str, query_id: str):
             "[AS s] ON <key equality> WHEN … THEN …)"
         )
     _require_target(_strip_ident(m.group(1)), name)
-    _validate_merge_on(m.group(5))  # grammar first: refuse before any IO
-    src_text = m.group(3).strip()
+    # the USING source: a parenthesized SELECT is delimited by a proper
+    # paren scan (arbitrary nesting — a depth-limited regex refused
+    # sources like upper(trim(x)) inside the subquery)
+    pos = m.end()
+    if sql[pos : pos + 1] == "(":
+        end = _scan_group(sql, pos)
+        src_text = sql[pos:end]
+    else:
+        sm = re.match(r"[A-Za-z_][\w.]*", sql[pos:])
+        if not sm:
+            raise ValueError("MERGE USING wants a view name or (SELECT …)")
+        src_text = sm.group(0)
+        end = pos + sm.end()
+    am = re.match(r"\s*(?:as\s+)?(?:s\b)?\s*on\s+", sql[end:], re.I)
+    if not am:
+        raise ValueError(
+            "MERGE wants ON after the USING source (source alias, if "
+            "given, must be s)"
+        )
+    rest = sql[end + am.end():]
+    # clause keywords are located outside literals and parens, so a SET
+    # value like 'when matched then x' or a CASE WHEN expression can
+    # never be mistaken for a clause boundary
+    _WHEN = r"\bwhen\s+(?:not\s+)?matched\b"
+    wm = _top_kw(rest, _WHEN)
+    if not wm:
+        raise ValueError("MERGE wants at least one WHEN clause")
+    on_text, when_text = rest[: wm.start()].strip(), rest[wm.start():]
+    _validate_merge_on(on_text)  # grammar first: refuse before any IO
     spark = table.spark
     if src_text.startswith("("):
         source = spark.sql(src_text[1:-1])
@@ -347,52 +408,53 @@ def _exec_merge(table: LakeTable, sql: str, name: str, query_id: str):
         source = spark.table(_strip_ident(src_text))
 
     builder = MergeInto(table, source)
-    when_text = m.group(6)
     clause_re = re.compile(
         r"when\s+(not\s+matched\s+by\s+source|not\s+matched(?:\s+by\s+target)?|matched)"
         r"\s*(?:and\s+(.*?))?\s*then\s+"
         r"(update\s+set\s+.*?|delete|insert\s*\*|insert\s*\([^)]*\)\s*values\s*\(.*?\))"
-        r"\s*(?=when\s+|$)",
+        rf"\s*(?={_WHEN}|$)",
         re.I | re.S,
     )
     consumed = 0
-    for cm in clause_re.finditer(when_text):
-        if when_text[consumed:cm.start()].strip():
+    # match over the masked copy (same length), slice text from the
+    # original by span: literals can't confuse the clause grammar
+    for cm in clause_re.finditer(_mask_literal_bodies(when_text)):
+        if when_text[consumed : cm.start()].strip():
             raise ValueError(
                 f"cannot parse MERGE clause text "
                 f"{when_text[consumed:cm.start()].strip()!r}"
             )
         consumed = cm.end()
         cat = re.sub(r"\s+", " ", cm.group(1).lower())
-        cond = cm.group(2)
-        action = cm.group(3).strip()
-        act = action.lower()
+        cond = (
+            when_text[cm.start(2) : cm.end(2)] if cm.group(2) is not None else None
+        )
+        action = when_text[cm.start(3) : cm.end(3)].strip()
+        upd = re.match(r"^update\s+set\s+(.*)$", action, re.I | re.S)
         if cat == "matched":
-            if act == "delete":
+            if action.lower() == "delete":
                 builder.when_matched_delete(condition=cond)
-            elif act.startswith("update set"):
+            elif upd:
                 builder.when_matched_update(
-                    set=_parse_assignments(action[len("update set"):]),
-                    condition=cond,
+                    set=_parse_assignments(upd.group(1)), condition=cond
                 )
             else:
                 raise ValueError("WHEN MATCHED supports UPDATE SET … or DELETE")
         elif cat == "not matched by source":
-            if act == "delete":
+            if action.lower() == "delete":
                 builder.when_not_matched_by_source_delete(condition=cond)
-            elif act.startswith("update set"):
+            elif upd:
                 builder.when_not_matched_by_source_update(
-                    set=_parse_assignments(action[len("update set"):]),
-                    condition=cond,
+                    set=_parse_assignments(upd.group(1)), condition=cond
                 )
             else:
                 raise ValueError(
                     "WHEN NOT MATCHED BY SOURCE supports UPDATE SET … or DELETE"
                 )
         else:  # not matched [by target]
-            if act == "insert *" or act == "insert*":
+            if re.fullmatch(r"insert\s*\*", action, re.I):
                 builder.when_not_matched_insert(condition=cond)
-            elif act.startswith("insert"):
+            elif action.lower().startswith("insert"):
                 im = re.match(
                     r"insert\s*\(([^)]*)\)\s*values\s*\((.*)\)\s*$", action,
                     re.I | re.S,
@@ -427,6 +489,13 @@ def execute_dml(
     """Parse one DML statement and run it through the fenced native
     builders. Returns the committed Snapshot (None when the statement was
     a no-op — empty batch or idempotent re-delivery)."""
+    # a trailing semicolon is always outside any literal (a literal's
+    # closing quote would follow it), so stripping here is safe for every
+    # verb — INSERT's VALUES tail passes to Spark verbatim and would
+    # otherwise choke on it
+    sql = sql.rstrip()
+    while sql.endswith(";"):
+        sql = sql[:-1].rstrip()
     verb = _VERB_RE.match(sql)
     if not verb:
         raise ValueError("not a DML statement (INSERT/UPDATE/DELETE/MERGE)")
@@ -586,13 +655,16 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
         # refuses another table's view; also drops the registry marker
         return ivm.undeclare(table.spark, root, base=table)
 
+    # match over the literal-masked copy (same length) and slice each
+    # group from the original by span: a WHERE value like 'a group by b'
+    # or a dim path containing ``join`` can never confuse the grammar
     cm = re.match(
         rf"^\s*create\s+materialized\s+view\s+{_MV_TARGET}\s+as\s+"
         r"select\s+(.*?)\s+from\s+([A-Za-z_][\w.]*)"
         r"(?:\s+(left\s+|inner\s+)?join\s+('[^']+'|\"[^\"]+\")"
         r"\s+using\s*\(([^)]*)\))?"
         r"(?:\s+where\s+(.*?))?\s+group\s+by\s+(.*?)\s*;?\s*$",
-        sql, re.I | re.S,
+        _mask_literal_bodies(sql), re.I | re.S,
     )
     if not cm:
         raise ValueError(
@@ -601,24 +673,27 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
             "[[LEFT] JOIN '<dim path>' USING (cols)] [WHERE …] "
             "GROUP BY …, or REFRESH MATERIALIZED VIEW <view>)"
         )
-    _require_target(_strip_ident(cm.group(3)), name)
+    def g(i: int) -> str | None:
+        return sql[cm.start(i) : cm.end(i)] if cm.group(i) is not None else None
+
+    _require_target(_strip_ident(g(3)), name)
     # dim enrichment: SQL-standard USING join onto another lake table
     # (quoted path — a dim is a TABLE, not view-relative derived data);
     # plain/INNER JOIN = inner, LEFT JOIN = left, per standard SQL
-    dim_root = cm.group(5)[1:-1] if cm.group(5) else None
-    dim_on = ([_strip_ident(c) for c in _split_top(cm.group(6))]
+    dim_root = g(5)[1:-1] if cm.group(5) else None
+    dim_on = ([_strip_ident(c) for c in _split_top(g(6))]
               if cm.group(5) else None)
-    dim_how = ("left" if (cm.group(4) or "").strip().lower() == "left"
+    dim_how = ("left" if (g(4) or "").strip().lower() == "left"
                else "inner") if dim_root else "left"
-    where = cm.group(7).strip() if cm.group(7) else None
-    keys = [_strip_ident(k) for k in _split_top(cm.group(8))]
+    where = g(7).strip() if cm.group(7) else None
+    keys = [_strip_ident(k) for k in _split_top(g(8))]
     bad_keys = [k for k in keys if not re.fullmatch(r"[A-Za-z_]\w*", k)]
     if bad_keys:
         raise ValueError(
             f"GROUP BY must list bare base columns; cannot accept {bad_keys}"
         )
     echoed, agg_exprs = [], []
-    for item in _split_top(cm.group(2)):
+    for item in _split_top(g(2)):
         if re.fullmatch(r"[A-Za-z_]\w*", _strip_ident(item)):
             echoed.append(_strip_ident(item))
             continue
@@ -636,7 +711,7 @@ def execute_mv(table: LakeTable, sql: str, name: str = "t"):
         )
     if not agg_exprs:
         raise ValueError("view needs at least one aggregate select item")
-    root = _mv_root(cm.group(1), table)
+    root = _mv_root(g(1), table)
 
     def _declare(columns):
         mv = ivm.declare(

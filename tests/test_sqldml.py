@@ -98,6 +98,41 @@ def test_merge_statement_full_vocabulary(spark, table):
     assert table.read().filter(F.col("conv_id") == "E").head()["text"] == "e0"
 
 
+def test_grammar_survives_literals_nesting_and_case_when(spark, table):
+    """Clause keywords inside string literals, CASE WHEN expressions, a
+    deeply-nested USING subquery, double-quoted literals, and trailing
+    semicolons are all valid statement text — the grammar must locate
+    clause boundaries outside literals/parens, not by raw word search."""
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                       "VALUES ('Z', 0, 'user', 'z0');")  # trailing ;
+    # WHERE-word inside a SET literal + CASE WHEN + double-quoted literal
+    execute_dml(table, """
+        UPDATE t SET tool = 'x where 1=1',
+          text = CASE WHEN role = 'user' THEN upper(text) ELSE text END,
+          role = "d,q"
+        WHERE conv_id = 'Z'
+    """)
+    row = table.read().filter(F.col("conv_id") == "Z").head()
+    assert row["tool"] == "x where 1=1"
+    assert row["text"] == "Z0"
+    assert row["role"] == "d,q"
+    # MERGE: USING subquery nests function calls 3 deep; the SET value is
+    # a CASE WHEN whose result is a literal containing 'when matched then'
+    table.create_view("t")
+    execute_dml(table, """
+        MERGE INTO t USING (
+          SELECT conv_id, turn_idx, role, upper(trim(substr(text, 1, 2))) AS text
+          FROM t WHERE conv_id = 'Z'
+        ) AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET
+          text = CASE WHEN s.text = 'Z0' THEN 'when matched then boom' ELSE s.text END
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    row = table.read().filter(F.col("conv_id") == "Z").head()
+    assert row["text"] == "when matched then boom"
+
+
 def test_refusals_are_loud_and_precise(spark, table):
     with pytest.raises(ValueError, match="refusing to write a different table"):
         execute_dml(table, "UPDATE other SET text = 'x'")
@@ -631,6 +666,23 @@ def test_mv_sql_where_filter(spark, table, tmp_path):
     import os
     decl = _json.load(open(os.path.join(root, "_mv.json")))
     assert decl["where"] == "role = 'user'"
+
+
+def test_mv_grammar_survives_keyword_literals(spark, table, tmp_path):
+    """A WHERE literal containing ' group by ' (or any clause keyword)
+    is data, not grammar — the CREATE statement matches over a
+    literal-masked copy, so the filter text survives intact."""
+    root = str(tmp_path / "mv_lit")
+    out = table.sql(
+        f"CREATE MATERIALIZED VIEW '{root}' AS SELECT conv_id, "
+        "count(*) AS n FROM t "
+        "WHERE tool = 'no group by here' OR role = 'user' GROUP BY conv_id")
+    assert {(r["conv_id"], r["n"]) for r in out.collect()} == {
+        ("A", 1), ("B", 1)}
+    import json as _json
+    import os
+    decl = _json.load(open(os.path.join(root, "_mv.json")))
+    assert decl["where"] == "tool = 'no group by here' OR role = 'user'"
 
 
 def test_time_travel_repair_insert_and_merge(spark, table):
