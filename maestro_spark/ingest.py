@@ -224,6 +224,20 @@ def copy_into(
     files = sorted(p for p in _glob.glob(pattern) if os.path.isfile(p))
     if not files:
         raise ValueError(f"COPY INTO found no files at {src!r}")
+    # fingerprint root: tags are <path relative to here>:<size>. For the
+    # flat-directory case the relative path IS the basename (the original
+    # tag format — existing loaded sets keep matching); for recursive
+    # globs it keeps two same-named same-sized files in different
+    # subdirectories from colliding into one tag (a collision would
+    # silently skip the second file forever)
+    if os.path.isfile(src):
+        tag_root = os.path.dirname(src)
+    elif any(ch in src for ch in "*?["):
+        import re as _re
+
+        tag_root = os.path.dirname(_re.split(r"[*?\[]", src)[0])
+    else:
+        tag_root = src
     spark = table.spark
     payload = table.snapshot().payload_schema()
     committed = table.committed_epoch_keys()
@@ -246,10 +260,16 @@ def copy_into(
                 "internal/event names — these can never be payload"
             )
 
-    def _read_one(path: str):
-        """(valid, corrupt|None) for one file, typed against the table."""
+    def _sig_and_schema(path: str):
+        """``(signature, read_schema)`` for one file. Files with EQUAL
+        signatures are type-compatible and share one multi-path scan —
+        the batched mode's 10k-small-files shape reads them all in a
+        handful of Spark jobs instead of one scan + checkpoint per file.
+        The signature is driver-side metadata only (CSV header line,
+        parquet footer / JSON inference only under ``evolve``)."""
         if fmt == "parquet":
             read_schema = payload
+            sig: tuple = ()
             if evolve:
                 known = {f.name for f in payload.fields}
                 extra = [f for f in spark.read.parquet(path).schema.fields
@@ -258,7 +278,9 @@ def copy_into(
                     _check_new(path, [f.name for f in extra])
                     # file's own footer types; absent payload cols read null
                     read_schema = T.StructType([*payload.fields, *extra])
-            return spark.read.schema(read_schema).parquet(path), None
+                    sig = tuple((f.name, f.dataType.simpleString())
+                                for f in extra)
+            return ("parquet", sig), read_schema
         if fmt == "csv":
             # CSV is POSITIONAL: reading a column-subset file against the
             # full table schema would mark every row corrupt (header
@@ -294,19 +316,32 @@ def copy_into(
                                         True) for h in unknown},
                 }
             file_schema = T.StructType([by_name[h] for h in header])
-            df = read_csv_typed(spark, path, file_schema, **options)
+            return ("csv", tuple((f.name, f.dataType.simpleString())
+                                 for f in file_schema.fields)), file_schema
+        # JSON is name-based: absent fields are null, not corrupt
+        read_schema = payload
+        sig = ()
+        if evolve:
+            known = {f.name for f in payload.fields}
+            extra = [f for f in spark.read.json(path, **options)
+                     .schema.fields if f.name not in known
+                     and f.name != "_corrupt_record"]
+            if extra:
+                _check_new(path, [f.name for f in extra])
+                read_schema = T.StructType([*payload.fields, *extra])
+                sig = tuple((f.name, f.dataType.simpleString())
+                            for f in extra)
+        return ("json", sig), read_schema
+
+    def _read_group(paths: list[str], read_schema: T.StructType):
+        """(valid, corrupt|None) for a signature group, typed against the
+        table — ONE scan over all the group's files."""
+        if fmt == "parquet":
+            return spark.read.schema(read_schema).parquet(*paths), None
+        if fmt == "csv":
+            df = read_csv_typed(spark, paths, read_schema, **options)
         else:
-            # JSON is name-based: absent fields are null, not corrupt
-            read_schema = payload
-            if evolve:
-                known = {f.name for f in payload.fields}
-                extra = [f for f in spark.read.json(path, **options)
-                         .schema.fields if f.name not in known
-                         and f.name != "_corrupt_record"]
-                if extra:
-                    _check_new(path, [f.name for f in extra])
-                    read_schema = T.StructType([*payload.fields, *extra])
-            df = read_json_typed(spark, path, read_schema, **options)
+            df = read_json_typed(spark, paths, read_schema, **options)
         # checkpoint: Spark refuses corrupt-column-only queries on raw
         # CSV/JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
         # split below reads the parse twice anyway
@@ -315,6 +350,11 @@ def copy_into(
             df.filter(F.col("_corrupt").isNull()).drop("_corrupt"),
             df.filter(F.col("_corrupt").isNotNull()),
         )
+
+    def _read_one(path: str):
+        """(valid, corrupt|None) for one file (per-file commit mode)."""
+        _, read_schema = _sig_and_schema(path)
+        return _read_group([path], read_schema)
 
     def _quarantine(corrupt, epoch_id: int) -> int:
         n_bad = corrupt.count() if corrupt is not None else 0
@@ -329,7 +369,8 @@ def copy_into(
 
     out = {"files_loaded": 0, "files_skipped": 0, "rows_loaded": 0,
            "rows_quarantined": 0, "lsn": None}
-    tags = {p: f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in files}
+    tags = {p: f"{os.path.relpath(p, tag_root)}:{os.path.getsize(p)}"
+            for p in files}
 
     # The loaded set, derived the same way in BOTH modes (mode interop +
     # crash safety): file tags persisted in snapshot stats by every COPY
@@ -371,7 +412,15 @@ def copy_into(
             return out
         batch_tags = sorted(tags[p] for p in pending)
         bid = _fid("+".join(batch_tags))
-        parts = [_read_one(p) for p in pending]
+        # group type-compatible files into shared scans: N same-header CSVs
+        # become ONE read + ONE checkpoint, not N
+        groups: dict[tuple, list[str]] = {}
+        schemas: dict[tuple, T.StructType] = {}
+        for p in pending:
+            sig, sch = _sig_and_schema(p)
+            groups.setdefault(sig, []).append(p)
+            schemas[sig] = sch
+        parts = [_read_group(ps, schemas[sig]) for sig, ps in groups.items()]
         valid = parts[0][0]
         for v, _ in parts[1:]:
             valid = valid.unionByName(v, allowMissingColumns=True)

@@ -343,6 +343,50 @@ def test_copy_into_batched_mode(spark, wh, tmp_path):
     assert (s9["files_loaded"], s9["files_skipped"]) == (0, 3)
 
 
+def test_copy_into_subdir_tags_and_grouped_scan(spark, wh, tmp_path):
+    """Two same-named same-sized files in DIFFERENT subdirectories of a
+    recursive glob are distinct loads (tags are relative paths, not
+    basenames — a basename tag would silently skip the second forever);
+    and a batched load of mixed-header CSVs lands all rows in one epoch
+    via signature-grouped scans (subset headers fill absent columns)."""
+    import json as _json
+
+    _seed(spark, wh)
+    t = LakeTable(spark, f"{wh}/conv")
+    src = tmp_path / "tree"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    # identical byte LENGTH, same basename, different content
+    (src / "a" / "part.csv").write_text(
+        "conv_id,turn_idx,role,text\nP1,0,user,xx\n")
+    (src / "b" / "part.csv").write_text(
+        "conv_id,turn_idx,role,text\nP2,0,user,yy\n")
+    from maestro_spark.ingest import copy_into
+    s1 = copy_into(t, str(src / "*" / "*.csv"), "csv", per_file=False)
+    assert (s1["files_loaded"], s1["rows_loaded"]) == (2, 2)
+    assert t.read().filter("conv_id IN ('P1','P2')").count() == 2
+    s2 = copy_into(t, str(src / "*" / "*.csv"), "csv", per_file=False)
+    assert (s2["files_loaded"], s2["files_skipped"]) == (0, 2)
+
+    # mixed headers in one batched load: three full-header files share one
+    # grouped scan, the subset-header file gets its own; all ONE epoch
+    bulk = tmp_path / "mixed"
+    bulk.mkdir()
+    for i in range(3):
+        (bulk / f"full{i}.csv").write_text(
+            f"conv_id,turn_idx,role,text\nM{i},0,user,m{i}\n")
+    (bulk / "subset.csv").write_text("conv_id,turn_idx\nM9,0\n")
+    snaps_before = len(t.snapshot_ids())
+    s3 = _json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{bulk}' FILEFORMAT = csv "
+                   "WITH (per_file = 0)").head()["summary"])
+    assert (s3["files_loaded"], s3["rows_loaded"]) == (4, 4)
+    assert len(t.snapshot_ids()) == snaps_before + 1
+    got = {r["conv_id"]: r["text"]
+           for r in t.read().filter("conv_id LIKE 'M%'").collect()}
+    assert got == {"M0": "m0", "M1": "m1", "M2": "m2", "M9": None}
+
+
 def test_copy_into_schema_evolution(spark, wh, tmp_path):
     """COPY INTO WITH (evolve = 1): unknown incoming columns evolve the
     table schema in the loading commit (merge-side add-only gate) instead
