@@ -2915,8 +2915,16 @@ def warehouse_sql(
             from maestro_spark import index_maint as _im
             from maestro_spark import ivm as _ivm
 
-            derived = [d["root"] for d in _ivm.list_declared(t)]
-            derived += [d["root"] for d in _im.list_declared(t)]
+            # ownership gate: only remove derived data whose own persisted
+            # declaration points back at THIS table — a foreign registry
+            # marker (e.g. a registry dir copied wholesale from another
+            # table) must never make DROP TABLE delete someone else's
+            # view/index directory
+            derived = [
+                d["root"]
+                for d in (*_ivm.list_declared(t), *_im.list_declared(t))
+                if d.get("base_root") == os.path.abspath(root)
+            ]
             for d in derived:
                 shutil.rmtree(d, ignore_errors=True)
                 for side in (f"{d}._index.json",):

@@ -105,7 +105,24 @@ def test_drop_table_removes_registered_derived_data(spark, wh):
     idx_dir = t.root.rstrip("/") + "__idx_terms"
     assert os.path.isdir(mv_dir) and os.path.isdir(idx_dir)
 
+    # a FOREIGN registry marker (another table's view, e.g. a registry dir
+    # copied wholesale) must not let DROP TABLE delete that table's data
+    import shutil
+    warehouse_sql(spark, wh, "CREATE TABLE other (conv_id string, "
+                             "turn_idx int, text string)")
+    other = LakeTable(spark, f"{wh}/other")
+    warehouse_sql(spark, wh, "INSERT INTO other (conv_id, turn_idx, text) "
+                             "VALUES ('o', 0, 'x')")
+    other.sql("CREATE MATERIALIZED VIEW ostats AS SELECT conv_id, "
+              "count(*) AS n FROM other GROUP BY conv_id", name="other")
+    other_mv = other.root.rstrip("/") + "__mv_ostats"
+    assert os.path.isdir(other_mv)
+    for f in os.listdir(os.path.join(other.root, "_mv_registry")):
+        shutil.copy(os.path.join(other.root, "_mv_registry", f),
+                    os.path.join(t.root, "_mv_registry", f))
+
     out = warehouse_sql(spark, wh, "DROP TABLE conv").head()
+    assert os.path.isdir(other_mv)  # foreign view untouched
     summary = json.loads(out["summary"])
     assert summary["dropped"].endswith("/conv")
     assert sorted(os.path.basename(d) for d in summary["derived_dropped"]) == [
