@@ -181,11 +181,11 @@ def copy_into(
     that crashed before its ledger record is recognized and the ledger
     entry is backfilled, so the crash window costs nothing.
 
-    ``fileformat``: ``csv`` / ``json`` / ``parquet``. CSV types each file
-    by its OWN header validated against the table (column-subset files
-    fill absent columns through the merge's schema conform; unknown
-    header columns refuse); JSON decodes name-based; parquet reads
-    schema-projected. Corrupt rows dead-letter to the table's quarantine
+    ``fileformat``: ``csv`` / ``json`` / ``parquet`` / ``orc``. CSV types
+    each file by its OWN header validated against the table
+    (column-subset files fill absent columns through the merge's schema
+    conform; unknown header columns refuse); JSON decodes name-based;
+    parquet and ORC read schema-projected against their file footers. Corrupt rows dead-letter to the table's quarantine
     dir (``_reason='corrupt_record'``, same layout/repair flow as the
     merge DLQ) instead of poisoning the table.
 
@@ -214,9 +214,9 @@ def copy_into(
     from maestro_spark.merge import merge_batch
 
     fmt = fileformat.lower()
-    if fmt not in ("csv", "json", "parquet"):
+    if fmt not in ("csv", "json", "parquet", "orc"):
         raise ValueError(f"COPY INTO fileformat {fileformat!r} — accepted: "
-                         "csv, json, parquet")
+                         "csv, json, parquet, orc")
     if os.path.isfile(src) or any(ch in src for ch in "*?["):
         pattern = src
     else:
@@ -267,20 +267,22 @@ def copy_into(
         handful of Spark jobs instead of one scan + checkpoint per file.
         The signature is driver-side metadata only (CSV header line,
         parquet footer / JSON inference only under ``evolve``)."""
-        if fmt == "parquet":
+        if fmt in ("parquet", "orc"):
+            # both are footer-schema'd columnar formats: read
+            # schema-projected against the table, evolve from the footer
             read_schema = payload
             sig: tuple = ()
             if evolve:
                 known = {f.name for f in payload.fields}
-                extra = [f for f in spark.read.parquet(path).schema.fields
-                         if f.name not in known]
+                footer = getattr(spark.read, fmt)(path).schema
+                extra = [f for f in footer.fields if f.name not in known]
                 if extra:
                     _check_new(path, [f.name for f in extra])
                     # file's own footer types; absent payload cols read null
                     read_schema = T.StructType([*payload.fields, *extra])
                     sig = tuple((f.name, f.dataType.simpleString())
                                 for f in extra)
-            return ("parquet", sig), read_schema
+            return (fmt, sig), read_schema
         if fmt == "csv":
             # CSV is POSITIONAL: reading a column-subset file against the
             # full table schema would mark every row corrupt (header
@@ -336,8 +338,9 @@ def copy_into(
     def _read_group(paths: list[str], read_schema: T.StructType):
         """(valid, corrupt|None) for a signature group, typed against the
         table — ONE scan over all the group's files."""
-        if fmt == "parquet":
-            return spark.read.schema(read_schema).parquet(*paths), None
+        if fmt in ("parquet", "orc"):
+            reader = spark.read.schema(read_schema)
+            return getattr(reader, fmt)(*paths), None
         if fmt == "csv":
             df = read_csv_typed(spark, paths, read_schema, **options)
         else:

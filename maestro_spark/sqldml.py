@@ -28,7 +28,7 @@ engine REFUSES rather than mis-executes):
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
     SEARCH <idx> FOR '<query>' [MODE term|and|phrase|bm25|bm25_and] [LIMIT k]
-    COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet> [WITH (…)]
+    COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet|orc> [WITH (…)]
       (idempotent per-file bulk load — ingest.copy_into)
     RESTORE TABLE <t> TO VERSION AS OF <id|'tag'> / TO TIMESTAMP AS OF <'iso'|epoch>
       (forward-only rollback — lake.rollback)
@@ -1107,7 +1107,7 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
     """Compile one ``COPY INTO`` statement onto :func:`ingest.copy_into`
     (idempotent per-file bulk load). Accepted form::
 
-        COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet>
+        COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet|orc>
           [WITH (option = value, …)]
 
     ``per_file = 0`` in WITH selects the batched commit mode (all pending
@@ -1126,7 +1126,7 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
     if not m:
         raise ValueError(
             "unsupported COPY statement (want: COPY INTO <t> FROM '<path>' "
-            "FILEFORMAT = <csv|json|parquet> [WITH (option = value, …)])"
+            "FILEFORMAT = <csv|json|parquet|orc> [WITH (option = value, …)])"
         )
     _require_target(_strip_ident(m.group(1)), name)
     from maestro_spark.ingest import copy_into

@@ -404,6 +404,36 @@ def test_copy_into_subdir_tags_and_grouped_scan(spark, wh, tmp_path):
     assert got == {"M0": "m0", "M1": "m1", "M2": "m2", "M9": None}
 
 
+def test_copy_into_orc_and_explain(spark, wh, tmp_path):
+    """ORC rides the same schema-projected columnar path as parquet
+    (footer-typed, exactly-once per file); EXPLAIN passes through both
+    front doors to Spark's native planner, honoring inline time travel."""
+    _seed(spark, wh)
+    t = LakeTable(spark, f"{wh}/conv")
+    src = str(tmp_path / "orc")
+    spark.createDataFrame(
+        [("O1", 0, "user", "o-zero"), ("O1", 1, "assistant", "o-one")],
+        "conv_id string, turn_idx int, role string, text string",
+    ).coalesce(1).write.orc(src)
+    s1 = json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src}/*.orc' FILEFORMAT = orc"
+    ).head()["summary"])
+    assert (s1["files_loaded"], s1["rows_loaded"]) == (1, 2)
+    assert t.read().filter("conv_id = 'O1'").count() == 2
+    s2 = json.loads(warehouse_sql(
+        spark, wh, f"COPY INTO conv FROM '{src}/*.orc' FILEFORMAT = orc"
+    ).head()["summary"])
+    assert (s2["files_loaded"], s2["files_skipped"]) == (0, 1)
+
+    plan = t.sql("EXPLAIN FORMATTED SELECT conv_id, count(*) AS n FROM t "
+                 "WHERE turn_idx = 0 GROUP BY conv_id").head()["plan"]
+    assert "Physical Plan" in plan and "HashAggregate" in plan
+    plan2 = warehouse_sql(
+        spark, wh, "EXPLAIN SELECT count(*) FROM conv VERSION AS OF 1"
+    ).head()["plan"]
+    assert "Physical Plan" in plan2
+
+
 def test_copy_into_schema_evolution(spark, wh, tmp_path):
     """COPY INTO WITH (evolve = 1): unknown incoming columns evolve the
     table schema in the loading commit (merge-side add-only gate) instead
