@@ -42,7 +42,7 @@ import json
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maestro_spark import schema as S
@@ -630,15 +630,21 @@ class MaintainedTextIndex:
     applied_through = MaintainedLshIndex.applied_through
     _mark = MaintainedLshIndex._mark
 
+    def _toks_expr(self) -> Column:
+        """Token-array Column over ``text_col`` — THE tokenizer, shared by
+        the term and doclen writers (subclasses override this and
+        :meth:`_tokens` together to change what a 'term' is)."""
+        return F.filter(
+            F.split(F.lower(F.col(self.text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+
     def _term_rows(self, rows: DataFrame) -> DataFrame:
         """(keys, text, _lsn) → (keys, _lsn, term, tf, dl, _tb) — explode +
         one hash agg, pure codegen. ``dl`` (doc length in tokens) rides
         every term row so BM25's length normalization needs NO join at
         probe time."""
-        toks = F.filter(
-            F.split(F.lower(F.col(self.text_col)), "[^a-z0-9]+"),
-            lambda x: x != F.lit(""),
-        )
+        toks = self._toks_expr()
         return (
             rows.withColumn("_toks", toks)
             .withColumn("dl", F.size("_toks").cast("int"))
@@ -655,12 +661,10 @@ class MaintainedTextIndex:
         """(keys, text, _lsn) → one (keys, dl, _lsn) row per doc version —
         the corpus-stats side table (N docs, avg doc length for BM25),
         maintained O(delta) under the same LSN/tombstone discipline."""
-        toks = F.filter(
-            F.split(F.lower(F.col(self.text_col)), "[^a-z0-9]+"),
-            lambda x: x != F.lit(""),
-        )
         return rows.select(
-            *S.KEY_COLS, F.size(toks).cast("int").alias("dl"), S.LSN_COL
+            *S.KEY_COLS,
+            F.size(self._toks_expr()).cast("int").alias("dl"),
+            S.LSN_COL,
         )
 
     def _append(self, terms: DataFrame, mode: str) -> None:
@@ -951,6 +955,72 @@ class MaintainedTextIndex:
         return rows.limit(k) if k else rows
 
 
+class MaintainedValueIndex(MaintainedTextIndex):
+    """Exact-VALUE secondary index (M54): equality-serving point lookups on
+    a non-key column, the engine's answer to Delta's bloom-filter index for
+    high-cardinality equality predicates that zone maps (M25, min/max
+    ranges) cannot prune.
+
+    Each live row contributes exactly ONE term — the column's value cast
+    to string, never tokenized — into the text index's hive-partitioned
+    layout, so :meth:`lookup` reads ONE ``_tb`` partition directory
+    (driver-side XXH64 twin picks it) and returns the owning keys under
+    the shared LSN-dominance discipline. NULL values are not indexed (SQL
+    equality never matches NULL — the inherited refresh/rebuild already
+    skip null ``text_col`` rows). Maintenance, cursor, tombstones, crash
+    idempotence, declaration persistence, and the optimize() fold are all
+    inherited unchanged.
+
+    Typed columns index their Spark ``CAST(… AS STRING)`` form; probes
+    match that exact string (``lookup("42")`` for an int column) —
+    engine-portable, no per-type probe codecs.
+
+    Ranked/linguistic retrieval is refused: BM25 and phrase modes are
+    meaningless over opaque values (every doc has dl=1 and tf=1)."""
+
+    DEFAULT_SEARCH_MODE = "term"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: LakeTable,
+        index_dir: str,
+        value_col: str = "tool",
+        n_buckets: int = 64,
+    ):
+        super().__init__(spark, base, index_dir, text_col=value_col,
+                         n_buckets=n_buckets)
+
+    def _toks_expr(self) -> Column:
+        # ONE term per row: the exact value, cast to string, case
+        # preserved — equality is equality, not text matching
+        return F.array(F.col(self.text_col).cast("string"))
+
+    def _tokens(self, text: str) -> list[str]:
+        return [text]  # the probe value is opaque — never split or lowered
+
+    def lookup(self, value, k: int | None = None) -> DataFrame:
+        """Keys of live rows whose column equals ``value`` (exact string
+        form) — one partition directory scanned."""
+        return (
+            self.search(str(value), k=k)
+            .select(*S.KEY_COLS)
+        )
+
+    def search_bm25(self, *a, **kw):
+        raise ValueError(
+            "value index serves exact lookups — use lookup()/search "
+            "(MODE term); BM25 over opaque values is meaningless"
+        )
+
+    def search_phrase(self, *a, **kw):
+        raise ValueError(
+            "value index serves exact lookups — use lookup()/search "
+            "(MODE term); values are never tokenized, so phrases cannot "
+            "match"
+        )
+
+
 # -------------------------------------------------- persisted index registry
 # Same contract as maestro_spark.ivm's persisted views: the index
 # declaration (kind + constructor params + base root) is written to
@@ -976,6 +1046,7 @@ def _decl_path(index_dir: str) -> str:
 
 INDEX_KINDS = {
     "text": MaintainedTextIndex,
+    "value": MaintainedValueIndex,
     "simhash": MaintainedSimhashIndex,
     "lsh": MaintainedLshIndex,
     "ivf": MaintainedIvfIndex,
@@ -983,6 +1054,7 @@ INDEX_KINDS = {
 # which constructor kwarg the indexed COLUMN binds to, per kind
 INDEX_COLUMN_PARAM = {
     "text": "text_col",
+    "value": "value_col",
     "simhash": "text_col",
     "lsh": "vec_col",
     "ivf": "vec_col",

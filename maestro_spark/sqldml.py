@@ -839,7 +839,7 @@ def execute_index(table: LakeTable, sql: str, name: str = "t"):
     (maestro_spark.index_maint) and refresh it to the base table's current
     snapshot. Accepted forms::
 
-        CREATE INDEX <idx> ON <t> USING <text|simhash|lsh|ivf> (<column>)
+        CREATE INDEX <idx> ON <t> USING <text|value|simhash|lsh|ivf> (<column>)
           [WITH (param = value, …)]
         REFRESH INDEX <idx>
         DROP INDEX [IF EXISTS] <idx>
@@ -891,7 +891,7 @@ def execute_index(table: LakeTable, sql: str, name: str = "t"):
     if not cm:
         raise ValueError(
             "unsupported index statement (want: CREATE INDEX <idx> ON <t> "
-            "USING <text|simhash|lsh|ivf> (<column>) [WITH (k = v, …)], "
+            "USING <text|value|simhash|lsh|ivf> (<column>) [WITH (k = v, …)], "
             "REFRESH INDEX <idx>, or DROP INDEX [IF EXISTS] <idx>)"
         )
     _require_target(_strip_ident(cm.group(2)), name)
@@ -956,7 +956,8 @@ def execute_search(table: LakeTable, sql: str, name: str = "t") -> DataFrame:
             f"SEARCH wants a text index; {type(idx).__name__} is not one"
         )
     text = m.group(2)[1:-1].replace("''", "'")
-    mode = (m.group(3) or "bm25").lower()
+    # default mode is the index kind's own (bm25 for text, term for value)
+    mode = (m.group(3) or getattr(idx, "DEFAULT_SEARCH_MODE", "bm25")).lower()
     k = int(m.group(4)) if m.group(4) else None
     if mode == "term":
         return idx.search(text, k=k)

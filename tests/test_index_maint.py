@@ -602,6 +602,77 @@ def test_text_index_phrase_search_exact(spark, tmp_path):
                          for x in idx.search_phrase("zone maps").collect()}
 
 
+def test_maintained_value_index_lookup_equals_scan(spark, tmp_path):
+    """Exact-value secondary index (M54): lookup() equals a full-scan
+    equality filter over base's CURRENT live rows across
+    insert/update/delete epochs; values are opaque (never tokenized or
+    lowercased, NULLs unindexed); the probe scans ONE partition; ranked
+    modes refuse; the SQL surface (CREATE INDEX USING value + SEARCH)
+    routes with MODE term as the default."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    import pyspark.sql.functions as F
+
+    from maestro_spark.index_maint import MaintainedValueIndex
+
+    TS = dt.datetime(2025, 1, 1)
+    base = LakeTable.create(spark, str(tmp_path / "vi_lake"), n_buckets=4)
+    merge_batch(base, spark.createDataFrame(
+        [(1, "insert", "d0", 0, "user", "t0", "Web Search", TS),
+         (2, "insert", "d1", 0, "user", "t1", "calculator", TS),
+         (3, "insert", "d2", 0, "user", "t2", None, TS),
+         (4, "insert", "d3", 0, "user", "t3", "Web Search", TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+
+    idx = MaintainedValueIndex(spark, base, str(tmp_path / "vi_idx"),
+                               value_col="tool", n_buckets=8)
+    idx.refresh()
+
+    # epoch 1: update moves d3 off the value, delete d1, insert d9 onto it
+    merge_batch(base, spark.createDataFrame(
+        [(10, "update", "d3", 0, "user", "t3", "compiler", TS),
+         (11, "delete", "d1", 0, None, None, None, TS),
+         (12, "insert", "d9", 0, "user", "t9", "Web Search", TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    assert idx.refresh() is not None and idx.refresh() is None
+
+    def ground_truth(value):
+        g = base.read().filter(F.col("tool") == value)
+        return {(r["conv_id"], r["turn_idx"]) for r in g.collect()}
+
+    for v in ("Web Search", "calculator", "compiler", "absent"):
+        got = {(r["conv_id"], r["turn_idx"]) for r in idx.lookup(v).collect()}
+        assert got == ground_truth(v), v
+    assert {r["conv_id"] for r in idx.lookup("Web Search").collect()} == {
+        "d0", "d9"}
+    # values are OPAQUE: no lowercasing, no tokenization
+    assert idx.lookup("web search").count() == 0
+    # NULL is not indexed and a None probe matches nothing
+    assert idx.lookup("None").count() == 0
+
+    # exactly one value-bucket partition is scanned
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        idx.lookup("Web Search").explain(True)
+    s = buf.getvalue()
+    assert "PartitionFilters" in s and "_tb" in s
+
+    # ranked/linguistic retrieval refuses with the reason
+    with pytest.raises(ValueError, match="exact lookups"):
+        idx.search_bm25("Web Search")
+    with pytest.raises(ValueError, match="exact lookups"):
+        idx.search_phrase("Web Search")
+
+    # SQL surface: CREATE INDEX … USING value, SEARCH defaults to MODE term
+    base.sql("CREATE INDEX tools ON t USING value (tool)", name="t")
+    got = base.sql("SEARCH tools FOR 'Web Search'", name="t")
+    assert {r["conv_id"] for r in got.collect()} == {"d0", "d9"}
+    with pytest.raises(ValueError, match="exact lookups"):
+        base.sql("SEARCH tools FOR 'Web Search' MODE bm25", name="t")
+
+
 def test_cli_search_subcommand(spark, tmp_path, capsys, monkeypatch):
     """CLI `search`: builds/refreshes a maintained text index next to the
     table and serves all four probe modes; a follow-up --no-refresh probe
