@@ -976,6 +976,45 @@ ORACLES["q_sql_index"] = f"""
     FROM toks WHERE tok = 'rev' GROUP BY conv_id, turn_idx"""
 
 
+@q(
+    "q_value_index",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_value_index(spark, sf_dir):
+    """Exact-value secondary index (M54): CREATE INDEX … USING value over
+    the demo lake's ``tool`` column, then a lookup through the persisted,
+    load-by-path index must return exactly the keys DuckDB finds by
+    filtering the replayed live state — certifying the one-partition
+    equality probe, the opaque-value (no tokenize/lowercase) contract, and
+    the declaration round-trip end-to-end."""
+    import os
+    import shutil
+
+    from maestro_spark import index_maint as IM
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/val_idx"
+    shutil.rmtree(root, ignore_errors=True)
+    if os.path.exists(root + "._index.json"):
+        os.unlink(root + "._index.json")
+    table.sql(
+        f"CREATE INDEX '{root}' ON t USING value (tool) WITH (n_buckets = 8)"
+    )
+    return IM.load_index(spark, root, base=table).lookup("python")
+
+
+ORACLES["q_value_index"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx)
+    SELECT conv_id, turn_idx
+    FROM w WHERE op <> 'delete' AND tool = 'python'"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV/JPEG/AVI strict decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-
