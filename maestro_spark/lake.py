@@ -719,6 +719,14 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [(show_create(self, sc_name),)], "create_statement string"
             )
+        if sd := sqldml.show_derived_target(query):
+            kind, tname = sd
+            if tname is not None and tname.lower() != name.lower():
+                raise ValueError(
+                    f"SHOW targets {tname!r} but this table is registered "
+                    f"as {name!r}"
+                )
+            return _show_derived(self, kind)
         if sqldml.is_search(query):
             # before clause extraction: the query literal could contain
             # 'VERSION AS OF' text; a SEARCH never time-travels
@@ -2838,6 +2846,22 @@ def refresh_catalog(
     }
 
 
+def _show_derived(table: "LakeTable", kind: str) -> DataFrame:
+    """Result rows for ``SHOW MATERIALIZED VIEWS`` / ``SHOW INDEXES``: one
+    row per persisted declaration registered over ``table`` (root path +
+    the declaration JSON) — pure registry metadata, no Spark jobs."""
+    from maestro_spark import index_maint as _im
+    from maestro_spark import ivm as _ivm
+
+    rows = (_ivm.list_declared(table) if kind == "views"
+            else _im.list_declared(table))
+    return table.spark.createDataFrame(
+        [(d["root"], json.dumps({k: v for k, v in d.items() if k != "root"}))
+         for d in rows] or [],
+        "root string, declaration string",
+    )
+
+
 def warehouse_sql(
     spark: SparkSession, warehouse: str, query: str, prefix: str = ""
 ) -> DataFrame:
@@ -2998,6 +3022,14 @@ def warehouse_sql(
         kind, tname = meta
         t = LakeTable(spark, _root_of(tname))
         return t.meta_snapshots() if kind == "history" else t.meta_files()
+    if sd := sqldml.show_derived_target(query):
+        kind, tname = sd
+        if tname is None:
+            raise ValueError(
+                f"warehouse SHOW {'MATERIALIZED VIEWS' if kind == 'views' else 'INDEXES'} "
+                "needs ON <table> (the registry lives with the base table)"
+            )
+        return _show_derived(LakeTable(spark, _root_of(tname)), kind)
     if sc_name := sqldml.show_create_target(query):
         t = LakeTable(spark, _root_of(sc_name))
         return spark.createDataFrame(

@@ -1039,6 +1039,24 @@ def parse_table_ddl(sql: str) -> dict:
             "columns": columns, "params": params, "select": select}
 
 
+_SHOW_DERIVED_RE = re.compile(
+    r"^\s*show\s+(materialized\s+views|indexes)(?:\s+on\s+([A-Za-z_]\w*))?"
+    r"\s*;?\s*$",
+    re.I,
+)
+
+
+def show_derived_target(sql: str) -> tuple[str, str | None] | None:
+    """``SHOW MATERIALIZED VIEWS [ON <t>]`` / ``SHOW INDEXES [ON <t>]`` →
+    ``("views"|"indexes", table_or_None)``; None for anything else. Routed
+    onto the persisted-declaration registries (ivm.list_declared /
+    index_maint.list_declared) — metadata only, no Spark jobs."""
+    if m := _SHOW_DERIVED_RE.match(sql or ""):
+        kind = "views" if m.group(1).lower().startswith("materialized") else "indexes"
+        return kind, (_strip_ident(m.group(2)) if m.group(2) else None)
+    return None
+
+
 _SHOW_CREATE_RE = re.compile(
     r"^\s*show\s+create\s+table\s+([A-Za-z_]\w*)\s*;?\s*$", re.I
 )

@@ -404,6 +404,29 @@ def test_copy_into_subdir_tags_and_grouped_scan(spark, wh, tmp_path):
     assert got == {"M0": "m0", "M1": "m1", "M2": "m2", "M9": None}
 
 
+def test_show_materialized_views_and_indexes(spark, wh):
+    """SHOW MATERIALIZED VIEWS / SHOW INDEXES list the persisted
+    declarations registered over a table (metadata only) through both
+    doors; the warehouse door needs ON <table>, the table door refuses a
+    foreign target."""
+    _seed(spark, wh)
+    t = LakeTable(spark, f"{wh}/conv")
+    assert t.sql("SHOW MATERIALIZED VIEWS", name="t").count() == 0
+    t.sql("CREATE MATERIALIZED VIEW stats AS SELECT conv_id, count(*) AS n "
+          "FROM t GROUP BY conv_id", name="t")
+    t.sql("CREATE INDEX terms ON t USING text (text)", name="t")
+    mv_rows = t.sql("SHOW MATERIALIZED VIEWS", name="t").collect()
+    assert [os.path.basename(r["root"]) for r in mv_rows] == ["conv__mv_stats"]
+    assert json.loads(mv_rows[0]["declaration"])["key_cols"] == ["conv_id"]
+    idx_rows = warehouse_sql(spark, wh, "SHOW INDEXES ON conv").collect()
+    assert [os.path.basename(r["root"]) for r in idx_rows] == ["conv__idx_terms"]
+    assert json.loads(idx_rows[0]["declaration"])["kind"] == "text"
+    with pytest.raises(ValueError, match="needs ON"):
+        warehouse_sql(spark, wh, "SHOW INDEXES")
+    with pytest.raises(ValueError, match="registered as"):
+        t.sql("SHOW INDEXES ON other", name="t")
+
+
 def test_copy_into_orc_and_explain(spark, wh, tmp_path):
     """ORC rides the same schema-projected columnar path as parquet
     (footer-typed, exactly-once per file); EXPLAIN passes through both
