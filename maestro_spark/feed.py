@@ -162,8 +162,21 @@ class TableChangesStreamReader(DataSourceStreamReader):
         source (multi-source query) or a future layout — a restored cursor
         below ``startingSnapshot`` would make latestOffset announce an offset
         BEHIND the committed start (stall/fail), so anything implausible
-        degrades to None (= unclamped first batch), never to a bad clamp."""
+        degrades to None (= unclamped first batch), never to a bad clamp.
+
+        A hint pointing at an EMPTY WAL clamps from ``startingSnapshot``
+        (same rule as cdc_binlog's fresh-start clamp, source.py:72): the
+        hint is the caller's statement that bounded batches are wanted from
+        the FIRST trigger — a first-ever subscriber against a long-lived
+        table must not admit the whole history in one batch. availableNow
+        drains stay complete because the documented consumer contract
+        (stream_replicate) loops start/awaitTermination to the tip."""
         cur = _wal_offset(self.checkpoint_hint)
+        if cur is None and self.checkpoint_hint:
+            d = os.path.join(self.checkpoint_hint, "offsets")
+            entries = os.listdir(d) if os.path.isdir(d) else []
+            if not any(f.isdigit() for f in entries):
+                return self.start_snapshot
         if cur is not None and cur < self.start_snapshot:
             return None
         return cur

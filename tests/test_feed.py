@@ -248,6 +248,22 @@ def test_feed_latest_offset_clamp_contract(spark, tmp_path):
                                        "checkpointhint": str(tmp_path / "clamp_ckpt")})
     assert r.latestOffset() == {"snapshot": 4}
 
+    # checkpointHint with an EMPTY WAL (a first-ever hinted subscriber):
+    # clamps from startingSnapshot — a fresh start against a long-lived
+    # table must not admit the whole history in one batch (mirrors
+    # cdc_binlog's fresh-start clamp; availableNow drains stay complete
+    # via stream_replicate's drain loop)
+    os.makedirs(tmp_path / "fresh_ckpt" / "offsets")
+    r = TableChangesStreamReader(sch, {"path": src.root,
+                                       "maxsnapshotspertrigger": "2",
+                                       "checkpointhint": str(tmp_path / "fresh_ckpt")})
+    assert r.latestOffset() == {"snapshot": 2}
+    r2 = TableChangesStreamReader(sch, {"path": src.root,
+                                        "maxsnapshotspertrigger": "2",
+                                        "startingsnapshot": "3",
+                                        "checkpointhint": str(tmp_path / "fresh_ckpt")})
+    assert r2.latestOffset() == {"snapshot": 5}
+
 
 def test_replicate_available_now_restart_with_clamp_fully_drains(spark, tmp_path):
     """r3 advice (high): a RESTARTED availableNow drain with
@@ -259,7 +275,8 @@ def test_replicate_available_now_restart_with_clamp_fully_drains(spark, tmp_path
     src = _mk_source(spark, tmp_path, seed=71)
     replay(spark, str(tmp_path / "log"), src, query_id="s", max_epochs=1)
 
-    # first drain: fresh checkpoint (unclamped first batch by design)
+    # first drain: fresh checkpoint (clamped from snapshot 0 since r5's
+    # fresh-start rule; the drain loop still reaches the tip)
     dst = stream_replicate(
         spark, src.root, str(tmp_path / "replica"), query_id="rep",
         max_snapshots_per_trigger=2,
