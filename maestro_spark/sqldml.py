@@ -298,7 +298,7 @@ def _exec_update(table: LakeTable, sql: str, name: str, query_id: str):
     body = m.group(2)
     wm = _top_kw(body, r"\bwhere\b")
     set_text, where_text = (
-        (body[: wm.start()], body[wm.end():]) if wm else (body, None)
+        (body[: wm.start()], body[wm.end():].strip()) if wm else (body, None)
     )
     assigns = {c: F.expr(e) for c, e in _parse_assignments(set_text).items()}
     bad = set(assigns) & set(S.KEY_COLS)
