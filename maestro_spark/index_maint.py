@@ -1007,6 +1007,33 @@ class MaintainedValueIndex(MaintainedTextIndex):
             .select(*S.KEY_COLS)
         )
 
+    def lookup_rows(
+        self, value, columns: list[str] | None = None, k: int | None = None
+    ) -> DataFrame:
+        """Full live rows whose column equals ``value``: the index probe
+        yields the (small) key set, then ONE bucket-pruned base read
+        semi-joins it — the base scan is bounded by the matches'
+        key-buckets, never the table (the search_phrase serving shape).
+        ``columns`` prunes the base scan (keys always included)."""
+        keys = self.lookup(value, k=k).localCheckpoint(eager=True)
+        from maestro_spark.lake import bucket_expr
+
+        n_buckets = self.base.snapshot().n_buckets
+        buckets = sorted(
+            r["b"]
+            for r in keys.select(
+                bucket_expr("conv_id", n_buckets).alias("b")
+            ).distinct().collect()
+        )
+        if not buckets:
+            return self.base.read(columns=columns).limit(0)
+        cols = (
+            list(dict.fromkeys([*S.KEY_COLS, *columns])) if columns else None
+        )
+        return self.base.read(buckets=buckets, columns=cols).join(
+            F.broadcast(keys), S.KEY_COLS, "left_semi"
+        )
+
     def search_bm25(self, *a, **kw):
         raise ValueError(
             "value index serves exact lookups — use lookup()/search "

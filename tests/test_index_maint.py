@@ -659,6 +659,13 @@ def test_maintained_value_index_lookup_equals_scan(spark, tmp_path):
     s = buf.getvalue()
     assert "PartitionFilters" in s and "_tb" in s
 
+    # lookup_rows: full rows via a bucket-pruned, key-semi-joined base
+    # read — equals the full-scan filter, pruned columns honored
+    rows = {(r["conv_id"], r["text"])
+            for r in idx.lookup_rows("Web Search", columns=["text"]).collect()}
+    assert rows == {("d0", "t0"), ("d9", "t9")}
+    assert idx.lookup_rows("absent").count() == 0
+
     # ranked/linguistic retrieval refuses with the reason
     with pytest.raises(ValueError, match="exact lookups"):
         idx.search_bm25("Web Search")
