@@ -313,13 +313,23 @@ def update_where(
     """Set ``assignments`` on every live row matching ``predicate`` —
     reads current values, applies the expressions, re-emits the full rows
     as upserts (the merge is replace-by-key, so unchanged columns must
-    ride along)."""
+    ride along).
+
+    SQL UPDATE semantics: every SET expression evaluates against the OLD
+    row — one simultaneous projection, never sequential assignment — so
+    ``SET a = b, b = a`` swaps (chained ``withColumn`` would make the
+    second read the first's result instead)."""
 
     def build(lsn: int) -> DataFrame:
         rows = table.read().filter(predicate)
-        for col, expr in assignments.items():
-            rows = rows.withColumn(col, expr)
-        return rows.withColumn("op", F.lit("upsert")).withColumn(
+        have = set(rows.columns)
+        proj = [
+            (assignments[c].alias(c) if c in assignments else F.col(c))
+            for c in rows.columns
+        ]
+        # assignments to NEW columns (schema evolution) append after
+        proj += [assignments[c].alias(c) for c in assignments if c not in have]
+        return rows.select(*proj).withColumn("op", F.lit("upsert")).withColumn(
             "op_lsn", F.lit(lsn).cast("long")
         )
 

@@ -86,6 +86,25 @@ def test_update_where_preserves_other_columns(spark, table):
     assert got[("A", 0)] == ("a0", "user")       # untouched rows unchanged
 
 
+def test_update_where_set_is_simultaneous(spark, table):
+    """SQL UPDATE semantics: every SET expression reads the OLD row, so
+    ``SET text = role, role = text`` SWAPS the two columns (sequential
+    assignment would make the second read the first's result); a new
+    column's expression also reads old values."""
+    update_where(
+        table,
+        F.col("conv_id") == "A",
+        {"text": F.col("role"), "role": F.col("text"),
+         "tool": F.concat(F.col("role"), F.lit("|"), F.col("text"))},
+    )
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"], r["tool"])
+           for r in table.read().filter(F.col("conv_id") == "A").collect()}
+    assert got == {
+        ("A", 0): ("user", "a0", "user|a0"),
+        ("A", 1): ("assistant", "a1", "assistant|a1"),
+    }
+
+
 def test_dml_visible_in_change_feed(spark, table):
     pre = table.snapshot().snapshot_id
     snap = delete_where(table, F.col("conv_id") == "B")
