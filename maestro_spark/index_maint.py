@@ -639,6 +639,15 @@ class MaintainedTextIndex:
             lambda x: x != F.lit(""),
         )
 
+    def _source_cols(self) -> list[str]:
+        """Base columns the tokenizer reads (scan-pruning set)."""
+        return [self.text_col]
+
+    def _source_filter(self) -> Column:
+        """Rows worth indexing (a NULL text yields no terms anyway — the
+        filter just avoids shipping those rows into the explode)."""
+        return F.col(self.text_col).isNotNull()
+
     def _term_rows(self, rows: DataFrame) -> DataFrame:
         """(keys, text, _lsn) → (keys, _lsn, term, tf, dl, _tb) — explode +
         one hash agg, pure codegen. ``dl`` (doc length in tokens) rides
@@ -692,9 +701,9 @@ class MaintainedTextIndex:
         except (FileNotFoundError, ValueError):
             return self.rebuild()
         ups = feed.filter(
-            (F.col("op") == "upsert") & F.col(self.text_col).isNotNull()
+            (F.col("op") == "upsert") & self._source_filter()
         ).select(
-            *S.KEY_COLS, self.text_col, F.col("lsn").alias(S.LSN_COL)
+            *S.KEY_COLS, *self._source_cols(), F.col("lsn").alias(S.LSN_COL)
         ).localCheckpoint(eager=True)  # feeds BOTH writes below: scan once
         self._append(self._term_rows(ups), mode="append")
         self._doclen_rows(ups).write.mode("append").parquet(
@@ -712,10 +721,10 @@ class MaintainedTextIndex:
         import shutil
 
         to = self.base.snapshot().snapshot_id
-        live = self.base.read_resolved(columns=[self.text_col]).filter(
-            ~F.col(S.DELETED_COL) & F.col(self.text_col).isNotNull()
+        live = self.base.read_resolved(columns=self._source_cols()).filter(
+            ~F.col(S.DELETED_COL) & self._source_filter()
         ).select(
-            *S.KEY_COLS, self.text_col, S.LSN_COL
+            *S.KEY_COLS, *self._source_cols(), S.LSN_COL
         ).localCheckpoint(eager=True)
         shutil.rmtree(os.path.join(self.dir, _TOMBS), ignore_errors=True)
         self._append(self._term_rows(live), mode="overwrite")
@@ -975,35 +984,74 @@ class MaintainedValueIndex(MaintainedTextIndex):
     match that exact string (``lookup("42")`` for an int column) —
     engine-portable, no per-type probe codecs.
 
+    COMPOSITE keys: ``value_col`` may be a LIST of columns — each live row
+    with every component non-null contributes one term, the components
+    concatenated with a non-printing separator (``\\x1f`` — values must not
+    contain it, the same rule ivm's multi-key encoding documents), so
+    ``lookup("user", "search")`` is still a one-partition probe. A row
+    with ANY null component is not indexed (SQL equality never matches
+    NULL, so no all-values probe could match it).
+
     Ranked/linguistic retrieval is refused: BM25 and phrase modes are
     meaningless over opaque values (every doc has dl=1 and tf=1)."""
 
     DEFAULT_SEARCH_MODE = "term"
+    _SEP = "\x1f"
 
     def __init__(
         self,
         spark: SparkSession,
         base: LakeTable,
         index_dir: str,
-        value_col: str = "tool",
+        value_col: str | list[str] = "tool",
         n_buckets: int = 64,
     ):
-        super().__init__(spark, base, index_dir, text_col=value_col,
+        cols = [value_col] if isinstance(value_col, str) else list(value_col)
+        if not cols:
+            raise ValueError("value index needs at least one column")
+        super().__init__(spark, base, index_dir, text_col=cols[0],
                          n_buckets=n_buckets)
+        self.value_cols = cols
+
+    def _source_cols(self) -> list[str]:
+        return list(self.value_cols)
+
+    def _source_filter(self) -> Column:
+        out = F.col(self.value_cols[0]).isNotNull()
+        for c in self.value_cols[1:]:
+            out = out & F.col(c).isNotNull()
+        return out
 
     def _toks_expr(self) -> Column:
-        # ONE term per row: the exact value, cast to string, case
+        # ONE term per row: the exact value tuple, cast to string, case
         # preserved — equality is equality, not text matching
-        return F.array(F.col(self.text_col).cast("string"))
+        return F.array(
+            F.concat_ws(
+                self._SEP, *[F.col(c).cast("string") for c in self.value_cols]
+            )
+        )
 
     def _tokens(self, text: str) -> list[str]:
         return [text]  # the probe value is opaque — never split or lowered
 
-    def lookup(self, value, k: int | None = None) -> DataFrame:
-        """Keys of live rows whose column equals ``value`` (exact string
-        form) — one partition directory scanned."""
+    def lookup(self, *values, k: int | None = None) -> DataFrame:
+        """Keys of live rows whose column(s) equal ``values`` (exact
+        string form, one value per indexed column) — one partition
+        directory scanned. A None component matches nothing (SQL
+        equality)."""
+        if len(values) == 1 and isinstance(values[0], (list, tuple)):
+            values = tuple(values[0])
+        if len(values) != len(self.value_cols):
+            raise ValueError(
+                f"lookup wants {len(self.value_cols)} value(s) for columns "
+                f"{self.value_cols}, got {len(values)}"
+            )
+        if any(v is None for v in values):
+            return self.spark.createDataFrame(
+                [], "conv_id string, turn_idx int"
+            )
         return (
-            self.search(str(value), k=k)
+            self.search(self._SEP.join(str(v) for v in values), k=k)
             .select(*S.KEY_COLS)
         )
 

@@ -884,21 +884,33 @@ def execute_index(table: LakeTable, sql: str, name: str = "t"):
 
     cm = re.match(
         rf"^\s*create\s+index\s+{_MV_TARGET}\s+on\s+([A-Za-z_][\w.]*)\s+"
-        r"using\s+([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+        r"using\s+([A-Za-z_]\w*)\s*\(([^)]*)\)"
         r"(?:\s+with\s*\(\s*(.*?)\s*\))?\s*;?\s*$",
         sql, re.I | re.S,
     )
     if not cm:
         raise ValueError(
             "unsupported index statement (want: CREATE INDEX <idx> ON <t> "
-            "USING <text|value|simhash|lsh|ivf> (<column>) [WITH (k = v, …)], "
-            "REFRESH INDEX <idx>, or DROP INDEX [IF EXISTS] <idx>)"
+            "USING <text|value|simhash|lsh|ivf> (<column>[, …]) "
+            "[WITH (k = v, …)], REFRESH INDEX <idx>, or DROP INDEX "
+            "[IF EXISTS] <idx>)"
         )
     _require_target(_strip_ident(cm.group(2)), name)
     kind = cm.group(3).lower()
     if kind not in IM.INDEX_KINDS:
         raise ValueError(
             f"unknown index kind {kind!r} — accepted: {sorted(IM.INDEX_KINDS)}"
+        )
+    cols = [_strip_ident(c) for c in _split_top(cm.group(4))]
+    bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_]\w*", c)]
+    if not cols or bad:
+        raise ValueError(
+            f"CREATE INDEX wants bare column name(s); got {bad or cols}"
+        )
+    if len(cols) > 1 and kind != "value":
+        raise ValueError(
+            f"{kind} index takes exactly one column; only the value kind "
+            "accepts a composite column list"
         )
     params = _parse_with_params(cm.group(5)) if cm.group(5) else {}
     col_param = IM.INDEX_COLUMN_PARAM[kind]
@@ -907,7 +919,7 @@ def execute_index(table: LakeTable, sql: str, name: str = "t"):
             f"the indexed column is the (…) argument — do not also pass "
             f"{col_param!r} in WITH"
         )
-    params[col_param] = _strip_ident(cm.group(4))
+    params[col_param] = cols if len(cols) > 1 else cols[0]
     idx = IM.declare_index(
         table.spark, table, _idx_root(cm.group(1), table), kind, **params
     )
@@ -954,6 +966,12 @@ def execute_search(table: LakeTable, sql: str, name: str = "t") -> DataFrame:
     if not hasattr(idx, "search_bm25"):
         raise ValueError(
             f"SEARCH wants a text index; {type(idx).__name__} is not one"
+        )
+    if len(getattr(idx, "value_cols", [None])) > 1:
+        raise ValueError(
+            f"index spans columns {idx.value_cols} — a composite value "
+            "probe needs one value per column; use lookup() "
+            "(statement text cannot carry the tuple unambiguously)"
         )
     text = m.group(2)[1:-1].replace("''", "'")
     # default mode is the index kind's own (bm25 for text, term for value)

@@ -679,6 +679,43 @@ def test_maintained_value_index_lookup_equals_scan(spark, tmp_path):
     with pytest.raises(ValueError, match="exact lookups"):
         base.sql("SEARCH tools FOR 'Web Search' MODE bm25", name="t")
 
+    # COMPOSITE value index: one term per (role, tool) tuple, nulls in any
+    # component unindexed, one-partition probes, arity-checked lookups
+    merge_batch(base, spark.createDataFrame(
+        [(20, "update", "d0", 0, "assistant", "t0", "Web Search", TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 2)
+    comp = MaintainedValueIndex(spark, base, str(tmp_path / "vi_comp"),
+                                value_col=["role", "tool"], n_buckets=8)
+    comp.refresh()
+
+    def truth2(role, tool):
+        g = base.read().filter((F.col("role") == role) & (F.col("tool") == tool))
+        return {(r["conv_id"], r["turn_idx"]) for r in g.collect()}
+
+    for role, tool in (("user", "Web Search"), ("assistant", "Web Search"),
+                       ("user", "compiler"), ("x", "y")):
+        got2 = {(r["conv_id"], r["turn_idx"])
+                for r in comp.lookup(role, tool).collect()}
+        assert got2 == truth2(role, tool), (role, tool)
+    assert comp.lookup(("user", "Web Search")).count() == 1  # tuple form
+    assert comp.lookup("user", None).count() == 0            # SQL NULL equality
+    with pytest.raises(ValueError, match="2 value"):
+        comp.lookup("user")
+    # d2 (tool NULL) is not indexed under any tuple
+    assert comp.lookup("user", "None").count() == 0
+
+    # SQL: composite CREATE routes; SEARCH refuses with guidance
+    base.sql("CREATE INDEX rt ON t USING value (role, tool)", name="t")
+    from maestro_spark.index_maint import load_index
+    rt = load_index(spark, base.root.rstrip("/") + "__idx_rt", base=base)
+    assert rt.value_cols == ["role", "tool"]
+    assert {r["conv_id"] for r in rt.lookup("user", "Web Search").collect()} \
+        == {r["conv_id"] for r in comp.lookup("user", "Web Search").collect()}
+    with pytest.raises(ValueError, match="one value per column"):
+        base.sql("SEARCH rt FOR 'user'", name="t")
+    with pytest.raises(ValueError, match="exactly one column"):
+        base.sql("CREATE INDEX bad ON t USING text (role, tool)", name="t")
+
 
 def test_cli_search_subcommand(spark, tmp_path, capsys, monkeypatch):
     """CLI `search`: builds/refreshes a maintained text index next to the
