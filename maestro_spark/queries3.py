@@ -1015,6 +1015,46 @@ ORACLES["q_value_index"] = f"""
     FROM w WHERE op <> 'delete' AND tool = 'python'"""
 
 
+@q(
+    "q_value_index_comp",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_value_index_comp(spark, sf_dir):
+    """COMPOSITE value index (M54 cont.): a (role, tool) index's
+    arity-checked lookup must return exactly the keys DuckDB finds with a
+    two-column equality filter over the replayed live state — certifying
+    the separator-encoded tuple terms, the all-non-null indexing rule,
+    and the composite SQL declaration end-to-end."""
+    import os
+    import shutil
+
+    from maestro_spark import index_maint as IM
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/val_idx_comp"
+    shutil.rmtree(root, ignore_errors=True)
+    if os.path.exists(root + "._index.json"):
+        os.unlink(root + "._index.json")
+    table.sql(
+        f"CREATE INDEX '{root}' ON t USING value (role, tool) "
+        "WITH (n_buckets = 8)"
+    )
+    return IM.load_index(spark, root, base=table).lookup("assistant", "search")
+
+
+ORACLES["q_value_index_comp"] = f"""
+    WITH w AS (
+      SELECT conv_id, turn_idx,
+             arg_max(role, op_lsn) AS role,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx)
+    SELECT conv_id, turn_idx
+    FROM w WHERE op <> 'delete' AND role = 'assistant' AND tool = 'search'"""
+
+
 @q("q_media_decode")  # rows-only: real stdlib PNG/WAV/JPEG/AVI strict decode
 def q_media_decode(spark, sf_dir):
     """Strict-mode multimodal decode over REAL (deterministic, stdlib-
