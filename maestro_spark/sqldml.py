@@ -27,7 +27,9 @@ engine REFUSES rather than mis-executes):
       [[LEFT] JOIN '<dim path>' USING (cols)] [WHERE …] GROUP BY …
     REFRESH MATERIALIZED VIEW <view> / DROP MATERIALIZED VIEW [IF EXISTS] <view>
     OPTIMIZE <t> [ZORDER BY (cols…)] / VACUUM <t> [DRY RUN]
-    SEARCH <idx> FOR '<query>' [MODE term|and|phrase|bm25|bm25_and] [LIMIT k]
+    SEARCH <idx> FOR '<query>'[, '<v2>'…] [MODE …] [LIMIT k]
+      (modes term|and|phrase|bm25|bm25_and; a quoted value LIST probes a
+      composite value index, one value per indexed column)
     COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet|orc> [WITH (…)]
       (idempotent per-file bulk load — ingest.copy_into)
     RESTORE TABLE <t> TO VERSION AS OF <id|'tag'> / TO TIMESTAMP AS OF <'iso'|epoch>
@@ -940,8 +942,8 @@ def execute_search(table: LakeTable, sql: str, name: str = "t") -> DataFrame:
     """Route a retrieval statement onto a maintained inverted text index
     (the SQL twin of the ``search`` CLI). Accepted form::
 
-        SEARCH <idx> FOR '<query>' [MODE term|and|phrase|bm25|bm25_and]
-          [LIMIT k]
+        SEARCH <idx> FOR '<query>'[, '<v2>'…]
+          [MODE term|and|phrase|bm25|bm25_and] [LIMIT k]
 
     ``<idx>`` is a quoted path or a bare name (sibling of the base root —
     same resolution as CREATE INDEX). Modes map to the index's probe
@@ -950,14 +952,15 @@ def execute_search(table: LakeTable, sql: str, name: str = "t") -> DataFrame:
     default) and ``bm25_and``. Every probe is the index's own
     partition-pruned scan — the base table is never touched."""
     m = re.match(
-        rf"^\s*search\s+{_MV_TARGET}\s+for\s+('(?:[^']|'')*')"
+        rf"^\s*search\s+{_MV_TARGET}\s+for\s+"
+        r"('(?:[^']|'')*'(?:\s*,\s*'(?:[^']|'')*')*)"
         r"(?:\s+mode\s+([A-Za-z_]\w*))?"
         r"(?:\s+limit\s+(\d+))?\s*;?\s*$",
         sql, re.I | re.S,
     )
     if not m:
         raise ValueError(
-            "unsupported SEARCH (want: SEARCH <idx> FOR '<query>' "
+            "unsupported SEARCH (want: SEARCH <idx> FOR '<query>'[, '<v2>'…] "
             "[MODE term|and|phrase|bm25|bm25_and] [LIMIT k])"
         )
     from maestro_spark import index_maint as IM
@@ -967,13 +970,22 @@ def execute_search(table: LakeTable, sql: str, name: str = "t") -> DataFrame:
         raise ValueError(
             f"SEARCH wants a text index; {type(idx).__name__} is not one"
         )
-    if len(getattr(idx, "value_cols", [None])) > 1:
-        raise ValueError(
-            f"index spans columns {idx.value_cols} — a composite value "
-            "probe needs one value per column; use lookup() "
-            "(statement text cannot carry the tuple unambiguously)"
-        )
-    text = m.group(2)[1:-1].replace("''", "'")
+    vals = [v[1:-1].replace("''", "'") for v in _split_top(m.group(2))]
+    value_cols = getattr(idx, "value_cols", None)
+    if len(vals) > 1 or (value_cols and len(value_cols) > 1):
+        # a quoted tuple probes a COMPOSITE value index (one value per
+        # indexed column, arity-checked by lookup itself); any other index
+        # kind takes exactly one query string
+        if not value_cols:
+            raise ValueError(
+                "SEARCH with a value list probes a composite value index; "
+                f"{type(idx).__name__} takes one '<query>'"
+            )
+        if m.group(3) and m.group(3).lower() != "term":
+            raise ValueError("a composite value probe is MODE term only")
+        out = idx.lookup(vals)
+        return out.limit(int(m.group(4))) if m.group(4) else out
+    text = vals[0]
     # default mode is the index kind's own (bm25 for text, term for value)
     mode = (m.group(3) or getattr(idx, "DEFAULT_SEARCH_MODE", "bm25")).lower()
     k = int(m.group(4)) if m.group(4) else None

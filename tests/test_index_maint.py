@@ -704,15 +704,25 @@ def test_maintained_value_index_lookup_equals_scan(spark, tmp_path):
     # d2 (tool NULL) is not indexed under any tuple
     assert comp.lookup("user", "None").count() == 0
 
-    # SQL: composite CREATE routes; SEARCH refuses with guidance
+    # SQL: composite CREATE routes; a quoted value LIST probes the tuple
     base.sql("CREATE INDEX rt ON t USING value (role, tool)", name="t")
     from maestro_spark.index_maint import load_index
     rt = load_index(spark, base.root.rstrip("/") + "__idx_rt", base=base)
     assert rt.value_cols == ["role", "tool"]
     assert {r["conv_id"] for r in rt.lookup("user", "Web Search").collect()} \
         == {r["conv_id"] for r in comp.lookup("user", "Web Search").collect()}
-    with pytest.raises(ValueError, match="one value per column"):
-        base.sql("SEARCH rt FOR 'user'", name="t")
+    got3 = base.sql("SEARCH rt FOR 'user', 'Web Search'", name="t")
+    assert {r["conv_id"] for r in got3.collect()} == \
+        {r["conv_id"] for r in comp.lookup("user", "Web Search").collect()}
+    with pytest.raises(ValueError, match="2 value"):
+        base.sql("SEARCH rt FOR 'user'", name="t")  # arity-checked
+    with pytest.raises(ValueError, match="MODE term only"):
+        base.sql("SEARCH rt FOR 'user', 'x' MODE bm25", name="t")
+    with pytest.raises(ValueError, match="1 value"):
+        base.sql("SEARCH tools FOR 'a', 'b' MODE term", name="t")  # 1-col idx
+    base.sql("CREATE INDEX ti ON t USING text (text)", name="t")
+    with pytest.raises(ValueError, match="takes one"):
+        base.sql("SEARCH ti FOR 'a', 'b'", name="t")  # text: no tuples
     with pytest.raises(ValueError, match="exactly one column"):
         base.sql("CREATE INDEX bad ON t USING text (role, tool)", name="t")
 
