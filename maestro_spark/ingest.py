@@ -102,6 +102,148 @@ def read_json_typed(
     )
 
 
+# ------------------------------------------------- Debezium envelope ingest
+def debezium_envelope_schema(payload: T.StructType) -> T.StructType:
+    """The standard Debezium change-event envelope (public wire format:
+    ``before``/``after`` row images, ``source`` block with the origin
+    LSN/commit timestamp, ``op`` code, envelope ``ts_ms``) typed against a
+    payload row schema. All fields nullable — a snapshot read carries no
+    ``before``, a delete no ``after``, and connectors differ on which
+    ``source`` members they populate."""
+    row = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in payload.fields]
+    )
+    source = T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("db", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("snapshot", T.StringType(), True),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("before", row, True),
+            T.StructField("after", row, True),
+            T.StructField("source", source, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+def from_debezium(
+    raw: DataFrame,
+    payload_schema: T.StructType | None = None,
+    col: str = "value",
+) -> DataFrame:
+    """Decode Debezium JSON envelopes in ``raw[col]`` into the engine's
+    change-event rows (``op_lsn, op, <payload…>``) — the real-world binlog
+    front door: a Kafka topic dump or connector archive feeds ``merge_batch``
+    / ``stream_ingest`` directly.
+
+    Pure ``from_json`` + codegen projection, no UDFs. Mapping:
+
+    - op codes ``c`` (create) and ``r`` (snapshot read) → ``insert``,
+      ``u`` → ``update``, ``d`` → ``delete``;
+    - row image = ``after`` for upserts, ``before`` for deletes (each
+      falling back to the other when a connector omits its primary image);
+    - ``op_lsn`` = ``source.lsn``, falling back to ``source.ts_ms`` then
+      envelope ``ts_ms`` for connectors without a numeric LSN (MySQL GTID
+      mode) — commit-timestamp ordering, the same total order Debezium
+      itself falls back to.
+
+    DEFECTS ARE DATA, not exceptions: an unparseable line decodes to a row
+    whose ``op`` is ``corrupt_envelope`` and whose key/LSN are null, an
+    unknown op code passes through verbatim — both shapes are exactly what
+    ``merge.quarantine_reason`` dead-letters (``bad_op`` /
+    ``null_conv_id`` / ``null_op_lsn``), so the standard DLQ + repair flow
+    covers envelope corruption with zero extra machinery."""
+    payload = payload_schema or S.TRANSCRIPT_SCHEMA
+    e = F.from_json(F.col(col), debezium_envelope_schema(payload))
+    opcode = e["op"]
+    op = (
+        F.when(opcode.isin("c", "r"), F.lit("insert"))
+        .when(opcode == "u", F.lit("update"))
+        .when(opcode == "d", F.lit("delete"))
+        .otherwise(F.coalesce(opcode, F.lit("corrupt_envelope")))
+    )
+    row = F.when(opcode == "d", F.coalesce(e["before"], e["after"])).otherwise(
+        F.coalesce(e["after"], e["before"])
+    )
+    lsn = F.coalesce(e["source"]["lsn"], e["source"]["ts_ms"], e["ts_ms"])
+    return raw.select(
+        lsn.cast("long").alias("op_lsn"),
+        op.alias("op"),
+        *[row[f.name].alias(f.name) for f in payload.fields],
+    )
+
+
+DEBEZIUM_DEMO_PATH = "/tmp/maestro_dbz_demo/envelopes.jsonl"
+
+
+def write_debezium_demo(path: str = DEBEZIUM_DEMO_PATH) -> str:
+    """Materialize a deterministic Debezium envelope JSONL exercising the
+    whole mapping surface: snapshot reads (``r``), creates, updates,
+    deletes (before-image only), LSN fallbacks (``source.ts_ms``, envelope
+    ``ts_ms``), plus planted defects (invalid JSON, unknown op, an
+    envelope with no row image). sf-independent, so the DuckDB oracle
+    reads the same bytes."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lines = []
+    for i in range(2500):
+        conv = f"c{i % 100:03d}"
+        turn = (i // 100) % 5
+        code = ["r", "c", "u", "u", "d"][i % 5]
+        row = (
+            '{"conv_id": "%s", "turn_idx": %d, "role": "%s", '
+            '"text": "turn %d of %s rev%d", "tool": %s, '
+            '"ts": "2025-03-01T00:%02d:%02d"}'
+            % (conv, turn, "user" if turn % 2 == 0 else "assistant",
+               turn, conv, i, '"search"' if i % 3 == 0 else "null",
+               (i // 60) % 60, i % 60)
+        )
+        before = row if code in ("d", "u") else "null"
+        after = row if code != "d" else "null"
+        if i % 13 == 0:
+            src = "null"  # no source block: envelope ts_ms is the LSN
+        elif i % 7 == 0:
+            # connector without a numeric LSN (MySQL GTID): commit ts_ms
+            src = '{"ts_ms": %d, "db": "crm"}' % (1_700_000_000_000 + i)
+        else:
+            src = '{"lsn": %d, "ts_ms": %d, "db": "crm", "table": "turns"}' % (
+                1000 + i, 1_700_000_000_000 + i)
+        lines.append(
+            '{"before": %s, "after": %s, "source": %s, "op": "%s", "ts_ms": %d}'
+            % (before, after, src, code, 1_700_000_100_000 + i)
+        )
+    lines.append('{"before": null, BROKEN')                       # invalid JSON
+    lines.append('{"op": "x", "source": {"lsn": 1}, "after": '
+                 '{"conv_id": "cx", "turn_idx": 0}}')             # unknown op
+    lines.append('{"op": "c", "source": {"lsn": 2}, "ts_ms": 5}')  # no image
+    with open(path + ".tmp", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def debezium_ingest_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-check demo for :func:`from_debezium`: decode the
+    deterministic envelope file and aggregate per mapped op — event count,
+    source-LSN checksum, distinct conversations — so every branch of the
+    op/row-image/LSN-fallback mapping lands in the oracle comparison."""
+    raw = spark.read.text(write_debezium_demo())
+    ev = from_debezium(raw)
+    return ev.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("op_lsn").alias("lsn_sum"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
 JSON_DEMO_PATH = "/tmp/maestro_json_demo/events.jsonl"
 
 
@@ -181,13 +323,24 @@ def copy_into(
     that crashed before its ledger record is recognized and the ledger
     entry is backfilled, so the crash window costs nothing.
 
-    ``fileformat``: ``csv`` / ``json`` / ``parquet`` / ``orc``. CSV types
-    each file by its OWN header validated against the table
-    (column-subset files fill absent columns through the merge's schema
-    conform; unknown header columns refuse); JSON decodes name-based;
-    parquet and ORC read schema-projected against their file footers. Corrupt rows dead-letter to the table's quarantine
+    ``fileformat``: ``csv`` / ``json`` / ``parquet`` / ``orc`` /
+    ``debezium``. CSV types each file by its OWN header validated against
+    the table (column-subset files fill absent columns through the merge's
+    schema conform; unknown header columns refuse); JSON decodes
+    name-based; parquet and ORC read schema-projected against their file
+    footers. Corrupt rows dead-letter to the table's quarantine
     dir (``_reason='corrupt_record'``, same layout/repair flow as the
     merge DLQ) instead of poisoning the table.
+
+    ``debezium`` is the CDC-native bulk path: files are JSONL of standard
+    Debezium envelopes (:func:`from_debezium`), and rows keep their OWN
+    op (insert/update/delete rides through — deletes tombstone) and their
+    SOURCE LSN instead of a fresh table LSN — so a directory of binlog
+    archive dumps loads in ANY order and max-LSN dominance reconverges it
+    to the same final state as a live tail (defective envelopes
+    dead-letter through the merge's own quarantine with precise reasons).
+    ``evolve`` is refused for debezium (the envelope is typed against the
+    table's payload schema).
 
     ``evolve=True`` (SQL: ``WITH (evolve = 1)``) turns unknown incoming
     columns into SCHEMA EVOLUTION instead of a refusal (Databricks
@@ -214,9 +367,15 @@ def copy_into(
     from maestro_spark.merge import merge_batch
 
     fmt = fileformat.lower()
-    if fmt not in ("csv", "json", "parquet", "orc"):
+    if fmt not in ("csv", "json", "parquet", "orc", "debezium"):
         raise ValueError(f"COPY INTO fileformat {fileformat!r} — accepted: "
-                         "csv, json, parquet, orc")
+                         "csv, json, parquet, orc, debezium")
+    if fmt == "debezium" and evolve:
+        raise ValueError(
+            "COPY INTO … FILEFORMAT = debezium does not take evolve — the "
+            "envelope decodes against the table's payload schema (ALTER "
+            "TABLE … ADD COLUMN first, then load)"
+        )
     if os.path.isfile(src) or any(ch in src for ch in "*?["):
         pattern = src
     else:
@@ -267,6 +426,11 @@ def copy_into(
         handful of Spark jobs instead of one scan + checkpoint per file.
         The signature is driver-side metadata only (CSV header line,
         parquet footer / JSON inference only under ``evolve``)."""
+        if fmt == "debezium":
+            # envelopes all decode against the table payload: every file is
+            # type-compatible, so batched mode reads the whole load as ONE
+            # multi-path text scan
+            return ("debezium", ()), payload
         if fmt in ("parquet", "orc"):
             # both are footer-schema'd columnar formats: read
             # schema-projected against the table, evolve from the footer
@@ -338,6 +502,12 @@ def copy_into(
     def _read_group(paths: list[str], read_schema: T.StructType):
         """(valid, corrupt|None) for a signature group, typed against the
         table — ONE scan over all the group's files."""
+        if fmt == "debezium":
+            # decode envelopes into change events carrying their SOURCE op
+            # + LSN; defects become quarantine-shaped rows the merge's own
+            # DLQ gates (bad_op / null_conv_id / null_op_lsn) — corrupt
+            # handling needs no second channel here
+            return from_debezium(spark.read.text(list(paths)), payload), None
         if fmt in ("parquet", "orc"):
             reader = spark.read.schema(read_schema)
             return getattr(reader, fmt)(*paths), None
@@ -433,10 +603,13 @@ def copy_into(
             for c in corrupts[1:]:
                 allc = allc.unionByName(c, allowMissingColumns=True)
             out["rows_quarantined"] = _quarantine(allc, bid)
-        lsn = max_live_lsn(table) + 1
-        events = valid.withColumn("op", F.lit("upsert")).withColumn(
-            "op_lsn", F.lit(lsn).cast("long")
-        )
+        if fmt == "debezium":
+            lsn, events = None, valid  # events carry their SOURCE op + LSN
+        else:
+            lsn = max_live_lsn(table) + 1
+            events = valid.withColumn("op", F.lit("upsert")).withColumn(
+                "op_lsn", F.lit(lsn).cast("long")
+            )
         snap = merge_batch(table, events, query_id=query_id, epoch_id=bid,
                            offsets={"files": batch_tags},
                            extra_stats={"copy_files": batch_tags})
@@ -448,6 +621,9 @@ def copy_into(
             return out
         out["files_loaded"] = len(pending)
         out["rows_loaded"] = snap.stats.get("rows_in") or 0
+        # debezium defects dead-letter through the merge's own DLQ (precise
+        # reasons) — surface them in the load summary all the same
+        out["rows_quarantined"] += snap.stats.get("invalid_events") or 0
         out["lsn"] = lsn
         return out
 
@@ -459,10 +635,13 @@ def copy_into(
             continue
         valid, corrupt = _read_one(path)
         out["rows_quarantined"] += _quarantine(corrupt, fid)
-        lsn = max_live_lsn(table) + 1
-        events = valid.withColumn("op", F.lit("upsert")).withColumn(
-            "op_lsn", F.lit(lsn).cast("long")
-        )
+        if fmt == "debezium":
+            lsn, events = None, valid  # events carry their SOURCE op + LSN
+        else:
+            lsn = max_live_lsn(table) + 1
+            events = valid.withColumn("op", F.lit("upsert")).withColumn(
+                "op_lsn", F.lit(lsn).cast("long")
+            )
         snap = merge_batch(
             table, events, query_id=query_id, epoch_id=fid,
             offsets={"file": tag}, extra_stats={"copy_files": [tag]},
@@ -472,5 +651,6 @@ def copy_into(
             continue
         out["files_loaded"] += 1
         out["rows_loaded"] += snap.stats.get("rows_in") or 0
+        out["rows_quarantined"] += snap.stats.get("invalid_events") or 0
         out["lsn"] = lsn
     return out

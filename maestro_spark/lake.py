@@ -745,6 +745,19 @@ class LakeTable:
                   snap.stats.get("rollback_to"))],
                 "op: string, snapshot_id: long, restored_to: long",
             )
+        if sqldml.is_script(query):
+            # before clause extraction: pins are refused inside scripts,
+            # and a literal INSIDE the script must not be misparsed here
+            if snapshot_id is not None or ts is not None:
+                raise ValueError(
+                    "a transaction script cannot target a time-travel pin"
+                )
+            n = sqldml.execute_script(self, query, name=name)
+            self.create_view(name)  # post-transaction state
+            return self.spark.createDataFrame(
+                [("transaction", n, self.snapshot().snapshot_id)],
+                "op: string, statements_applied: int, snapshot_id: long",
+            )
         query, tt_pins = sqldml.extract_time_travel(query, name)
         if tt_pins:
             if snapshot_id is not None or ts is not None:
@@ -3044,6 +3057,40 @@ def warehouse_sql(
              for k, v in rep.items()],
             "property string, value string",
         )
+    if sqldml.is_script(query):
+        # CROSS-TABLE transaction script: each statement applies to its own
+        # table's zero-copy branch; COMMIT publishes every table through
+        # the coordinator-intent protocol (transaction_multi) — ALL tables
+        # move or NONE do, even across a crash mid-publish.
+        stmts, term = sqldml.parse_script(query)
+        if term == "rollback" or not stmts:
+            return _summary("transaction", statements_applied=0, tables=[])
+        targets = []
+        for s_ in stmts:
+            tgt = sqldml.statement_target(s_)
+            if tgt is None:
+                raise ValueError(
+                    f"cannot find the target table of {s_[:60]!r}"
+                )
+            targets.append(tgt)
+        names = list(dict.fromkeys(targets))
+        tables = {n: LakeTable(spark, _root_of(n)) for n in names}
+        # read-only sources (tables referenced but never written) serve
+        # their COMMITTED state — snapshot isolation for the script's reads
+        register_catalog(spark, warehouse, prefix=prefix)
+        with tables[names[0]].transaction_multi(
+            *[tables[n] for n in names[1:]]
+        ) as branches:
+            bmap = dict(zip(names, branches))
+            for i, (s_, tgt) in enumerate(zip(stmts, targets)):
+                for n, b in bmap.items():
+                    b.create_view(prefix + n)  # in-flight branch states
+                sqldml.execute_dml(bmap[tgt], s_, name=tgt,
+                                   query_id=f"sqltxn.{i}")
+        for n, t in tables.items():
+            t.create_view(prefix + n)  # post-transaction state
+        return _summary("transaction", statements_applied=len(stmts),
+                        tables=names)
     target = sqldml.statement_target(query)
     if target is not None:
         return LakeTable(spark, _root_of(target)).sql(query, name=target)

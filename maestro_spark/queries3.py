@@ -392,6 +392,53 @@ def q_ingest_json(spark, sf_dir):
     return json_ingest_demo(spark, sf_dir)
 
 
+# --------------------------------------------- Debezium envelope ingest
+@q(
+    "q_debezium",
+    """WITH raw AS (
+         SELECT * FROM read_csv('/tmp/maestro_dbz_demo/envelopes.jsonl',
+             header=false, delim='', quote='', columns={'line': 'VARCHAR'})),
+       env AS (
+         SELECT CASE WHEN json_valid(line)
+                     THEN json_extract_string(line, '$.op') END AS code,
+                CASE WHEN json_valid(line) THEN line END AS j
+         FROM raw),
+       mapped AS (
+         SELECT CASE WHEN code IN ('c', 'r') THEN 'insert'
+                     WHEN code = 'u' THEN 'update'
+                     WHEN code = 'd' THEN 'delete'
+                     ELSE COALESCE(code, 'corrupt_envelope') END AS op,
+                COALESCE(
+                  TRY_CAST(json_extract_string(j, '$.source.lsn') AS BIGINT),
+                  TRY_CAST(json_extract_string(j, '$.source.ts_ms') AS BIGINT),
+                  TRY_CAST(json_extract_string(j, '$.ts_ms') AS BIGINT)
+                ) AS op_lsn,
+                CASE WHEN code = 'd'
+                     THEN COALESCE(json_extract_string(j, '$.before.conv_id'),
+                                   json_extract_string(j, '$.after.conv_id'))
+                     ELSE COALESCE(json_extract_string(j, '$.after.conv_id'),
+                                   json_extract_string(j, '$.before.conv_id'))
+                END AS conv_id
+         FROM env)
+       SELECT op, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(op_lsn) AS BIGINT) AS lsn_sum,
+              CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+       FROM mapped GROUP BY op""",
+)
+def q_debezium(spark, sf_dir):
+    """The real-world binlog front door (A4+, r5): standard Debezium JSON
+    envelopes decode to engine change events via one ``from_json`` +
+    codegen projection (ingest.from_debezium) — op-code mapping (c/r→
+    insert, u→update, d→delete), before/after row-image choice, and the
+    source.lsn → source.ts_ms → envelope ts_ms LSN fallback chain all
+    certified against a DuckDB twin parsing the same bytes. Defective
+    envelopes become quarantine-shaped rows (op='corrupt_envelope' /
+    verbatim unknown code) that the merge DLQ gates."""
+    from maestro_spark.ingest import debezium_ingest_demo
+
+    return debezium_ingest_demo(spark, sf_dir)
+
+
 # ------------------------------------------------ window value extractors
 @q(
     "q_win_firstval",

@@ -511,6 +511,77 @@ def execute_dml(
     return fn(table, sql, name, query_id)
 
 
+# ------------------------------------------------------ transaction scripts
+_SCRIPT_RE = re.compile(r"^\s*begin\b", re.I)
+
+
+def is_script(sql: str) -> bool:
+    """True when the text is a ``BEGIN … COMMIT/ROLLBACK`` script."""
+    return bool(_SCRIPT_RE.match(sql or ""))
+
+
+def parse_script(sql: str) -> tuple[list[str], str]:
+    """Split ``BEGIN[ TRANSACTION|WORK]; <stmt>; …; COMMIT|ROLLBACK`` into
+    its inner statements and terminator (literal-aware top-level ``;``
+    split, so a semicolon inside a quoted value never breaks a statement).
+    Inner statements must be DML verbs (INSERT / UPDATE / DELETE / MERGE /
+    TRUNCATE); anything else — DDL, maintenance, SELECT, a nested BEGIN —
+    refuses up front, before any statement runs."""
+    stmts = _split_top(sql, ";")
+    if not stmts or not re.fullmatch(
+        r"begin(\s+(transaction|work))?", stmts[0], re.I
+    ):
+        raise ValueError(
+            "transaction script must start with BEGIN [TRANSACTION|WORK]"
+        )
+    term = re.fullmatch(
+        r"(commit|rollback)(\s+(transaction|work))?", stmts[-1], re.I
+    )
+    if not term:
+        raise ValueError(
+            "transaction script must end with COMMIT or ROLLBACK "
+            "(statement-at-a-time autocommit needs no BEGIN)"
+        )
+    inner = stmts[1:-1]
+    for s_ in inner:
+        if re.fullmatch(r"(begin|commit|rollback)\b.*", s_, re.I | re.S):
+            raise ValueError(
+                f"misplaced transaction keyword mid-script: {s_[:40]!r}"
+            )
+        if not is_dml(s_):
+            raise ValueError(
+                "only DML statements (INSERT/UPDATE/DELETE/MERGE/TRUNCATE) "
+                f"run inside BEGIN … COMMIT; got {s_[:60]!r}"
+            )
+    return inner, term.group(1).lower()
+
+
+def execute_script(
+    table: LakeTable, sql: str, name: str = "t", query_id: str = "sqltxn"
+) -> int:
+    """Run a multi-statement DML transaction ATOMICALLY: the statements
+    apply to a zero-copy branch (:meth:`LakeTable.transaction`) in order —
+    each seeing the previous statements' effects through the re-registered
+    view — and publish as one all-or-nothing adopt on COMMIT. A failing
+    statement (or a concurrent-writer conflict at publish) discards the
+    branch: readers never observe a partial script. ``ROLLBACK`` as the
+    terminator validates the script and discards it — identical visible
+    effect to never running it, at zero cost.
+
+    Returns the number of statements applied (0 for ROLLBACK / empty).
+    Time-travel pins are not supported inside a script — pin reads outside
+    the transaction instead."""
+    stmts, term = parse_script(sql)
+    if term == "rollback" or not stmts:
+        return 0
+    with table.transaction() as txn:
+        for i, s_ in enumerate(stmts):
+            # each statement reads the BRANCH state as of the previous one
+            txn.create_view(name)
+            execute_dml(txn, s_, name=name, query_id=f"{query_id}.{i}")
+    return len(stmts)
+
+
 # ---------------------------------------------------------------------- DDL
 _DDL_RE = re.compile(r"^\s*alter\s+table\b", re.I)
 
@@ -1156,7 +1227,8 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
     """Compile one ``COPY INTO`` statement onto :func:`ingest.copy_into`
     (idempotent per-file bulk load). Accepted form::
 
-        COPY INTO <t> FROM '<dir-or-glob>' FILEFORMAT = <csv|json|parquet|orc>
+        COPY INTO <t> FROM '<dir-or-glob>'
+          FILEFORMAT = <csv|json|parquet|orc|debezium>
           [WITH (option = value, …)]
 
     ``per_file = 0`` in WITH selects the batched commit mode (all pending
@@ -1175,7 +1247,8 @@ def execute_copy(table: LakeTable, sql: str, name: str = "t") -> dict:
     if not m:
         raise ValueError(
             "unsupported COPY statement (want: COPY INTO <t> FROM '<path>' "
-            "FILEFORMAT = <csv|json|parquet|orc> [WITH (option = value, …)])"
+            "FILEFORMAT = <csv|json|parquet|orc|debezium> "
+            "[WITH (option = value, …)])"
         )
     _require_target(_strip_ident(m.group(1)), name)
     from maestro_spark.ingest import copy_into

@@ -60,6 +60,10 @@ def stream_ingest(
       ``maxFilesPerTrigger``. Both feed the identical foreachBatch pipeline
       and converge to the same table state (LSN dominance is
       arrival-order-invariant).
+    - ``"debezium"``: tail a directory of standard Debezium JSON envelopes
+      (a connector's sink / topic dump) — text file-stream decoded by
+      ``ingest.from_debezium`` (one from_json, no UDFs); rows keep their
+      SOURCE op + LSN, defects dead-letter via the merge DLQ.
 
     Both readers use the log's discovered schema (merged from segment
     footers), so evolved columns present on disk flow through; columns that
@@ -70,8 +74,22 @@ def stream_ingest(
     this table) refreshed after each epoch's commit, so they stay fresh as
     the stream runs; each refresh is delta-driven and exactly-once.
     """
-    log_schema = _discover_log_schema(log_dir)
-    if source == "native":
+    if source == "debezium":
+        # tail a directory of Debezium envelope JSONL (a connector's file
+        # sink / topic dump): text file-stream → one from_json projection
+        # into change events; everything downstream — watermark, dedup,
+        # merge, view maintenance, exactly-once — is identical. Defective
+        # envelopes dead-letter through the merge DLQ.
+        from maestro_spark.ingest import from_debezium
+
+        reader = spark.readStream
+        if max_segments_per_batch:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_segments_per_batch)
+            )
+        events = from_debezium(reader.text(log_dir))
+    elif source == "native":
+        log_schema = _discover_log_schema(log_dir)
         reader = spark.readStream.schema(log_schema)
         if max_segments_per_batch:
             reader = reader.option("maxFilesPerTrigger", str(max_segments_per_batch))
@@ -79,6 +97,7 @@ def stream_ingest(
     else:
         import json as _json
 
+        log_schema = _discover_log_schema(log_dir)
         cdc_source.register(spark)
         reader = (
             spark.readStream.format(cdc_source.FORMAT_NAME)
