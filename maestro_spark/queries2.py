@@ -835,6 +835,13 @@ def _finalize_registration_order() -> None:
         "q_alter",      # ALTER TABLE — now METADATA-ONLY rename/drop (r5)
         "q_token_est",  # subword token estimate (engine-parity regex)
         "q_knn_join",   # per-row k-NN join (3rd similarity family row)
+        # round 5 continuation rotation (proven oracle-exact out-of-window
+        # via check_oracles this session before promotion): the Debezium
+        # envelope front door — the real-world CDC wire format decoded to
+        # engine change events (op mapping, row-image choice, LSN fallback
+        # chain) vs a DuckDB JSON twin over the same bytes. Displaces
+        # q_dml (see secondary).
+        "q_debezium",
         # round 5 FINAL-session rotations (same protocol: each proven
         # oracle-exact out-of-window via check_oracles in this session
         # before promotion; displaced rows listed in secondary):
@@ -877,8 +884,19 @@ def _finalize_registration_order() -> None:
         # out-of-window; the delta-refresh machinery itself is in-window
         # via q_ivm_role/q_ivm_stats/q_mv_where
         "q_mv_join",
+        # SQL transaction scripts (r5, cont.): BEGIN…COMMIT atomicity +
+        # in-script statement visibility certified here; every verb the
+        # script compiles onto is in-window via q_sql_dml/q_merge_into
+        "q_sql_txn",
     ]
     secondary = [
+        # q_dml demoted (r5 cont.) for q_debezium: the Python DML builders
+        # it exercises (update_where/delete_where, LSN fencing) run
+        # in-window through the SQL door's q_sql_dml and q_merge_into —
+        # the same fenced _dml_statement path — while the envelope decode
+        # is a NEW ingest-capability row; q_dml stays oracle-checked
+        # locally per round
+        "q_dml",
         # q_scan_events demoted for q_read_colrange (round 3): the raw
         # event-log scan's machinery is already exercised in-window by the
         # flagship replay (same log reader) and by q_project/q_filter on the

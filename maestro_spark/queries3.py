@@ -810,6 +810,60 @@ ORACLES["q_sql_dml"] = f"""
 
 
 @q(
+    "q_sql_txn",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_sql_txn(spark, sf_dir):
+    """SQL transaction script (r5 cont.: sqldml.parse_script/execute_script)
+    end-to-end on a scratch clone: BEGIN; UPDATE; DELETE; INSERT…SELECT;
+    COMMIT — published as ONE atomic adopt, with the INSERT's SELECT
+    reading the BRANCH state left by the earlier statements (post-delete
+    per-conversation turn counts). Must equal DuckDB composing the same
+    three transformations in order over the replayed base."""
+    import shutil
+
+    from maestro_spark.queries2 import _CDC_DEMO_DIR, _ensure_cdc_demo_lake
+
+    base = _ensure_cdc_demo_lake(spark)
+    root = f"{_CDC_DEMO_DIR}/sqltxn_lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = base.clone(root)
+    table.sql("""
+        BEGIN;
+        UPDATE sx SET tool = 'txn' WHERE role = 'user';
+        DELETE FROM sx WHERE turn_idx >= 6;
+        INSERT INTO sx (conv_id, turn_idx, role, text)
+          SELECT conv_id, 100, 'summary',
+                 CONCAT(CAST(COUNT(*) AS STRING), ' turns')
+          FROM sx GROUP BY conv_id;
+        COMMIT;
+    """, name="sx")
+    return table.read().select("conv_id", "turn_idx", "text", "role", "tool")
+
+
+ORACLES["q_sql_txn"] = f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx,
+             arg_max(text, op_lsn) AS text,
+             arg_max(role, op_lsn) AS role,
+             arg_max(tool, op_lsn) AS tool,
+             arg_max(op, op_lsn) AS op
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet')
+      GROUP BY conv_id, turn_idx),
+    after_upd AS (
+      SELECT conv_id, turn_idx, text, role,
+             CASE WHEN role = 'user' THEN 'txn' ELSE tool END AS tool
+      FROM base WHERE op <> 'delete'),
+    after_del AS (SELECT * FROM after_upd WHERE turn_idx < 6)
+    SELECT conv_id, turn_idx, text, role, tool FROM after_del
+    UNION ALL
+    SELECT conv_id, 100 AS turn_idx,
+           CAST(COUNT(*) AS VARCHAR) || ' turns' AS text,
+           'summary' AS role, NULL AS tool
+    FROM after_del GROUP BY conv_id"""
+
+
+@q(
     "q_bm25",
     None,  # bound at registration below (needs the demo-log path literal)
 )
