@@ -1932,6 +1932,21 @@ class LakeTable:
                     },
                     append=False,
                     retries=0,
+                    # ALTER and rollback commits published s.schema VERBATIM
+                    # on the branch (replace semantics) — re-publishing them
+                    # through the add-only merge would resurrect renamed/
+                    # dropped fields on main. Fast-forward guarantees main
+                    # sits at the branch commit's own parent state, so the
+                    # verbatim replace is exactly the original commit.
+                    replace_schema=bool(
+                        s.stats.get("maintenance") == "alter"
+                        or s.stats.get("rollback_to") is not None
+                    ),
+                    # the retired-physical-name registry is monotone and
+                    # must survive the adopt, or a later same-name re-add
+                    # on main would decode stale bytes out of older files
+                    dropped_add=sorted(set(s.dropped) - set(sp.dropped))
+                    or None,
                 )
             except FileExistsError:
                 # a foreign writer landed mid-adopt: surface the documented
@@ -3085,8 +3100,11 @@ def warehouse_sql(
             for i, (s_, tgt) in enumerate(zip(stmts, targets)):
                 for n, b in bmap.items():
                     b.create_view(prefix + n)  # in-flight branch states
-                sqldml.execute_dml(bmap[tgt], s_, name=tgt,
-                                   query_id=f"sqltxn.{i}")
+                if sqldml.is_ddl(s_):
+                    sqldml.execute_ddl(bmap[tgt], s_, name=tgt)
+                else:
+                    sqldml.execute_dml(bmap[tgt], s_, name=tgt,
+                                       query_id=f"sqltxn.{i}")
         for n, t in tables.items():
             t.create_view(prefix + n)  # post-transaction state
         return _summary("transaction", statements_applied=len(stmts),

@@ -525,7 +525,9 @@ def parse_script(sql: str) -> tuple[list[str], str]:
     its inner statements and terminator (literal-aware top-level ``;``
     split, so a semicolon inside a quoted value never breaks a statement).
     Inner statements must be DML verbs (INSERT / UPDATE / DELETE / MERGE /
-    TRUNCATE); anything else — DDL, maintenance, SELECT, a nested BEGIN —
+    TRUNCATE) or ALTER TABLE (transactional DDL: metadata-only commits
+    ride the branch and adopt republishes them with replace-schema
+    semantics); anything else — maintenance, SELECT, a nested BEGIN —
     refuses up front, before any statement runs."""
     stmts = _split_top(sql, ";")
     if not stmts or not re.fullmatch(
@@ -548,10 +550,10 @@ def parse_script(sql: str) -> tuple[list[str], str]:
             raise ValueError(
                 f"misplaced transaction keyword mid-script: {s_[:40]!r}"
             )
-        if not is_dml(s_):
+        if not (is_dml(s_) or is_ddl(s_)):
             raise ValueError(
-                "only DML statements (INSERT/UPDATE/DELETE/MERGE/TRUNCATE) "
-                f"run inside BEGIN … COMMIT; got {s_[:60]!r}"
+                "only DML (INSERT/UPDATE/DELETE/MERGE/TRUNCATE) and ALTER "
+                f"TABLE statements run inside BEGIN … COMMIT; got {s_[:60]!r}"
             )
     return inner, term.group(1).lower()
 
@@ -578,7 +580,10 @@ def execute_script(
         for i, s_ in enumerate(stmts):
             # each statement reads the BRANCH state as of the previous one
             txn.create_view(name)
-            execute_dml(txn, s_, name=name, query_id=f"{query_id}.{i}")
+            if is_ddl(s_):
+                execute_ddl(txn, s_, name=name)
+            else:
+                execute_dml(txn, s_, name=name, query_id=f"{query_id}.{i}")
     return len(stmts)
 
 

@@ -77,7 +77,7 @@ def test_script_grammar_refusals(spark, wh):
     with pytest.raises(ValueError, match="COMMIT or ROLLBACK"):
         t.sql("BEGIN; DELETE FROM t")
     with pytest.raises(ValueError, match="only DML"):
-        t.sql("BEGIN; ALTER TABLE t ADD COLUMN x int; COMMIT;")
+        t.sql("BEGIN; OPTIMIZE t; COMMIT;")
     with pytest.raises(ValueError, match="only DML"):
         t.sql("BEGIN; SELECT * FROM t; COMMIT;")
     with pytest.raises(ValueError, match="misplaced"):
@@ -120,6 +120,52 @@ def test_cross_table_failure_moves_nothing(spark, wh):
         """)
     assert a.snapshot().snapshot_id == sa and b.snapshot().snapshot_id == sb
     assert _state(a) == {("A", 0): "a0"} and _state(b) == {("B", 0): "b0"}
+
+
+def test_transactional_ddl_plus_dml(spark, wh):
+    """ALTER TABLE rides a script with the DML that populates it — the new
+    column exists IFF the backfill landed (one atomic publish). Underneath
+    this is the adopt() replace-schema fix: ALTER commits republish their
+    schema verbatim instead of through the add-only merge."""
+    t = _mk(spark, wh, "conv", [("A", 0, "a0")])
+    t.sql("""
+        BEGIN;
+        ALTER TABLE t ADD COLUMN rating int;
+        UPDATE t SET rating = 5 WHERE conv_id = 'A';
+        COMMIT;
+    """)
+    rows = t.read().collect()
+    assert [(r["conv_id"], r["rating"]) for r in rows] == [("A", 5)]
+    # rename + drop inside a script adopt with replace semantics: the old
+    # names must NOT resurrect on main, and the retired physical name
+    # survives (a later same-name re-add reads nulls, never stale bytes)
+    t.sql("""
+        BEGIN;
+        ALTER TABLE t RENAME COLUMN rating TO stars;
+        ALTER TABLE t DROP COLUMN role;
+        COMMIT;
+    """)
+    names = [f.name for f in t.snapshot().payload_schema().fields]
+    assert "stars" in names and "rating" not in names and "role" not in names
+    assert "role" in t.snapshot().dropped
+    assert [r["stars"] for r in t.read().collect()] == [5]
+    t.sql("BEGIN; ALTER TABLE t ADD COLUMN role string; COMMIT;")
+    assert [r["role"] for r in t.read().collect()] == [None]  # fresh alias
+
+
+def test_wap_branch_alter_adopts_with_replace_schema(spark, wh):
+    """The raw WAP flow (clone → ALTER on the branch → adopt) carries
+    rename/drop verbatim — the regression behind the script test above."""
+    from maestro_spark import ddl
+
+    t = _mk(spark, wh, "conv", [("A", 0, "a0")])
+    with t.transaction() as txn:
+        ddl.rename_column(txn, "text", "body")
+        ddl.drop_column(txn, "role")
+    names = [f.name for f in t.snapshot().payload_schema().fields]
+    assert names == ["conv_id", "turn_idx", "body"]
+    assert "role" in t.snapshot().dropped
+    assert [r["body"] for r in t.read().collect()] == ["a0"]
 
 
 def test_script_conflicts_with_concurrent_writer(spark, wh):
