@@ -180,6 +180,34 @@ def from_debezium(
     )
 
 
+def to_debezium(feed: DataFrame, payload_cols: list[str] | None = None) -> DataFrame:
+    """Render a change feed (:meth:`LakeTable.changes` output: payload
+    columns + ``op`` + ``lsn``) as standard Debezium envelope JSON lines —
+    the symmetric EXPORT half of :func:`from_debezium`, so any Debezium
+    consumer (or another instance of this engine) can subscribe to a lake
+    table's changes over the public wire format.
+
+    Upserts emit op ``u`` with an ``after`` image, deletes op ``d`` with a
+    ``before`` image; ``source.lsn`` carries the engine LSN so a consumer
+    applying the envelopes reconverges by LSN dominance. ONE
+    ``to_json(struct(…))`` projection — pure codegen, no UDFs.
+
+    Round trip: ``from_debezium(to_debezium(feed))`` re-decodes to the
+    same rows with op ``u`` → ``update`` (LSN-dominance upsert semantics —
+    identical merge behavior to the original insert/update distinction,
+    which the wire format does not preserve)."""
+    cols = payload_cols or [c for c in feed.columns if c not in ("op", "lsn")]
+    row = F.struct(*[F.col(c) for c in cols])
+    is_del = F.col("op") == "delete"
+    env = F.struct(
+        F.when(is_del, row).alias("before"),
+        F.when(~is_del, row).alias("after"),
+        F.struct(F.col("lsn").alias("lsn")).alias("source"),
+        F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+    )
+    return feed.select(F.to_json(env).alias("value"))
+
+
 DEBEZIUM_DEMO_PATH = "/tmp/maestro_dbz_demo/envelopes.jsonl"
 
 

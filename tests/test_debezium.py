@@ -151,6 +151,38 @@ def test_stream_ingest_debezium_source(spark, tmp_path):
     assert t.read().count() == 0  # the delete tailed in
 
 
+def test_to_debezium_round_trip_replicates_table(spark, tmp_path):
+    """CDC OUT over the public wire format: changes() → to_debezium →
+    from_debezium → merge into a second table reproduces the source table
+    exactly (tombstones ride as 'd' envelopes; LSNs survive the trip)."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.ingest import to_debezium
+
+    TS = dt.datetime(2025, 1, 1, 12)
+    src = LakeTable.create(spark, str(tmp_path / "src"), n_buckets=4)
+    merge_batch(src, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", "search", TS),
+         (2, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 0)
+    merge_batch(src, spark.createDataFrame(
+        [(3, "update", "A", 0, "user", "a0v2", None, TS),
+         (4, "delete", "B", 0, None, None, None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 1)
+
+    envelopes = to_debezium(src.changes(0))
+    assert envelopes.columns == ["value"]
+    dst = LakeTable.create(spark, str(tmp_path / "dst"), n_buckets=4)
+    merge_batch(dst, from_debezium(envelopes), "replicate", 0)
+
+    def state(t):
+        return {(r["conv_id"], r["turn_idx"]): (r["text"], r["tool"], r["ts"])
+                for r in t.read().collect()}
+
+    assert state(dst) == state(src) == {("A", 0): ("a0v2", None, TS)}
+
+
 def test_copy_into_debezium_via_sql_door(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
     d = tmp_path / "dump"
