@@ -526,13 +526,25 @@ class LakeTable:
         return out.select(*cols)
 
     def changes(
-        self, from_snapshot: int, to_snapshot: int | None = None
+        self,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        collapse: bool = True,
     ) -> DataFrame:
         """Incremental change feed between two committed snapshots
         (exclusive ``from_snapshot``, inclusive ``to_snapshot``; default =
         current). One row per key changed in the range::
 
             conv_id, turn_idx, <payload...>, op ('upsert'|'delete'), lsn
+
+        ``collapse=False`` is the ALL-CHANGES mode (Delta CDF's non-net
+        feed): instead of the net max-LSN winner per key, EVERY version the
+        range committed is emitted — one row per (key, epoch) batch winner
+        (intra-epoch intermediates never reach disk; the merge writes each
+        epoch's winners), tagged with ``snapshot_id``, deduplicated on
+        (key, lsn) so a copy-on-write epoch's re-stated rows (same row,
+        same LSN) appear once, at their first emission. This is the
+        version-history feed :meth:`scd2` builds on.
 
         This is manifest arithmetic, not a table diff: each epoch snapshot in
         the range contributes exactly the data files it ADDED (per-bucket set
@@ -591,19 +603,35 @@ class LakeTable:
                 added.extend(os.path.join(self.root, p) for p in ps if p not in prev)
             if added:
                 parts.append(
-                    self._scan_files(to_snap.schema, added).withColumn(
-                        "_seq", F.lit(seq)
-                    )
+                    self._scan_files(to_snap.schema, added)
+                    .withColumn("_seq", F.lit(seq))
+                    .withColumn("_sid", F.lit(sid))
                 )
         if not parts:
-            empty = self.spark.createDataFrame([], to_snap.schema).withColumn(
-                "_seq", F.lit(0)
+            empty = (
+                self.spark.createDataFrame([], to_snap.schema)
+                .withColumn("_seq", F.lit(0))
+                .withColumn("_sid", F.lit(0))
             )
+            if not collapse:
+                return empty.select(*out_cols, F.col("_sid").alias("snapshot_id"))
             return empty.select(*out_cols)
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p)
         keys = S.KEY_COLS
+        if not collapse:
+            # one row per (key, lsn): the first commit that emitted the
+            # version wins the tag (COW re-statements carry the SAME lsn
+            # and identical payload — the one-LSN-one-payload invariant —
+            # so this dedup is exact, not a choice among candidates)
+            rest2 = [c for c in union.columns if c not in (*keys, S.LSN_COL)]
+            firsts = (
+                union.groupBy(*keys, S.LSN_COL)
+                .agg(F.min_by(F.struct(*rest2), F.col("_seq")).alias("_w"))
+                .select(*keys, S.LSN_COL, "_w.*")
+            )
+            return firsts.select(*out_cols, F.col("_sid").alias("snapshot_id"))
         rest = [c for c in union.columns if c not in keys]
         # winner per key = max (_lsn, commit seq); the seq tie-break makes
         # re-delivered equal-LSN rows resolve to the later commit
@@ -615,6 +643,39 @@ class LakeTable:
             .select(*keys, "_w.*")
         )
         return winners.select(*out_cols)
+
+    def scd2(
+        self, from_snapshot: int = 0, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Type-2 slowly-changing-dimension history of the table: one row
+        per RETAINED VERSION of each key, with its validity interval in the
+        engine's LSN total order::
+
+            conv_id, turn_idx, <payload…>, op, valid_from_lsn,
+            valid_to_lsn (NULL = open), is_current, snapshot_id
+
+        Built on the all-changes feed (:meth:`changes` ``collapse=False``)
+        plus one ``lead()`` window per key — a version is valid from its
+        own LSN until the key's next retained version; the newest
+        non-delete version is ``is_current``. Delete versions appear as
+        rows (``op='delete'``) closing their predecessor's interval —
+        filter ``op <> 'delete'`` for the classic live-versions SCD2 shape.
+
+        Version granularity is per merge epoch (the engine never persists
+        intra-epoch intermediates), and ordering is SOURCE order (LSN) —
+        a late-arriving lower-LSN version slots into history where the
+        source emitted it, exactly like any bitemporal store keyed on the
+        upstream commit order. The horizon is the retained snapshot range
+        (``expire_snapshots`` bounds it, same as the feed)."""
+        from pyspark.sql.window import Window
+
+        ch = self.changes(from_snapshot, to_snapshot, collapse=False)
+        ch = ch.withColumnRenamed("lsn", "valid_from_lsn")
+        w = Window.partitionBy(*S.KEY_COLS).orderBy("valid_from_lsn")
+        nxt = F.lead("valid_from_lsn").over(w)
+        return ch.withColumn("valid_to_lsn", nxt).withColumn(
+            "is_current", nxt.isNull() & (F.col("op") != "delete")
+        )
 
     def read(
         self,

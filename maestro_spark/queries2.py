@@ -888,6 +888,11 @@ def _finalize_registration_order() -> None:
         # in-script statement visibility certified here; every verb the
         # script compiles onto is in-window via q_sql_dml/q_merge_into
         "q_sql_txn",
+        # SCD2 / all-changes feed (r5, cont.): per-version history with
+        # LSN validity intervals vs DuckDB's per-(key, segment) arg_max +
+        # lead(); the net change feed it extends is in-window via
+        # q_cdc_changes
+        "q_scd2",
     ]
     secondary = [
         # q_dml demoted (r5 cont.) for q_debezium: the Python DML builders

@@ -810,6 +810,54 @@ ORACLES["q_sql_dml"] = f"""
 
 
 @q(
+    "q_scd2",
+    None,  # bound at registration below (needs the demo-log path literal)
+)
+def q_scd2(spark, sf_dir):
+    """Type-2 SCD history (r5 cont.: LakeTable.scd2 over the all-changes
+    feed): one row per retained version of each key with its [valid_from,
+    valid_to) LSN interval and is_current flag. Version granularity is the
+    per-epoch batch winner (the merge never persists intra-epoch
+    intermediates) — with the demo replay's one-epoch-per-segment mapping,
+    DuckDB restates it exactly as a per-(key, filename) arg_max followed
+    by DISTINCT (COW re-statement dedup) and a lead() window."""
+    from maestro_spark.queries2 import _ensure_cdc_demo_lake
+
+    table = _ensure_cdc_demo_lake(spark)
+    return table.scd2().select(
+        "conv_id", "turn_idx", "text", "role", "op",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+
+
+ORACLES["q_scd2"] = f"""
+    WITH pe AS (
+      SELECT conv_id, turn_idx, filename,
+             -- struct_pack so a delete event's NULL payload survives
+             -- (DuckDB's bare arg_max skips NULL values)
+             arg_max(struct_pack(text := text, role := role, op := op),
+                     op_lsn) AS w,
+             MAX(op_lsn) AS lsn
+      FROM read_parquet('{_cdc_demo_dir()}/log/segment-*.parquet',
+                        filename=true)
+      GROUP BY conv_id, turn_idx, filename),
+    versions AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             struct_extract(w, 'text') AS text,
+             struct_extract(w, 'role') AS role,
+             CASE WHEN struct_extract(w, 'op') = 'delete'
+                  THEN 'delete' ELSE 'upsert' END AS op,
+             lsn
+      FROM pe)
+    SELECT conv_id, turn_idx, text, role, op,
+           lsn AS valid_from_lsn,
+           LEAD(lsn) OVER w AS valid_to_lsn,
+           (LEAD(lsn) OVER w IS NULL AND op <> 'delete') AS is_current
+    FROM versions
+    WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn)"""
+
+
+@q(
     "q_sql_txn",
     None,  # bound at registration below (needs the demo-log path literal)
 )

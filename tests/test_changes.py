@@ -123,3 +123,56 @@ def test_changes_skip_compaction_snapshots(spark, tmp_path):
     # and the full-range feed is still exactly the resolved state
     feed = table.changes(0)
     assert feed.count() == len(_resolved_pdf(table))
+
+
+# ------------------------------------------------- all-changes feed + SCD2
+def test_all_changes_and_scd2_contract(spark, tmp_path):
+    """collapse=False emits every retained (key, lsn) version exactly once
+    (COW re-statements deduped); scd2 chains them into [from, to) LSN
+    intervals with exactly one open current version per live key."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.dml import update_where
+    from maestro_spark.merge import merge_batch
+
+    TS = dt.datetime(2025, 1, 1, 12)
+    t = LakeTable.create(spark, str(tmp_path / "lk2"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", None, TS),
+         (2, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    merge_batch(t, spark.createDataFrame(
+        [(3, "update", "A", 0, "user", "a0v2", None, TS),
+         (4, "delete", "B", 0, None, None, None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+    # a COW statement re-states rows at their current LSN (update_where
+    # touches nothing here: false predicate -> no-op; use a real one)
+    update_where(t, F.col("conv_id") == "A", {"text": F.lit("a0v3")})
+
+    allc = t.changes(0, collapse=False)
+    got = {(r["conv_id"], r["lsn"]): (r["op"], r["text"], r["snapshot_id"])
+           for r in allc.collect()}
+    assert len(got) == allc.count()  # (key, lsn) unique after dedup
+    assert got[("A", 1)][:2] == ("upsert", "a0")
+    assert got[("A", 3)][:2] == ("upsert", "a0v2")
+    assert got[("B", 4)][0] == "delete"
+    a_final_lsn = max(l for (c, l) in got if c == "A")
+    assert got[("A", a_final_lsn)][1] == "a0v3"
+
+    hist = t.scd2().collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    a = sorted(by_key[("A", 0)], key=lambda r: r["valid_from_lsn"])
+    # intervals chain: each version's valid_to is the next's valid_from
+    for prev, nxt in zip(a, a[1:]):
+        assert prev["valid_to_lsn"] == nxt["valid_from_lsn"]
+    assert [r["is_current"] for r in a] == [False] * (len(a) - 1) + [True]
+    b = sorted(by_key[("B", 0)], key=lambda r: r["valid_from_lsn"])
+    assert [r["op"] for r in b] == ["upsert", "delete"]
+    assert all(not r["is_current"] for r in b)  # deleted key: nothing current
+    # exactly one current version per live key, none for deleted keys
+    cur = [r for r in hist if r["is_current"]]
+    assert {(r["conv_id"], r["turn_idx"]) for r in cur} == {("A", 0)}
+    assert cur[0]["text"] == "a0v3"
