@@ -2826,6 +2826,9 @@ def register_catalog(
       ``op='delete'`` with their winning ``lsn``; skipped (not an error)
       when the retained range spans a rollback, where the added-files feed
       cannot express the delta and consumers re-sync from a full read
+    - ``<prefix><name>__scd2`` — Type-2 version history over the same
+      horizon (:meth:`LakeTable.scd2`: per-version LSN validity intervals,
+      ``is_current``); skipped with ``__changes`` on a rollback span
 
     plus one catalog-wide ``<prefix>__catalog`` staleness view
     (``table_name, pinned_snapshot, tip_snapshot, snapshots_behind`` as of
@@ -2859,12 +2862,16 @@ def register_catalog(
                 t.changes(t.snapshot_ids()[0], sid).createOrReplaceTempView(
                     f"{prefix}{entry}__changes"
                 )
+                t.scd2(t.snapshot_ids()[0], sid).createOrReplaceTempView(
+                    f"{prefix}{entry}__scd2"
+                )
             except ValueError:
                 # retained range spans a rollback: the added-files feed
                 # cannot express removed files — consumers re-sync from a
                 # full read, and the data/metadata views above still stand;
                 # drop any stale pin so nothing silently serves old changes
                 spark.catalog.dropTempView(f"{prefix}{entry}__changes")
+                spark.catalog.dropTempView(f"{prefix}{entry}__scd2")
         tables[entry] = t
         pins[entry] = sid
     _CATALOG_PINS[(os.path.abspath(warehouse), prefix)] = pins

@@ -214,6 +214,14 @@ def test_register_catalog_changes_view(spark, tmp_path):
     # net change per key over the whole retained history, max-LSN winners
     assert rows[("A", "upsert")] == ("a0-v2", 3)
     assert rows[("B", "delete")][1] == 4
+    # __scd2 twin: per-version history with validity intervals, plain SQL
+    hist = {(r["conv_id"], r["valid_from_lsn"]):
+            (r["valid_to_lsn"], r["is_current"], r["op"]) for r in spark.sql(
+        "SELECT conv_id, op, valid_from_lsn, valid_to_lsn, is_current "
+        "FROM convs__scd2").collect()}
+    assert hist[("A", 1)] == (3, False, "upsert")
+    assert hist[("A", 3)] == (None, True, "upsert")
+    assert hist[("B", 4)][1] is False and hist[("B", 4)][2] == "delete"
 
     # rollback in the retained range: data/metadata views still register,
     # the changes view is skipped (added-files feed can't express removals)
@@ -223,6 +231,7 @@ def test_register_catalog_changes_view(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM convs").collect()[0]["n"] == 2
     # the stale pre-rollback pin must be dropped, not silently served
     assert not spark.catalog.tableExists("convs__changes")
+    assert not spark.catalog.tableExists("convs__scd2")
 
 
 def test_catalog_staleness_and_refresh(spark, tmp_path):
