@@ -8,7 +8,7 @@ Subcommands:
           [--segments-per-epoch K]
   stream  --log DIR --table DIR [--continuous INTERVAL]
   show    --table DIR [--limit N] [--snapshot ID]
-  changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N]
+  changes --table DIR --from-snapshot K [--to-snapshot N] [--limit N] [--all | --scd2]
   compact --table DIR [--tombstone-horizon LSN] [--policy tiered|full]
   sql     "SELECT …" --table ROOT[=NAME] [--table …] [--snapshot N]
   resume-txns --table DIR
@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--from-snapshot", type=int, required=True, dest="from_snapshot")
     ch.add_argument("--to-snapshot", type=int, default=None, dest="to_snapshot")
     ch.add_argument("--limit", type=int, default=20)
+    ch.add_argument("--all", action="store_true", dest="all_changes",
+                    help="every retained version (collapse=False), not the net feed")
+    ch.add_argument("--scd2", action="store_true",
+                    help="type-2 history: validity intervals + is_current")
 
     c = sub.add_parser("compact", help="compact data files / GC tombstones")
     c.add_argument("--table", required=True)
@@ -333,7 +337,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"rows": df.count(), "snapshot": table.snapshot().snapshot_id}))
     elif args.cmd == "changes":
         table = LakeTable(spark, args.table)
-        feed = table.changes(args.from_snapshot, args.to_snapshot)
+        if args.scd2:
+            feed = table.scd2(args.from_snapshot, args.to_snapshot)
+        else:
+            feed = table.changes(args.from_snapshot, args.to_snapshot,
+                                 collapse=not args.all_changes)
         feed.orderBy("conv_id", "turn_idx").show(args.limit, truncate=40)
         print(json.dumps({
             "changes": feed.count(),
