@@ -2211,11 +2211,20 @@ class LakeTable:
             done += 1
         return done
 
-    def export_changes(self, dest_root: str) -> dict:
+    def export_changes(self, dest_root: str, format: str = "parquet") -> dict:
         """Exactly-once incremental export of the change feed to plain
         parquet a non-maestro consumer can tail: each call writes the delta
         since the last exported snapshot as ``changes/<from>-<to>/*.parquet``
         (rows carry ``op``/``lsn``, tombstones as ``op='delete'``).
+
+        ``format='debezium'`` writes the range as standard Debezium
+        envelope JSONL instead (:func:`ingest.to_debezium` — upserts as
+        ``u``/after, deletes as ``d``/before, engine LSN in source.lsn), so
+        the subscriber can be ANY Debezium consumer — including a second
+        instance of this engine via ``stream_ingest(source='debezium')``.
+        A destination directory is one format forever (a ``_format.json``
+        sentinel refuses a mismatched later call — consumers tail one wire
+        format, never a mix).
 
         Exactly-once under concurrent exporters and crashes:
 
@@ -2234,7 +2243,20 @@ class LakeTable:
         Rollbacks in the range make :meth:`changes` raise; recover with
         :meth:`reset_export_cursor` (consumer re-syncs from a full
         :meth:`export`)."""
+        if format not in ("parquet", "debezium"):
+            raise ValueError(f"export format {format!r} — accepted: "
+                             "parquet, debezium")
         os.makedirs(dest_root, exist_ok=True)
+        fmt_sentinel = os.path.join(dest_root, "_format.json")
+        try:
+            _atomic_write_json(fmt_sentinel, {"format": format}, exclusive=True)
+        except FileExistsError:
+            have = json.load(open(fmt_sentinel))["format"]
+            if have != format:
+                raise ValueError(
+                    f"export dir {dest_root!r} already serves format "
+                    f"{have!r}; a destination is one wire format forever"
+                )
         cur = self.snapshot().snapshot_id
         frm = self._export_cursor(dest_root)
         if cur <= frm:
@@ -2249,7 +2271,14 @@ class LakeTable:
         final = os.path.join(dest_root, "changes", f"{frm:013d}-{to:013d}")
         if not os.path.exists(marker):
             tmp = os.path.join(dest_root, f"_tmp-{uuid.uuid4().hex[:12]}")
-            self.changes(frm, to).write.mode("overwrite").parquet(tmp)
+            if format == "debezium":
+                from maestro_spark.ingest import to_debezium
+
+                to_debezium(self.changes(frm, to)).write.mode(
+                    "overwrite"
+                ).text(tmp)
+            else:
+                self.changes(frm, to).write.mode("overwrite").parquet(tmp)
             os.makedirs(os.path.dirname(final), exist_ok=True)
             try:
                 os.rename(tmp, final)

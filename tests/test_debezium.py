@@ -183,6 +183,42 @@ def test_to_debezium_round_trip_replicates_table(spark, tmp_path):
     assert state(dst) == state(src) == {("A", 0): ("a0v2", None, TS)}
 
 
+def test_export_changes_debezium_format(spark, tmp_path):
+    """export_changes(format='debezium'): the exactly-once cursor/claim
+    machinery emits envelope JSONL a foreign consumer (or a second engine)
+    applies to reproduce the table; a dest dir refuses format mixing."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.ingest import from_debezium
+
+    TS = dt.datetime(2025, 1, 1, 12)
+    src = LakeTable.create(spark, str(tmp_path / "src"), n_buckets=4)
+    merge_batch(src, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", None, TS),
+         (2, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 0)
+    dest = str(tmp_path / "feed")
+    out1 = src.export_changes(dest, format="debezium")
+    merge_batch(src, spark.createDataFrame(
+        [(3, "delete", "B", 0, None, None, None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "seed", 1)
+    out2 = src.export_changes(dest, format="debezium")
+    assert out1["path"] != out2["path"]
+
+    replica = LakeTable.create(spark, str(tmp_path / "replica"), n_buckets=4)
+    envelopes = spark.read.text(f"{dest}/changes/*/part-*")
+    merge_batch(replica, from_debezium(envelopes), "apply", 0)
+    assert {(r["conv_id"], r["text"]) for r in replica.read().collect()} \
+        == {(r["conv_id"], r["text"]) for r in src.read().collect()} \
+        == {("A", "a0")}
+    # idle re-export: cursor derived from markers, nothing re-written
+    out3 = src.export_changes(dest, format="debezium")
+    assert out3["path"] is None
+    with pytest.raises(ValueError, match="one wire format"):
+        src.export_changes(dest, format="parquet")
+
+
 def test_copy_into_debezium_via_sql_door(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "lake"), n_buckets=4)
     d = tmp_path / "dump"
