@@ -132,3 +132,12 @@ def test_neardup_miners_refine_before_dedup_exchange(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Exchange hashpartitioning"):
             assert "sig" not in line, line
+
+
+def test_debezium_decode_stays_jvm_side(spark):
+    """from_debezium is one from_json + codegen projection — the decode of
+    the real-world wire format must never fall off the JVM fast path into
+    a Python row UDF (q_debezium covers 2500+ envelopes)."""
+    plan = _plan(spark, "q_debezium")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    assert "from_json" in plan.lower() or "jsontostructs" in plan.lower(), plan
