@@ -2248,6 +2248,14 @@ class LakeTable:
                              "parquet, debezium")
         os.makedirs(dest_root, exist_ok=True)
         fmt_sentinel = os.path.join(dest_root, "_format.json")
+        if not os.path.exists(fmt_sentinel) and os.path.isdir(
+            os.path.join(dest_root, "changes")
+        ):
+            # pre-sentinel destination: every range it holds is parquet
+            # (the only format that existed) — pin that before validating,
+            # so an upgraded engine can't silently mix formats into it
+            _atomic_write_json(fmt_sentinel, {"format": "parquet"},
+                               exclusive=False)
         try:
             _atomic_write_json(fmt_sentinel, {"format": format}, exclusive=True)
         except FileExistsError:

@@ -217,6 +217,15 @@ def test_export_changes_debezium_format(spark, tmp_path):
     assert out3["path"] is None
     with pytest.raises(ValueError, match="one wire format"):
         src.export_changes(dest, format="parquet")
+    # a PRE-SENTINEL destination (only parquet ranges, upgraded engine)
+    # pins itself to parquet before validating — no silent mixing
+    import os
+
+    dest2 = str(tmp_path / "feed2")
+    src.export_changes(dest2)  # parquet range lands
+    os.unlink(f"{dest2}/_format.json")  # simulate pre-upgrade dir
+    with pytest.raises(ValueError, match="one wire format"):
+        src.export_changes(dest2, format="debezium")
 
 
 def test_copy_into_debezium_via_sql_door(spark, tmp_path):
