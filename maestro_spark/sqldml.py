@@ -253,13 +253,13 @@ def _strip_ident(tok: str) -> str:
 def _exec_insert(table: LakeTable, sql: str, name: str, query_id: str):
     m = re.match(
         r"^\s*insert\s+into\s+([A-Za-z_][\w.]*)\s*"
-        r"(\(([^)]*)\))?\s*(values\b|select\b)(.*)$",
+        r"(\(([^)]*)\))?\s*(values\b|select\b|with\b)(.*)$",
         sql, re.I | re.S,
     )
     if not m:
         raise ValueError(
             "unsupported INSERT (want: INSERT INTO <t> [(cols)] VALUES "
-            "(...)[, ...] | INSERT INTO <t> [(cols)] SELECT ...)"
+            "(...)[, ...] | INSERT INTO <t> [(cols)] [WITH …] SELECT ...)"
         )
     _require_target(_strip_ident(m.group(1)), name)
     cols = [_strip_ident(c) for c in _split_top(m.group(3))] if m.group(3) else None

@@ -54,6 +54,13 @@ def test_insert_values_and_select(spark, table):
     # the statement is one epoch in the change feed like any other write
     feed = table.changes(0)
     assert feed.filter(F.col("conv_id") == "C_x").count() == 2
+    # CTE source: INSERT INTO … WITH … SELECT parses and lands
+    table.create_view("t")
+    execute_dml(table, "INSERT INTO t (conv_id, turn_idx, role, text) "
+                       "WITH src AS (SELECT * FROM t WHERE conv_id = 'C') "
+                       "SELECT concat(conv_id, '_w'), turn_idx, role, text "
+                       "FROM src")
+    assert table.read().filter(F.col("conv_id") == "C_w").count() == 2
 
 
 def test_update_and_delete(spark, table):
