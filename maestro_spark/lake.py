@@ -677,6 +677,31 @@ class LakeTable:
             "is_current", nxt.isNull() & (F.col("op") != "delete")
         )
 
+    def read_asof_lsn(
+        self, lsn: int, from_snapshot: int = 0, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """SOURCE-ORDER point-in-time read: the live rows as they stood
+        once the upstream had applied every change with ``op_lsn <= lsn``
+        — finer-grained than snapshot time travel (an LSN mid-epoch is a
+        state no commit boundary ever published) and the natural "replay
+        the source to position X" debugging read.
+
+        One filter over :meth:`scd2`: versions whose validity interval
+        covers ``lsn``, deletes excluded. Granularity is the retained
+        version set (per-epoch batch winners): an LSN falling between a
+        retained version and an unpersisted intra-epoch predecessor
+        resolves to the prior retained state — the closest reconstruction
+        the files can express. Horizon = the retained snapshot range."""
+        h = self.scd2(from_snapshot, to_snapshot)
+        live = h.filter(
+            (F.col("valid_from_lsn") <= lsn)
+            & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > lsn))
+            & (F.col("op") != "delete")
+        )
+        return live.drop(
+            "valid_from_lsn", "valid_to_lsn", "is_current", "op", "snapshot_id"
+        )
+
     def read(
         self,
         snapshot_id: int | None = None,

@@ -176,3 +176,38 @@ def test_all_changes_and_scd2_contract(spark, tmp_path):
     cur = [r for r in hist if r["is_current"]]
     assert {(r["conv_id"], r["turn_idx"]) for r in cur} == {("A", 0)}
     assert cur[0]["text"] == "a0v3"
+
+
+def test_read_asof_lsn_reconstructs_source_states(spark, tmp_path):
+    """read_asof_lsn(L) = live rows once the source had applied op_lsn<=L —
+    including mid-epoch positions no snapshot boundary ever published."""
+    import datetime as dt
+
+    from maestro_spark import schema as S
+    from maestro_spark.merge import merge_batch
+
+    TS = dt.datetime(2025, 1, 1, 12)
+    t = LakeTable.create(spark, str(tmp_path / "lk3"), n_buckets=4)
+    merge_batch(t, spark.createDataFrame(
+        [(1, "insert", "A", 0, "user", "a0", None, TS),
+         (2, "insert", "B", 0, "user", "b0", None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 0)
+    merge_batch(t, spark.createDataFrame(
+        [(5, "update", "A", 0, "user", "a1", None, TS),
+         (7, "delete", "B", 0, None, None, None, TS)],
+        S.CHANGE_EVENT_SCHEMA), "q", 1)
+
+    def state(lsn):
+        return {(r["conv_id"]): r["text"]
+                for r in t.read_asof_lsn(lsn).collect()}
+
+    assert state(0) == {}
+    assert state(1) == {"A": "a0"}
+    assert state(2) == {"A": "a0", "B": "b0"}
+    # LSN 6: A already updated (5), B's delete (7) not yet applied — a
+    # state that exists between the second epoch's two changes, never as
+    # a published snapshot
+    assert state(6) == {"A": "a1", "B": "b0"}
+    assert state(7) == {"A": "a1"}
+    assert state(10**9) == {(r["conv_id"]): r["text"]
+                            for r in t.read().collect()}
